@@ -1,0 +1,234 @@
+"""Forward parity of the JAX models against independent NumPy oracles.
+
+The oracles below transcribe the *reference op sequences* (cited per line)
+directly in NumPy over the same parameter pytrees — an independent
+implementation path (no jax, no shared helper code), per SURVEY.md section 4.
+"""
+
+import jax
+import numpy as np
+
+from vqa_attention_networks_tpu.config import Config
+from vqa_attention_networks_tpu.models import get_model, mhb_coatt
+
+N, T, L, D = 3, 7, 196, 32
+Q_VOCAB, A_VOCAB = 25, 11
+HID, EMB = 16, 12
+K, O = 5, 8  # fusion = 40
+
+
+def _cfg(name):
+    return Config(
+        model_name=name, q_vocab_size=Q_VOCAB, a_vocab_size=A_VOCAB,
+        hidden_dim=HID, emb_dim=EMB, img_feature_channel=D,
+        max_question_length=T, mfb_factor=K, mfb_out=O,
+    )
+
+
+def _np(p):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x, np.float64), p)
+
+
+# ---------------------------------------------------------------------------
+# NumPy oracle pieces
+# ---------------------------------------------------------------------------
+
+def np_sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def np_softmax(x, axis):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def np_lstm(p, x):
+    """PyTorch-gate-order LSTM over [N, T, in] -> [N, T, H]
+    (the recurrence behind mfb.py:27-30 / nn.LSTM)."""
+    n, t, _ = x.shape
+    h = np.zeros((n, p["w_hh"].shape[0]))
+    c = np.zeros_like(h)
+    outs = []
+    for step in range(t):
+        gates = x[:, step] @ p["w_ih"] + h @ p["w_hh"] + p["b"]
+        i, f, g, o = np.split(gates, 4, axis=-1)
+        i, f, o = np_sigmoid(i), np_sigmoid(f), np_sigmoid(o)
+        g = np.tanh(g)
+        c = f * c + i * g
+        h = o * np.tanh(c)
+        outs.append(h)
+    return np.stack(outs, axis=1)
+
+
+def np_signed_sqrt(x):
+    return np.sqrt(np.maximum(x, 0)) - np.sqrt(np.maximum(-x, 0))
+
+
+def np_l2(x, axis=-1):
+    return x / np.maximum(
+        np.sqrt((x**2).sum(axis=axis, keepdims=True)), 1e-12
+    )
+
+
+def np_dense(p, x):
+    y = x @ p["w"]
+    return y + p["b"] if "b" in p else y
+
+
+def np_glimpse(att_logits, values, real_softmax):
+    """Per-glimpse loop exactly as mfb.py:82-89 / mhb_coAtt.py:84-91."""
+    outs = []
+    for g in range(att_logits.shape[-1]):
+        if real_softmax:
+            w = np_softmax(att_logits[:, :, g], axis=1)  # over positions
+        else:
+            w = np.ones_like(att_logits[:, :, g])  # singleton-softmax quirk
+        outs.append((w[:, :, None] * values).sum(axis=1))
+    return np.concatenate(outs, axis=-1)
+
+
+def np_mfb_pool(z, k):
+    *lead, d = z.shape
+    return z.reshape(*lead, d // k, k).sum(-1)
+
+
+def oracle_mhb_coatt(p, cfg, img, ques):
+    """NumPy transcription of mhb_coAtt.py:61-151 (eval mode, time-major
+    LSTM per the documented bugfix)."""
+    emb = np.tanh(p["word_embedding"]["table"][ques])
+    h = np_lstm(p["lstm"], emb)  # [N, T, H]
+
+    att = np_dense(p["ques_att_conv2"],
+                   np.maximum(np_dense(p["ques_att_conv1"], h), 0))
+    q_att = np_glimpse(att, h, real_softmax=True)  # [N, 2H]
+
+    q_proj = np_dense(p["ques_proj1"], q_att)
+    img_proj = np_dense(p["img_conv1d"], img)
+    z = img_proj * q_proj[:, None, :]
+    z = np_signed_sqrt(np_mfb_pool(z, cfg.mfb_factor))
+    n = img.shape[0]
+    z = np_l2(z.reshape(n, -1)).reshape(z.shape)
+
+    co = np_dense(p["co_att_conv2"],
+                  np.maximum(np_dense(p["co_att_conv1"], z), 0))
+    v_att = np_glimpse(co, img, real_softmax=True)  # [N, 2D]
+
+    outs = []
+    for stage in ("2", "3"):
+        a = np_dense(p[f"ques_proj{stage}"], q_att)
+        b = np_dense(p[f"img_proj{stage}"], v_att)
+        f = np_l2(np_signed_sqrt(np_mfb_pool(a * b, cfg.mfb_factor)))
+        outs.append(f)
+    return np_dense(p["linear_pred"], np.concatenate(outs, axis=-1))
+
+
+def oracle_mhb(p, cfg, img, ques, qlen):
+    """NumPy transcription of mhb_coAtt.py:174-217 (typo at :214 fixed)."""
+    n = ques.shape[0]
+    img_pooled = img.mean(axis=1)
+    emb = p["embedding"]["table"][ques]  # no tanh (mhb_coAtt.py:181)
+    h_all = np_lstm(p["lstm"], emb)
+    h = h_all[np.arange(n), qlen - 1]
+
+    z1 = np_dense(p["linear_q_1"], h) * np_dense(p["linear_i_1"], img_pooled)
+    m1 = np_l2(np_signed_sqrt(np_mfb_pool(z1, cfg.mfb_factor)))
+    z2 = np_dense(p["linear_q_2"], h) * np_dense(p["linear_i_2"], img_pooled)
+    z2 = z2 * z1  # stage-2 uses stage-1's pre-pool product (mhb_coAtt.py:205)
+    m2 = np_l2(np_signed_sqrt(np_mfb_pool(z2, cfg.mfb_factor)))
+    return np_dense(p["linear_out"], np.concatenate([m1, m2], axis=-1))
+
+
+def oracle_mfb(p, cfg, img, ques, multilayer=False):
+    """NumPy transcription of mfb.py:61-140 (eval mode). The glimpse
+    softmaxes run over a singleton axis (mfb.py:84,118) -> weights all 1."""
+    n = ques.shape[0]
+    emb = np.tanh(p["word_embedding"]["table"][ques])
+    h = np_lstm(p["lstm"], emb)
+
+    a = np.maximum(np_dense(p["ques_att_conv1"], h), 0)
+    if multilayer:
+        a = np.maximum(np_dense(p["ques_att_multiconv"], a), 0)
+    att = np_dense(p["ques_att_conv2"], a)
+    q_att = np_glimpse(att, h, real_softmax=False)
+
+    q_proj = np_dense(p["ques_proj1"], q_att)
+    img_proj = np_dense(p["img_conv1d"], img)
+    z = np_signed_sqrt(np_mfb_pool(img_proj * q_proj[:, None, :], cfg.mfb_factor))
+    z = np_l2(z.reshape(n, -1)).reshape(z.shape)
+
+    ca = np.maximum(np_dense(p["co_att_conv1"], z), 0)
+    if multilayer:
+        ca = np.maximum(np_dense(p["co_att_multiconv"], ca), 0)
+    co = np_dense(p["co_att_conv2"], ca)
+    v_att = np_glimpse(co, img, real_softmax=False)
+
+    f = np_l2(np_signed_sqrt(np_mfb_pool(
+        np_dense(p["ques_proj2"], q_att) * np_dense(p["img_proj2"], v_att),
+        cfg.mfb_factor)))
+    return np_dense(p["linear_pred"], f)
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+def _inputs(rng):
+    img = rng.standard_normal((N, L, D)).astype(np.float32)
+    ques = rng.integers(0, Q_VOCAB, size=(N, T)).astype(np.int32)
+    qlen = rng.integers(1, T + 1, size=(N,)).astype(np.int32)
+    return img, ques, qlen
+
+
+def test_mhb_coatt_matches_oracle():
+    cfg = _cfg("mhb_coAtt")
+    model = get_model("mhb_coAtt")
+    params = model.init(jax.random.PRNGKey(3), cfg)
+    img, ques, qlen = _inputs(np.random.default_rng(3))
+    got, _ = model.apply(params, cfg, img, ques, ques_length=qlen)
+    want = oracle_mhb_coatt(_np(params), cfg, img.astype(np.float64), ques)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_mhb_matches_oracle():
+    cfg = _cfg("mhb")
+    model = mhb_coatt.MHB
+    params = model.init(jax.random.PRNGKey(4), cfg)
+    img, ques, qlen = _inputs(np.random.default_rng(4))
+    got, _ = model.apply(params, cfg, img, ques, ques_length=qlen)
+    want = oracle_mhb(_np(params), cfg, img.astype(np.float64), ques, qlen)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_mfb_matches_oracle():
+    cfg = _cfg("mfb")
+    model = get_model("mfb")
+    params = model.init(jax.random.PRNGKey(5), cfg)
+    img, ques, qlen = _inputs(np.random.default_rng(5))
+    got, _ = model.apply(params, cfg, img, ques, ques_length=qlen)
+    want = oracle_mfb(_np(params), cfg, img.astype(np.float64), ques)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_mfb_multilayer_matches_oracle():
+    cfg = _cfg("mfb-multilayer")
+    model = get_model("mfb-multilayer")
+    params = model.init(jax.random.PRNGKey(6), cfg)
+    img, ques, qlen = _inputs(np.random.default_rng(6))
+    got, _ = model.apply(params, cfg, img, ques, ques_length=qlen)
+    want = oracle_mfb(_np(params), cfg, img.astype(np.float64), ques,
+                      multilayer=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_mfb_quirk_glimpses_are_uniform_sums():
+    """MFB's singleton-axis softmax makes both glimpses the plain sum over
+    positions (mfb.py:84-85) — structural check of the quirk."""
+    from vqa_attention_networks_tpu.ops.fusion import two_glimpse_pool
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((N, L, 2)).astype(np.float32)
+    vals = rng.standard_normal((N, L, 6)).astype(np.float32)
+    pooled = np.asarray(two_glimpse_pool(logits, vals, uniform_quirk=True))
+    want = vals.sum(axis=1)
+    np.testing.assert_allclose(pooled[:, :6], want, rtol=1e-5)
+    np.testing.assert_allclose(pooled[:, 6:], want, rtol=1e-5)

@@ -1,0 +1,145 @@
+"""QA preparation on a miniature synthetic VQA-format JSON corpus."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vqa_attention_networks_tpu.data.prepare import (
+    build_answer_vocab,
+    build_soft_answers,
+    load_qa_data,
+    make_synthetic_qa_data,
+    prepare_training_data,
+    qa_artifact_path,
+    save_qa_data,
+)
+
+
+def _mini_vqa_json(tmp_path, version=2):
+    """Write a 2-split miniature corpus in the official VQA JSON schema."""
+    vqa_dir = tmp_path / "vqa"
+    os.makedirs(vqa_dir)
+
+    def annotations(split, rows):
+        return {
+            "annotations": [
+                {
+                    "question_id": qid,
+                    "image_id": img,
+                    "multiple_choice_answer": ans,
+                    "answer_type": atype,
+                    "answers": [{"answer": a} for a in ten],
+                }
+                for qid, img, ans, atype, ten in rows
+            ]
+        }
+
+    def questions(split, rows):
+        return {
+            "questions": [
+                {"question_id": qid, "image_id": img, "question": q}
+                for qid, img, q, *_ in rows
+            ]
+        }
+
+    train_rows = [
+        (1, 10, "What color is the cat?", None),
+        (2, 11, "Is the dog sleeping?", None),
+        (3, 10, "How many dogs are there?", None),
+        (4, 12, "What color is the sky?", None),
+    ]
+    train_ann = [
+        (1, 10, "black", "other", ["black"] * 7 + ["gray"] * 3),
+        (2, 11, "yes", "yes/no", ["yes"] * 10),
+        (3, 10, "two", "number", ["two"] * 6 + ["three"] * 4),
+        (4, 12, "blue", "other", ["blue"] * 9 + ["rainbowish"] * 1),
+    ]
+    val_rows = [
+        (5, 13, "Is the cat black?", None),
+        (6, 13, "What color is the dog?", None),
+    ]
+    val_ann = [
+        (5, 13, "yes", "yes/no", ["yes"] * 8 + ["no"] * 2),
+        (6, 13, "black", "other", ["black"] * 5 + ["brown"] * 5),
+    ]
+
+    for split, q_rows, a_rows in (("train", train_rows, train_ann),
+                                  ("val", val_rows, val_ann)):
+        q_name = f"v2_OpenEnded_mscoco_{split}2014_questions.json"
+        a_name = f"v2_mscoco_{split}2014_annotations.json"
+        with open(vqa_dir / q_name, "w") as f:
+            json.dump(questions(split, q_rows), f)
+        with open(vqa_dir / a_name, "w") as f:
+            json.dump(annotations(split, a_rows), f)
+    return str(tmp_path)
+
+
+def test_answer_vocab_top_n_plus_unk():
+    anns = [{"multiple_choice_answer": a} for a in
+            ["yes", "yes", "yes", "no", "no", "Three", "blue"]]
+    vocab = build_answer_vocab(anns, num_ans=3)
+    # top-2 by frequency + UNK at index 2; "Three" normalises to "3"
+    assert vocab == {"yes": 0, "no": 1, "UNK": 2}
+
+
+def test_soft_answers_renormalise_over_in_vocab():
+    vocab = {"yes": 0, "no": 1, "UNK": 2}
+    anns = [{
+        "question_id": 7,
+        "answers": [{"answer": "yes"}] * 6 + [{"answer": "no"}] * 2
+        + [{"answer": "maybe"}] * 2,  # OOV, dropped
+    }]
+    soft = build_soft_answers(vocab, anns)
+    assert soft[7] == {0: 6 / 8, 1: 2 / 8}
+
+
+def test_prepare_roundtrip(tmp_path):
+    data_dir = _mini_vqa_json(tmp_path)
+    data = prepare_training_data(data_dir=data_dir, version=2, num_ans=5)
+
+    assert len(data.train) == 4 and len(data.val) == 2
+    # pad id 0 is reserved; every real token id is within the embedding range
+    assert data.train.questions.min() >= 0
+    assert data.train.questions.max() < data.q_vocab_size
+    assert data.question_vocab["UNK"] == data.q_vocab_size - 1
+
+    # soft answers sum to 1 where annotators hit the vocab
+    dense = data.train.soft_dense(data.a_vocab_size)
+    sums = dense.sum(axis=1)
+    assert np.all((np.abs(sums - 1.0) < 1e-6) | (sums == 0.0))
+
+    # reload from disk == in-memory
+    loaded = load_qa_data(qa_artifact_path(data_dir, 2, 5))
+    np.testing.assert_array_equal(loaded.train.questions, data.train.questions)
+    np.testing.assert_array_equal(loaded.val.answers, data.val.answers)
+    assert loaded.answer_vocab == data.answer_vocab
+
+
+def test_answer_type_filter(tmp_path):
+    data_dir = _mini_vqa_json(tmp_path)
+    data = prepare_training_data(
+        data_dir=data_dir, version=2, num_ans=5, answer_type="yes/no"
+    )
+    # only the yes/no questions survive (1 train, 1 val)
+    assert len(data.train) == 1 and len(data.val) == 1
+    assert "yes" in data.answer_vocab
+
+
+def test_synthetic_qa_data_contract():
+    data = make_synthetic_qa_data(np.random.default_rng(0), n_train=32, n_val=8)
+    assert data.train.questions.shape == (32, 22)
+    assert data.q_vocab_size == 52  # 50 words + pad + UNK
+    dense = data.train.soft_dense(data.a_vocab_size)
+    assert dense.shape == (32, 16)
+    assert (dense.sum(1) > 0).all()
+
+
+def test_save_load_synthetic(tmp_path):
+    data = make_synthetic_qa_data(np.random.default_rng(1), n_train=8, n_val=4)
+    base = str(tmp_path / "qa_test")
+    save_qa_data(data, base)
+    loaded = load_qa_data(base)
+    np.testing.assert_array_equal(loaded.train.soft_idx, data.train.soft_idx)
+    assert loaded.max_question_length == data.max_question_length

@@ -1,0 +1,150 @@
+"""Frozen run configuration.
+
+The reference keeps a module-level mutable ``easydict`` that entry points
+monkey-patch at runtime (reference ``cfg.py:3-34``, ``train_models.py:24-38``).
+Here the whole run configuration is a single frozen dataclass constructed once
+from the CLI / a file; models receive it by value and nothing mutates it.
+
+Defaults mirror the reference's (``cfg.py``): hidden 1024, emb 300, lr 7e-4,
+batch 64, 18 epochs, lr decay x0.5 every 40k steps, ResNet-152 grid 196x2048.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any
+
+MODEL_NAMES = (
+    "mfb",
+    "mfb-multilayer",
+    "mhb",
+    "mhb_coAtt",
+    "hieCoAtten",
+    "visLstm",
+    "iBOWIMG",
+    "attentionNet",
+)
+
+# Models trained with soft answer distributions + soft cross-entropy
+# (reference forces soft_answer=1 for mhb*: train_models.py:30-33 and picks
+# KLDivLoss for them: solver.py:26-29).
+SOFT_ANSWER_MODELS = ("mhb", "mhb_coAtt")
+
+
+@dataclass(frozen=True)
+class Config:
+    # --- model selection -------------------------------------------------
+    model_name: str = "mhb_coAtt"
+
+    # --- vocab sizes (filled from the prepared dataset, mirroring
+    # train_models.py:37-38) ----------------------------------------------
+    q_vocab_size: int = 15881
+    a_vocab_size: int = 1000
+
+    # --- network (cfg.py:9-14) -------------------------------------------
+    hidden_dim: int = 1024
+    emb_dim: int = 300
+    num_layers: int = 1
+    glove: bool = False
+
+    # MFB/MHB bilinear-fusion factorisation: k * o = 5000, k = 5
+    # (reference mfb.py:41-43, mhb_coAtt.py:43-45).
+    mfb_factor: int = 5
+    mfb_out: int = 1000
+
+    # hieCoAtten / iBOWIMG / attentionNet embed width
+    # (reference hieCoAtten.py:6, networks.py:8,31).
+    embed_size: int = 512
+    att_num: int = 6
+
+    # --- image features (cfg.py:24-28) -------------------------------------
+    img_feature_channel: int = 2048
+    img_feature_dim: int = 196  # 14*14 regions
+    feature_type: str = "resnet152"
+    max_question_length: int = 22
+    image_first: bool = True
+
+    # --- training (cfg.py:16-23) -------------------------------------------
+    batch_size: int = 64
+    lr: float = 7e-4
+    num_epoch: int = 18
+    lr_decay: bool = True
+    decay_rate: float = 0.5
+    decay_step: int = 40000
+    shuffle: bool = True
+    early_stopping: bool = False
+    patience: int = 10  # solver.py:45
+    seed: int = 0
+
+    # dropout rates (mfb.py:32,44; mhb_coAtt.py:38,46; visLstm/networks use
+    # F.dropout's default 0.5)
+    dropout_lstm: float = 0.3
+    dropout_fusion: float = 0.1
+    dropout_default: float = 0.5
+
+    # --- numerics ----------------------------------------------------------
+    # Parameters are kept in float32; compute_dtype applies to activations on
+    # the forward path (bf16 keeps the MXU fed at full rate on TPU).
+    compute_dtype: str = "float32"
+
+    # --- reference-bug policy ----------------------------------------------
+    # The reference carries live bugs whose "fixed" semantics are the evident
+    # intent (SURVEY.md section 2). We implement the fixed semantics and record
+    # each deviation in the model docstrings:
+    #   * mhb_coAtt.py:214   `linear_out(mhb_22)` -> mhb_12 (NameError otherwise)
+    #   * hieCoAtten.py:31   fc_Wbv used for the question branch -> fc_Wbq
+    #   * hieCoAtten.py:52   torch.cat(dim=0)+view scrambles samples -> dim=1
+    #   * networks.py:64     same dim-0 concat bug -> dim=1
+    #   * mhb_coAtt.py:72-74 batch_first LSTM fed [T,N,H] scans across the
+    #     batch; we scan over time.
+    # The *quirks* that are semantically valid (MFB's softmax over a singleton
+    # axis, mfb.py:84,118; LSTM_Attention's unnormalised attention,
+    # visLstm.py:91-97) are replicated exactly unless this flag is False.
+    keep_reference_quirks: bool = True
+
+    # --- parallelism ---------------------------------------------------------
+    # Mesh axis sizes; data * model must equal the device count in use.
+    data_parallel: int = 1
+    model_parallel: int = 1
+
+    # --- paths (cfg.py:33-34) -----------------------------------------------
+    data_dir: str = "data"
+    out_dir: str = "./models"
+    results_dir: str = "./results"
+
+    # --- run mode -------------------------------------------------------------
+    mode: str = "training"  # training | testing (train_models.py:20)
+
+    # checkpointing cadence (capability upgrade over the reference's
+    # save-at-end-only, solver.py:184-190)
+    checkpoint_every_steps: int = 2000
+
+    @property
+    def soft_answer(self) -> bool:
+        return self.model_name in SOFT_ANSWER_MODELS
+
+    @property
+    def fusion_dim(self) -> int:
+        return self.mfb_factor * self.mfb_out  # 5000
+
+    @property
+    def lstm_input_dim(self) -> int:
+        # GloVe concat doubles the LSTM input (mhb_coAtt.py:27-31).
+        return self.emb_dim * 2 if self.glove else self.emb_dim
+
+    def replace(self, **kwargs: Any) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+    def validate(self) -> "Config":
+        if self.model_name not in MODEL_NAMES:
+            raise ValueError(
+                f"model {self.model_name!r} not supported; choose from {MODEL_NAMES}"
+            )
+        if self.fusion_dim != 5000:
+            # The factorisation is a free parameter here (the reference
+            # hard-codes 5000 = 5*1000); any k*o is allowed.
+            pass
+        if self.img_feature_dim != 196:
+            raise ValueError("img_feature_dim must be 196 (14x14 ResNet grid)")
+        return self

@@ -1,0 +1,144 @@
+"""Batch pipeline: packed QA arrays + feature store -> device-ready batches.
+
+Replaces the reference's ``VqaDataset``/``DataLoader`` with 4 worker
+processes (``data_loader.py:10-60``, ``solver.py:41``). Everything here is
+vectorised NumPy over the packed artifact:
+
+- batch assembly is fancy indexing (no per-item Python, no per-item file I/O);
+- every batch has **static shapes** — the final partial batch is padded to
+  ``batch_size`` with a ``valid`` mask so XLA compiles exactly one program;
+- a single background thread overlaps host gather with device compute
+  (double-buffering via ``jax.device_put``);
+- GloVe vectors are *not* shipped per batch: the model embeds them on device
+  from a frozen [q_vocab_size, 300] table (see ``data/glove.py``), unlike the
+  reference's per-item spaCy lookup (``data_loader.py:47-56``).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+
+from vqa_attention_networks_tpu.data.feature_store import FeatureStore
+from vqa_attention_networks_tpu.data.prepare import QASplit, SOFT_WIDTH
+
+
+@dataclass
+class Batch:
+    """One device-ready batch. ``soft_answers`` is densified on the host
+    (cheap: B x 10 scatter) exactly as ``data_loader.py:39-42`` does."""
+
+    image_features: np.ndarray  # [B, 196, 2048]
+    questions: np.ndarray  # [B, T] int32
+    answers: np.ndarray  # [B] int32 hard labels
+    ques_length: np.ndarray  # [B] int32
+    valid: np.ndarray  # [B] bool — False on pad rows of the final batch
+    soft_answers: Optional[np.ndarray] = None  # [B, A] float32
+
+    def __len__(self) -> int:
+        return int(self.questions.shape[0])
+
+
+class VqaBatches:
+    """Epoch iterator over one split."""
+
+    def __init__(
+        self,
+        split: QASplit,
+        store: FeatureStore,
+        batch_size: int,
+        num_answers: int,
+        soft_answer: bool,
+        shuffle: bool = True,
+        seed: int = 0,
+        feature_dtype=np.float32,
+        drop_remainder: bool = False,
+    ):
+        self.split = split
+        self.store = store
+        self.batch_size = batch_size
+        self.num_answers = num_answers
+        self.soft_answer = soft_answer
+        self.shuffle = shuffle
+        self.feature_dtype = feature_dtype
+        self.drop_remainder = drop_remainder
+        self._rng = np.random.default_rng(seed)
+        # Resolve image_id -> store row once; per-batch gather is then pure
+        # integer indexing into the memmap.
+        self._rows = store.rows_for(split.image_ids)
+
+    def __len__(self) -> int:
+        n = len(self.split)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _densify_soft(self, idx: np.ndarray) -> np.ndarray:
+        b = len(idx)
+        dense = np.zeros((b, self.num_answers), dtype=np.float32)
+        rows = np.repeat(np.arange(b), SOFT_WIDTH)
+        sidx = self.split.soft_idx[idx].reshape(-1)
+        sval = self.split.soft_val[idx].reshape(-1)
+        keep = sidx >= 0
+        dense[rows[keep], sidx[keep]] = sval[keep]
+        return dense
+
+    def _assemble(self, idx: np.ndarray) -> Batch:
+        b = len(idx)
+        bs = self.batch_size
+        valid = np.ones(bs, dtype=bool)
+        if b < bs:  # pad the final batch to static shape
+            valid[b:] = False
+            idx = np.concatenate([idx, np.broadcast_to(idx[-1:], (bs - b,))])
+        feats = self.store.gather_rows(self._rows[idx], dtype=self.feature_dtype)
+        return Batch(
+            image_features=feats,
+            questions=self.split.questions[idx].astype(np.int32),
+            answers=self.split.answers[idx].astype(np.int32),
+            ques_length=self.split.ques_length[idx].astype(np.int32),
+            valid=valid,
+            soft_answers=self._densify_soft(idx) if self.soft_answer else None,
+        )
+
+    def epoch(self) -> Iterator[Batch]:
+        n = len(self.split)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_remainder else n
+        for start in range(0, stop, self.batch_size):
+            yield self._assemble(order[start : start + self.batch_size])
+
+
+def prefetch(iterator: Iterator[Batch], depth: int = 2) -> Iterator[Batch]:
+    """Run ``iterator`` on a background thread, ``depth`` batches ahead.
+
+    The host-side analog of the reference's DataLoader workers (cfg.py:6):
+    feature-gather and soft-label densification overlap with the device step.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _SENTINEL = object()
+    err: list = []
+
+    def producer() -> None:
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # surfaced on the consumer side
+            err.append(e)
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            if err:
+                raise err[0]
+            return
+        yield item

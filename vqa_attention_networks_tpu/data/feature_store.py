@@ -1,0 +1,126 @@
+"""Packed, memory-mappable image feature store.
+
+The reference persists one tiny ``.npy`` per image (~123k files/split,
+``extract_image_features.py:81-84``) and pays a file open + load + transpose
+per training item (``data_loader.py:29-32``). At the 10k QA-pairs/sec/chip
+target that per-item cost dominates, so the store here is a single packed
+binary per split:
+
+    <dir>/features.bin    float16, shape [num_images, 196, 2048], row-major
+    <dir>/index.json      {"image_ids": [...], "shape": [...], "dtype": ...}
+
+Reads are NumPy fancy-indexing into a memmap — batch gather is one vectorised
+operation, zero per-item Python. float16 halves HBM traffic and host I/O; the
+models upcast (or run bf16) on device.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from os.path import join
+from typing import Dict, Iterable, Optional, Sequence
+
+import numpy as np
+
+FEATURES_FILE = "features.bin"
+INDEX_FILE = "index.json"
+
+
+class FeatureStoreWriter:
+    """Streaming writer used by the feature-extraction CLI."""
+
+    def __init__(
+        self,
+        directory: str,
+        num_regions: int = 196,
+        channels: int = 2048,
+        dtype: str = "float16",
+    ):
+        self.directory = directory
+        self.num_regions = num_regions
+        self.channels = channels
+        self.dtype = np.dtype(dtype)
+        os.makedirs(directory, exist_ok=True)
+        self._file = open(join(directory, FEATURES_FILE), "wb")
+        self._image_ids: list = []
+
+    def append(self, image_id: int, features: np.ndarray) -> None:
+        """Append one image's [num_regions, channels] feature grid."""
+        features = np.ascontiguousarray(features, dtype=self.dtype)
+        assert features.shape == (self.num_regions, self.channels), features.shape
+        self._file.write(features.tobytes())
+        self._image_ids.append(int(image_id))
+
+    def append_batch(self, image_ids: Sequence[int], features: np.ndarray) -> None:
+        features = np.ascontiguousarray(features, dtype=self.dtype)
+        assert features.shape[1:] == (self.num_regions, self.channels)
+        self._file.write(features.tobytes())
+        self._image_ids.extend(int(i) for i in image_ids)
+
+    def close(self) -> None:
+        self._file.close()
+        with open(join(self.directory, INDEX_FILE), "w") as f:
+            json.dump(
+                {
+                    "image_ids": self._image_ids,
+                    "shape": [len(self._image_ids), self.num_regions, self.channels],
+                    "dtype": self.dtype.name,
+                },
+                f,
+            )
+
+    def __enter__(self) -> "FeatureStoreWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class FeatureStore:
+    """Memory-mapped reader with an image_id -> row index."""
+
+    def __init__(self, directory: str):
+        with open(join(directory, INDEX_FILE)) as f:
+            index = json.load(f)
+        shape = tuple(index["shape"])
+        self.features = np.memmap(
+            join(directory, FEATURES_FILE),
+            dtype=np.dtype(index["dtype"]),
+            mode="r",
+            shape=shape,
+        )
+        self.row_of: Dict[int, int] = {
+            img_id: row for row, img_id in enumerate(index["image_ids"])
+        }
+        self.num_regions = shape[1]
+        self.channels = shape[2]
+
+    def __len__(self) -> int:
+        return self.features.shape[0]
+
+    def rows_for(self, image_ids: Iterable[int]) -> np.ndarray:
+        return np.asarray([self.row_of[int(i)] for i in image_ids], dtype=np.int64)
+
+    def gather(self, image_ids: Sequence[int], dtype=np.float32) -> np.ndarray:
+        """Gather a batch of feature grids: [B, num_regions, channels]."""
+        rows = self.rows_for(image_ids)
+        return np.asarray(self.features[rows], dtype=dtype)
+
+    def gather_rows(self, rows: np.ndarray, dtype=np.float32) -> np.ndarray:
+        return np.asarray(self.features[rows], dtype=dtype)
+
+
+def make_synthetic_feature_store(
+    directory: str,
+    image_ids: Sequence[int],
+    num_regions: int = 196,
+    channels: int = 2048,
+    seed: int = 0,
+) -> FeatureStore:
+    """Write a small random store (tests / smoke slices)."""
+    rng = np.random.default_rng(seed)
+    with FeatureStoreWriter(directory, num_regions, channels) as w:
+        for img_id in image_ids:
+            w.append(img_id, rng.standard_normal((num_regions, channels)) * 0.5)
+    return FeatureStore(directory)

@@ -1,0 +1,79 @@
+"""MFB/MHB fusion and glimpse-attention primitives (XLA-composed).
+
+These are the exact op sequences the reference executes through PyTorch:
+
+- ``mfb_sumpool``: the k-way factor pool of Multi-modal Factorised Bilinear
+  fusion — reshape [..., o*k] -> [..., o, k] -> sum over k
+  (mfb.py:100-101, mhb_coAtt.py:102-103,195-196). Channel c of the 5000-wide
+  product maps to (c // k, c % k), i.e. output-major, matching the reference's
+  permute+view.
+- ``mfb_fuse_pool``: Hadamard product -> dropout -> sum-pool -> signed sqrt,
+  the full fusion chain up to (but excluding) the site-specific L2
+  normalisation (whose axis differs between the image-grid site, which
+  normalises over the flattened [196*1000], mfb.py:105, and the final vector
+  site, which normalises over [1000], mfb.py:135).
+- ``two_glimpse_pool``: the 2-glimpse attention pool. ``uniform_quirk=True``
+  reproduces MFB's softmax over a singleton axis (mfb.py:84,118) — every
+  weight is exactly 1.0, so each glimpse degenerates to an unweighted sum
+  over positions. ``False`` is the real per-position softmax used by
+  MHBCoAtt (mhb_coAtt.py:86,116).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vqa_attention_networks_tpu.models.layers import dropout, signed_sqrt
+
+
+def mfb_sumpool(z: jnp.ndarray, k: int) -> jnp.ndarray:
+    """[..., o*k] -> [..., o]: sum over the k bilinear factors."""
+    *lead, d = z.shape
+    assert d % k == 0, f"fusion dim {d} not divisible by factor {k}"
+    return jnp.sum(z.reshape(*lead, d // k, k), axis=-1)
+
+
+def mfb_fuse_pool(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    k: int,
+    *,
+    rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.1,
+    train: bool = False,
+) -> jnp.ndarray:
+    """Hadamard -> dropout -> k-sum-pool -> signed sqrt.
+
+    ``a`` and ``b`` broadcast against each other (the image-grid site fuses
+    [N, L, o*k] with [N, 1, o*k]).
+    """
+    z = a * b
+    z = dropout(rng, z, dropout_rate, train)
+    return signed_sqrt(mfb_sumpool(z, k))
+
+
+def two_glimpse_pool(
+    att_logits: jnp.ndarray,  # [N, P, G]
+    values: jnp.ndarray,  # [N, P, D]
+    *,
+    uniform_quirk: bool,
+) -> jnp.ndarray:
+    """Pool ``values`` under G attention glimpses -> [N, G*D] (glimpse-major).
+
+    Matches the reference's per-glimpse loop + concat
+    (mfb.py:82-89,116-123; mhb_coAtt.py:84-91,114-121) as a single einsum.
+    """
+    n, p, g = att_logits.shape
+    d = values.shape[-1]
+    if uniform_quirk:
+        # softmax over a singleton axis == all-ones weights (mfb.py:84,118)
+        weights = jnp.ones_like(att_logits)
+    else:
+        weights = jax.nn.softmax(att_logits, axis=1)
+    pooled = jnp.einsum(
+        "npg,npd->ngd", weights, values, preferred_element_type=values.dtype
+    )
+    return pooled.reshape(n, g * d)

@@ -1,0 +1,72 @@
+"""Sharding rules: batch over 'data', wide fusion projections over 'model'.
+
+With ``jit`` + NamedSharding inputs, XLA's SPMD partitioner inserts every
+collective (gradient all-reduce over 'data', activation collectives over
+'model') — the TPU-native replacement for the reference's implicit NCCL
+scatter/gather inside ``nn.DataParallel`` (solver.py:34-36).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vqa_attention_networks_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+Pytree = Any
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def _leaf_spec(path: str, leaf: jax.Array, fusion_dim: Optional[int]) -> P:
+    """Partition spec for one parameter leaf.
+
+    Tensor-parallel rule: any projection whose output dim equals the MFB/MHB
+    fusion width (5000 by default — the widest matmuls in the model family,
+    mfb.py:42-43,55-56, mhb_coAtt.py:44-45,53-56,163-167) is column-sharded
+    over 'model'. The Hadamard product, dropout and k-factor sum-pool that
+    consume it are elementwise/local in the sharded axis (the k-major pool
+    boundary 5000/n_model stays a multiple of k for n_model <= 200), so no
+    resharding is needed until the 1000-d normalised output.
+
+    Everything else (embeddings, LSTM, attention stacks, classifiers) is
+    replicated — they are small, and DP gradients for them all-reduce once.
+    """
+    if fusion_dim is None:
+        return P()
+    if leaf.ndim >= 1 and leaf.shape[-1] == fusion_dim:
+        return P(*([None] * (leaf.ndim - 1) + [MODEL_AXIS]))
+    return P()
+
+
+def param_shardings(
+    mesh: Mesh, params: Pytree, fusion_dim: Optional[int] = 5000
+) -> Pytree:
+    """NamedSharding pytree matching ``params``."""
+
+    def to_sharding(path, leaf):
+        keys = "/".join(str(getattr(p, "key", p)) for p in path)
+        return NamedSharding(mesh, _leaf_spec(keys, leaf, fusion_dim))
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def shard_params(
+    mesh: Mesh, params: Pytree, fusion_dim: Optional[int] = 5000
+) -> Pytree:
+    """Place a parameter pytree onto the mesh under the TP rules."""
+    shardings = param_shardings(mesh, params, fusion_dim)
+    return jax.device_put(params, shardings)
+
+
+def shard_batch(mesh: Mesh, batch: Pytree) -> Pytree:
+    """Place a host batch onto the mesh, leading axis over 'data'."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding) if x is not None else None, batch
+    )

@@ -1,0 +1,82 @@
+"""Loss functions with the reference's exact semantics.
+
+The reference selects ``nn.KLDivLoss()`` for the soft-answer models (mhb,
+mhb_coAtt) and ``nn.CrossEntropyLoss()`` otherwise (solver.py:26-29). Both
+are reproduced bit-for-bit in expectation, extended with a ``valid`` mask so
+statically-shaped padded batches contribute nothing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def soft_cross_entropy(
+    logits: jnp.ndarray,  # [N, A] raw logits
+    soft_targets: jnp.ndarray,  # [N, A] annotator distribution
+    valid: Optional[jnp.ndarray] = None,  # [N] bool
+) -> jnp.ndarray:
+    """KLDivLoss(log_softmax(logits), targets) with reduction='mean'.
+
+    PyTorch's KLDiv mean reduction averages over ALL elements (N*A), and its
+    pointwise term is ``t * (log t - input)`` with 0*log(0) := 0
+    (solver.py:27 applied to mhb_coAtt.py:149's log_softmax outputs).
+    """
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    t = soft_targets
+    # 0*log0 -> 0: mask before the log
+    log_t = jnp.log(jnp.where(t > 0, t, 1.0))
+    elem = t * (log_t - log_probs)
+    if valid is not None:
+        elem = elem * valid[:, None].astype(elem.dtype)
+        n = jnp.maximum(jnp.sum(valid.astype(elem.dtype)), 1.0)
+    else:
+        n = jnp.asarray(logits.shape[0], elem.dtype)
+    return jnp.sum(elem) / (n * logits.shape[-1])
+
+
+def cross_entropy(
+    logits: jnp.ndarray,  # [N, A]
+    labels: jnp.ndarray,  # [N] int
+    valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """nn.CrossEntropyLoss semantics: mean NLL of log_softmax at the label."""
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(log_probs, labels[:, None], axis=-1)[:, 0]
+    if valid is not None:
+        nll = nll * valid.astype(nll.dtype)
+        n = jnp.maximum(jnp.sum(valid.astype(nll.dtype)), 1.0)
+    else:
+        n = jnp.asarray(logits.shape[0], nll.dtype)
+    return jnp.sum(nll) / n
+
+
+def correct_count(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,  # [N] int — hard labels OR argmax of soft labels
+    valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Number of exact-match argmax predictions (solver.py:96-101,148-153)."""
+    pred = jnp.argmax(logits, axis=-1)
+    hit = (pred == labels).astype(jnp.float32)
+    if valid is not None:
+        hit = hit * valid.astype(hit.dtype)
+    return jnp.sum(hit)
+
+
+def topk_correct_count(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    k: int = 3,
+    valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Top-k hit count — the metric the reference's TF eval script defines
+    (evaluate_tf.py:69-76, top-3)."""
+    _, topk = jax.lax.top_k(logits, k)
+    hit = jnp.any(topk == labels[:, None], axis=-1).astype(jnp.float32)
+    if valid is not None:
+        hit = hit * valid.astype(hit.dtype)
+    return jnp.sum(hit)

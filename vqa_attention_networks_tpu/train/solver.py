@@ -1,0 +1,341 @@
+"""Solver: pjit-compiled train/val/save driver.
+
+Capability twin of the reference ``Solver`` (solver.py:16-190), redesigned for
+TPU:
+
+- ONE compiled train step (loss -> grad -> Adam -> metric) over a
+  ``('data','model')`` mesh; batches are sharded over 'data', the wide fusion
+  projections over 'model', and XLA inserts all collectives — the reference's
+  ``nn.DataParallel`` scatter/gather (solver.py:34-37) has no hand-written
+  counterpart here.
+- Loss selection mirrors solver.py:26-29 (soft cross-entropy == KLDiv for the
+  soft-answer models, CE otherwise); Adam(lr=7e-4) with the x0.5/40k-step
+  staircase decay (cfg.py:21-23, solver.py:47-50,104-105).
+- Per-epoch "training-mode" validation evaluates a single batch, exactly like
+  the reference (solver.py:154-156); ``val(full=True)`` sweeps the split and
+  emits ``results/<model>.txt`` in the reference's format (solver.py:179-182)
+  plus top-3 accuracy (the metric the TF eval script defines,
+  evaluate_tf.py:69-76).
+- Early stopping: patience on val loss (solver.py:42-45,160-172).
+- Orbax checkpoints of {params, opt_state, step} every N steps — a
+  capability upgrade over the reference's save-at-end-only
+  (solver.py:184-190).
+- Static shapes everywhere: the final partial batch is padded and masked, so
+  the step compiles once. The reference's accuracy denominator counts pad
+  rows as full rows (solver.py:177); both the exact and the
+  reference-compatible numbers are reported.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vqa_attention_networks_tpu.config import Config
+from vqa_attention_networks_tpu.data.dataset import Batch, VqaBatches, prefetch
+from vqa_attention_networks_tpu.data.feature_store import FeatureStore
+from vqa_attention_networks_tpu.data.prepare import QAData
+from vqa_attention_networks_tpu.models import get_model
+from vqa_attention_networks_tpu.parallel import (
+    make_mesh,
+    shard_batch,
+    shard_params,
+)
+from vqa_attention_networks_tpu.train.losses import (
+    correct_count,
+    cross_entropy,
+    soft_cross_entropy,
+    topk_correct_count,
+)
+from vqa_attention_networks_tpu.utils import checkpoint as ckpt
+from vqa_attention_networks_tpu.utils.logging import MetricWriter
+from vqa_attention_networks_tpu.utils.timer import Timer
+
+
+def _merge_batch_stats(params: Dict[str, Any], aux: Dict[str, Any]) -> Dict[str, Any]:
+    """Fold refreshed batch-norm running stats back into the param tree."""
+    stats = aux.get("batch_stats")
+    if not stats:
+        return params
+    params = dict(params)
+    for layer, new in stats.items():
+        merged = dict(params[layer])
+        merged.update(new)
+        params[layer] = merged
+    return params
+
+
+class Solver:
+    def __init__(
+        self,
+        cfg: Config,
+        qa_data: QAData,
+        store: FeatureStore,
+        glove_table: Optional[np.ndarray] = None,
+        mesh=None,
+        log_dir: str = "runs",
+    ):
+        cfg.validate()
+        self.cfg = cfg
+        self.model = get_model(cfg.model_name)
+        self.mesh = mesh if mesh is not None else make_mesh(model=cfg.model_parallel)
+        self.writer = MetricWriter(log_dir, run_name=cfg.model_name)
+        self.step = 0
+
+        # params (xavier init, train_models.py:54-56) sharded onto the mesh
+        rng = jax.random.PRNGKey(cfg.seed)
+        if cfg.model_name == "mhb_coAtt" and cfg.glove:
+            params = self.model.init(rng, cfg, glove_table=glove_table)
+        else:
+            params = self.model.init(rng, cfg)
+        self.params = shard_params(self.mesh, params, cfg.fusion_dim)
+
+        # Adam + staircase decay (solver.py:30,47-50; cfg.py:21-23)
+        if cfg.lr_decay:
+            schedule = optax.exponential_decay(
+                cfg.lr, cfg.decay_step, cfg.decay_rate, staircase=True
+            )
+        else:
+            schedule = cfg.lr
+        self.tx = optax.adam(schedule)
+        self.opt_state = jax.device_put(self.tx.init(self.params))
+
+        # data pipelines (the counterpart of solver.py:39-41)
+        self.batches = {
+            split: VqaBatches(
+                getattr(qa_data, split),
+                store,
+                batch_size=cfg.batch_size,
+                num_answers=cfg.a_vocab_size,
+                soft_answer=cfg.soft_answer,
+                shuffle=(cfg.shuffle and split == "train"),
+                seed=cfg.seed,
+            )
+            for split in ("train", "val")
+        }
+
+        self._rng = jax.random.PRNGKey(cfg.seed + 1)
+        self._train_step = jax.jit(self._train_step_fn, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(self._eval_step_fn)
+
+        # early stopping state (solver.py:42-45)
+        self.min_val_loss = float("inf")
+        self.i_patience = 0
+        self.best_params = None
+
+    # ------------------------------------------------------------------
+    # compiled steps
+    # ------------------------------------------------------------------
+
+    def _loss(self, logits, batch_answers, soft, valid):
+        if self.cfg.soft_answer:
+            return soft_cross_entropy(logits, soft, valid)
+        return cross_entropy(logits, batch_answers, valid)
+
+    def _labels(self, answers, soft):
+        # soft-answer models score against the argmax'd distribution
+        # (solver.py:99-101,150-151)
+        return jnp.argmax(soft, axis=-1) if self.cfg.soft_answer else answers
+
+    def _train_step_fn(self, params, opt_state, img, ques, answers, qlen,
+                       valid, soft, rng):
+        def loss_fn(p):
+            logits, aux = self.model.apply(
+                p, self.cfg, img, ques, ques_length=qlen, train=True, rng=rng
+            )
+            return self._loss(logits, answers, soft, valid), (logits, aux)
+
+        (loss, (logits, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = _merge_batch_stats(params, aux)
+        correct = correct_count(logits, self._labels(answers, soft), valid)
+        return params, opt_state, loss, correct
+
+    def _eval_step_fn(self, params, img, ques, answers, qlen, valid, soft):
+        logits, _ = self.model.apply(
+            params, self.cfg, img, ques, ques_length=qlen, train=False
+        )
+        loss = self._loss(logits, answers, soft, valid)
+        labels = self._labels(answers, soft)
+        return (
+            loss,
+            correct_count(logits, labels, valid),
+            topk_correct_count(logits, labels, k=3, valid=valid),
+        )
+
+    # ------------------------------------------------------------------
+    # device feeding
+    # ------------------------------------------------------------------
+
+    def _device_batch(self, batch: Batch) -> Tuple:
+        soft = batch.soft_answers
+        if soft is None:
+            # static placeholder keeps one compiled signature per model
+            soft = np.zeros((len(batch), 1), np.float32)
+        return shard_batch(
+            self.mesh,
+            (
+                batch.image_features,
+                batch.questions,
+                batch.answers,
+                batch.ques_length,
+                batch.valid,
+                soft,
+            ),
+        )
+
+    # ------------------------------------------------------------------
+    # driver loops (solver.py:52-117)
+    # ------------------------------------------------------------------
+
+    def train(self) -> Dict[str, float]:
+        cfg = self.cfg
+        iters_per_epoch = len(self.batches["train"])
+        print(f"Model: {cfg.model_name}")
+        print(f"total training iterations: {cfg.num_epoch * iters_per_epoch}")
+
+        last = {}
+        for epoch in range(cfg.num_epoch):
+            timer = Timer()
+            timer.tic()
+            seen = 0
+            loss = acc = 0.0
+            for batch in prefetch(self.batches["train"].epoch()):
+                self._rng, key = jax.random.split(self._rng)
+                dev = self._device_batch(batch)
+                self.params, self.opt_state, loss_d, correct_d = self._train_step(
+                    self.params, self.opt_state, *dev, key
+                )
+                self.step += 1
+                seen += int(batch.valid.sum())
+                if cfg.checkpoint_every_steps and (
+                    self.step % cfg.checkpoint_every_steps == 0
+                ):
+                    self.save_checkpoint()
+            # sync once per epoch for metrics
+            loss = float(loss_d)
+            acc = float(correct_d) / max(int(batch.valid.sum()), 1)
+            elapsed = timer.toc(average=False)
+            qps = seen / max(elapsed, 1e-9)
+
+            val_loss, val_acc = self.val()  # single batch, like solver.py:154-156
+            print(
+                f">>> epoch {epoch} step {self.step} | train loss {loss:.5f} "
+                f"acc {acc:.4f} | val loss {val_loss:.5f} acc {val_acc:.4f} "
+                f"| {qps:.0f} qa-pairs/s"
+            )
+            self.writer.add_scalars(
+                f"{cfg.model_name}/loss",
+                {"train loss": loss, "val loss": val_loss}, self.step,
+            )
+            self.writer.add_scalars(
+                f"{cfg.model_name}/acc",
+                {"train acc": acc, "val acc": val_acc}, self.step,
+            )
+            self.writer.add_scalar(f"{cfg.model_name}/qa_pairs_per_sec", qps,
+                                   self.step)
+            last = {"train_loss": loss, "train_acc": acc,
+                    "val_loss": val_loss, "val_acc": val_acc, "qps": qps}
+
+            if cfg.early_stopping:
+                if val_loss < self.min_val_loss:
+                    self.min_val_loss = val_loss
+                    self.i_patience = 0
+                    self.best_params = jax.tree_util.tree_map(
+                        lambda x: x, self.params
+                    )
+                else:
+                    self.i_patience += 1
+                if self.i_patience >= cfg.patience:
+                    print(
+                        f"validation loss has not decreased for "
+                        f"{cfg.patience} epochs, stopping"
+                    )
+                    break
+        return last
+
+    def val(self, full: bool = False) -> Tuple[float, float]:
+        """Validation. ``full=False`` scores one batch (the reference's
+        training-mode behaviour, solver.py:154-156); ``full=True`` sweeps the
+        split and writes the results artifact (solver.py:174-182)."""
+        cfg = self.cfg
+        total_correct = total_top3 = 0.0
+        total_valid = 0
+        n_batches = 0
+        loss = 0.0
+        for batch in self.batches["val"].epoch():
+            dev = self._device_batch(batch)
+            loss_d, correct_d, top3_d = self._eval_step(self.params, *dev)
+            loss = float(loss_d)
+            total_correct += float(correct_d)
+            total_top3 += float(top3_d)
+            total_valid += int(batch.valid.sum())
+            n_batches += 1
+            if not full:
+                break
+
+        acc_exact = total_correct / max(total_valid, 1)
+        if not full:
+            return loss, acc_exact
+
+        # reference-compatible denominator counts pad rows (solver.py:177)
+        acc_ref = total_correct / max(n_batches * cfg.batch_size, 1)
+        top3 = total_top3 / max(total_valid, 1)
+        os.makedirs(cfg.results_dir, exist_ok=True)
+        with open(os.path.join(cfg.results_dir, cfg.model_name + ".txt"), "w") as f:
+            f.write("Evaluation accuracy: %.6f" % acc_ref)
+        with open(
+            os.path.join(cfg.results_dir, cfg.model_name + ".json"), "w"
+        ) as f:
+            json.dump(
+                {
+                    "accuracy": acc_exact,
+                    "accuracy_reference_denominator": acc_ref,
+                    "top3_accuracy": top3,
+                    "num_examples": total_valid,
+                    "time": time.time(),
+                },
+                f,
+            )
+        print(f"Evaluation accuracy: {acc_ref:.6f} (exact {acc_exact:.6f}, "
+              f"top-3 {top3:.6f})")
+        return loss, acc_exact
+
+    # ------------------------------------------------------------------
+    # persistence (solver.py:184-190, upgraded)
+    # ------------------------------------------------------------------
+
+    def _state(self):
+        params = self.best_params if self.best_params is not None else self.params
+        return {"params": params, "opt_state": self.opt_state,
+                "step": jnp.asarray(self.step)}
+
+    def save_checkpoint(self) -> str:
+        path = ckpt.save_checkpoint(
+            os.path.join(self.cfg.out_dir, self.cfg.model_name),
+            self._state(), self.step,
+        )
+        return path
+
+    def restore(self, step: Optional[int] = None) -> None:
+        state = ckpt.restore_checkpoint(
+            os.path.join(self.cfg.out_dir, self.cfg.model_name),
+            self._state(), step,
+        )
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.step = int(state["step"])
+
+    def save(self) -> str:
+        """Final save (the counterpart of solver.py:184-190)."""
+        return self.save_checkpoint()

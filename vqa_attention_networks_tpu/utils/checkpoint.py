@@ -1,0 +1,54 @@
+"""Orbax checkpointing of ``{params, opt_state, step}``.
+
+A capability upgrade over the reference, which only writes final weights
+(``torch.save`` at solver.py:184-190), keeps its best model in RAM
+(solver.py:62,165) and cannot resume mid-training. Here every checkpoint
+carries optimiser state and the step counter, so training resumes exactly;
+this is also the failure-recovery story (SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+_STEP_RE = re.compile(r"^step_(\d+)$")
+
+
+def _step_dir(directory: str, step: int) -> str:
+    return os.path.join(os.path.abspath(directory), f"step_{step}")
+
+
+def save_checkpoint(directory: str, state: Any, step: int) -> str:
+    """Write one checkpoint; returns its path."""
+    path = _step_dir(directory, step)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+    return path
+
+
+def latest_step(directory: str) -> Optional[int]:
+    try:
+        entries = os.listdir(directory)
+    except FileNotFoundError:
+        return None
+    steps = [int(m.group(1)) for e in entries if (m := _STEP_RE.match(e))]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(
+    directory: str, template: Any, step: Optional[int] = None
+) -> Any:
+    """Restore the given (or latest) step. ``template`` is a pytree with the
+    target structure/shapes/dtypes (concrete arrays are fine)."""
+    if step is None:
+        step = latest_step(directory)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {directory}")
+    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(_step_dir(directory, step), abstract)
