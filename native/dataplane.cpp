@@ -1,0 +1,94 @@
+// Native data-plane kernels for the VQA feature store.
+//
+// The training hot path gathers B rows of [196, 2048] float16 features from
+// a memory-mapped store and widens them to float32 (or keeps bf16) for the
+// device (data/feature_store.py). NumPy fancy-indexing + astype does this in
+// two passes with an intermediate copy; this kernel does one fused
+// gather+convert pass, prefetch-friendly and allocation-free.
+//
+// The reference has no native layer (SURVEY.md section 2.2) — its per-item
+// cost hides behind 4 DataLoader workers (cfg.py:6). Here the host side is a
+// single thread feeding a TPU, so per-byte efficiency matters.
+//
+// C ABI only (consumed via ctypes from data/native.py).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// IEEE 754 half -> float, branch-light bit manipulation.
+inline float half_to_float(uint16_t h) {
+  uint32_t sign = static_cast<uint32_t>(h & 0x8000u) << 16;
+  uint32_t exp = (h >> 10) & 0x1Fu;
+  uint32_t mant = h & 0x3FFu;
+  uint32_t bits;
+  if (exp == 0) {
+    if (mant == 0) {
+      bits = sign;  // +-0
+    } else {
+      // subnormal: value = mant * 2^-24 -> normalise to 1.f * 2^(-14-shift)
+      int shift = 0;
+      while ((mant & 0x400u) == 0) {
+        mant <<= 1;
+        ++shift;
+      }
+      mant &= 0x3FFu;
+      bits = sign | ((127 - 14 - shift) << 23) | (mant << 13);
+    }
+  } else if (exp == 0x1Fu) {
+    bits = sign | 0x7F800000u | (mant << 13);  // inf / nan
+  } else {
+    bits = sign | ((exp + (127 - 15)) << 23) | (mant << 13);
+  }
+  float out;
+  std::memcpy(&out, &bits, sizeof(out));
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Gather n_rows rows of row_elems float16 values from src (a row-major
+// [num_rows, row_elems] buffer, e.g. an mmap of features.bin) into a dense
+// float32 output [n_rows, row_elems].
+void vqa_gather_f16_to_f32(const uint16_t* src, const int64_t* rows,
+                           int64_t n_rows, int64_t row_elems, float* out) {
+  for (int64_t i = 0; i < n_rows; ++i) {
+    const uint16_t* r = src + rows[i] * row_elems;
+    float* o = out + i * row_elems;
+    for (int64_t j = 0; j < row_elems; ++j) {
+      o[j] = half_to_float(r[j]);
+    }
+  }
+}
+
+// Same gather without conversion (raw f16 rows, for bf16/f16 device feeds).
+void vqa_gather_rows_u16(const uint16_t* src, const int64_t* rows,
+                         int64_t n_rows, int64_t row_elems, uint16_t* out) {
+  for (int64_t i = 0; i < n_rows; ++i) {
+    std::memcpy(out + i * row_elems, src + rows[i] * row_elems,
+                static_cast<size_t>(row_elems) * sizeof(uint16_t));
+  }
+}
+
+// Densify fixed-width sparse soft answers: for each row, scatter
+// (idx[row, j] >= 0) ? val[row, j] into out[row, idx[row, j]].
+// out must be zero-initialised [n_rows, num_answers].
+void vqa_densify_soft(const int32_t* idx, const float* val, int64_t n_rows,
+                      int64_t width, int64_t num_answers, float* out) {
+  for (int64_t i = 0; i < n_rows; ++i) {
+    const int32_t* ir = idx + i * width;
+    const float* vr = val + i * width;
+    float* o = out + i * num_answers;
+    for (int64_t j = 0; j < width; ++j) {
+      int32_t a = ir[j];
+      if (a >= 0 && a < num_answers) {
+        o[a] = vr[j];
+      }
+    }
+  }
+}
+
+}  // extern "C"

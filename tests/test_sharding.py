@@ -1,0 +1,82 @@
+"""Distributed correctness on 8 emulated devices (SURVEY.md section 4):
+sharded runs must match the single-device run bit-for-bit in expectation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqa_attention_networks_tpu.config import Config
+from vqa_attention_networks_tpu.models import get_model
+from vqa_attention_networks_tpu.parallel import (
+    make_mesh,
+    shard_batch,
+    shard_params,
+)
+from vqa_attention_networks_tpu.train.losses import soft_cross_entropy
+
+N, T, L, D = 16, 7, 196, 32
+Q_VOCAB, A_VOCAB = 25, 11
+
+
+def _cfg():
+    return Config(
+        model_name="mhb_coAtt", q_vocab_size=Q_VOCAB, a_vocab_size=A_VOCAB,
+        hidden_dim=16, emb_dim=8, img_feature_channel=D,
+        max_question_length=T, mfb_factor=5, mfb_out=8,
+    )
+
+
+def _data(rng):
+    img = rng.standard_normal((N, L, D)).astype(np.float32)
+    ques = rng.integers(0, Q_VOCAB, size=(N, T)).astype(np.int32)
+    soft = rng.random((N, A_VOCAB)).astype(np.float32)
+    soft /= soft.sum(1, keepdims=True)
+    return img, ques, soft
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_loss_and_grads_match_single_device(mesh_shape):
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    cfg = _cfg()
+    model = get_model("mhb_coAtt")
+    params = model.init(jax.random.PRNGKey(0), cfg)
+    img, ques, soft = _data(np.random.default_rng(0))
+
+    def loss_fn(p, img, ques, soft):
+        logits, _ = model.apply(p, cfg, img, ques, train=False)
+        return soft_cross_entropy(logits, soft)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    # single device
+    loss_1, grads_1 = grad_fn(params, img, ques, soft)
+
+    # sharded: batch over 'data', fusion projections over 'model'
+    data, model_par = mesh_shape
+    mesh = make_mesh(data=data, model=model_par)
+    p_sh = shard_params(mesh, params, cfg.fusion_dim)
+    img_sh, ques_sh, soft_sh = shard_batch(mesh, (img, ques, soft))
+    loss_8, grads_8 = grad_fn(p_sh, img_sh, ques_sh, soft_sh)
+
+    np.testing.assert_allclose(float(loss_1), float(loss_8), rtol=1e-5)
+    flat_1 = jax.tree_util.tree_leaves(grads_1)
+    flat_8 = jax.tree_util.tree_leaves(grads_8)
+    for a, b in zip(flat_1, flat_8):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6
+        )
+
+
+def test_tp_sharding_places_fusion_axis():
+    cfg = _cfg()
+    model = get_model("mhb_coAtt")
+    params = model.init(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(data=4, model=2)
+    sharded = shard_params(mesh, params, cfg.fusion_dim)
+    # the wide projections are column-sharded over 'model'
+    spec = sharded["ques_proj1"]["w"].sharding.spec
+    assert spec[-1] == "model"
+    # small layers stay replicated
+    spec2 = sharded["lstm"]["w_hh"].sharding.spec
+    assert all(s is None for s in spec2)

@@ -1,0 +1,114 @@
+"""Single-image prediction CLI (counterpart of predict_pytorch.py:15-94).
+
+Flow: image -> jit-compiled CNN feature grid -> tokenize question
+(right-aligned into max_len ids, predict_pytorch.py:61-66) -> model forward
+-> print the argmax answer and the top-5 (predict_pytorch.py:85-91).
+
+The reference's predict path is stale (imports modules that don't exist,
+predict_pytorch.py:3,11); this one runs against checkpoints written by the
+train CLI. The CNN is the ResNet-152 trunk by default (what the trained
+models consume — [196, 2048] grids); ``--backbone vgg19`` reproduces the
+reference's VGG19 tap (predict_pytorch.py:34-37).
+"""
+
+import argparse
+import json
+
+import jax
+import numpy as np
+
+from vqa_attention_networks_tpu.config import Config
+from vqa_attention_networks_tpu.data.text import encode_question
+from vqa_attention_networks_tpu.models import get_model, resnet, vgg
+from vqa_attention_networks_tpu.utils import checkpoint as ckpt
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--image_path", type=str, default="data/cat.jpg")
+    parser.add_argument("--model_name", type=str, default="mhb_coAtt")
+    parser.add_argument("--model_dir", type=str, default="./models")
+    parser.add_argument("--data_dir", type=str, default="data")
+    parser.add_argument("--vocab", type=str, default=None,
+                        help="path to the .vocab.json artifact")
+    parser.add_argument("--question", type=str,
+                        default="Which animal is this?")
+    parser.add_argument("--backbone", type=str, default="resnet152",
+                        help="resnet152|vgg19")
+    parser.add_argument("--weights", type=str, default=None,
+                        help=".npz of torchvision backbone state_dict")
+    parser.add_argument("--topk", type=int, default=5)
+    args = parser.parse_args(argv)
+
+    print(f"Image: {args.image_path}")
+    print(f"Question: {args.question}")
+
+    vocab_path = args.vocab or f"{args.data_dir}/qa_v2_1000answers_all.vocab.json"
+    with open(vocab_path) as f:
+        vocab = json.load(f)
+    q_vocab = vocab["question_vocab"]
+    max_len = vocab["max_question_length"]
+    ans_of = {i: a for a, i in vocab["answer_vocab"].items()}
+
+    # ---- image -> feature grid -------------------------------------------
+    from PIL import Image
+
+    if args.backbone == "resnet152":
+        size = 448
+        img = Image.open(args.image_path).convert("RGB").resize((size, size))
+        arr = np.asarray(img, np.uint8)[None]
+        if args.weights:
+            bp = resnet.convert_torchvision_resnet152(dict(np.load(args.weights)))
+        else:
+            print("WARNING: random backbone (no --weights)")
+            bp = resnet.random_init(jax.random.PRNGKey(0))
+        feats = np.asarray(jax.jit(resnet.extract)(bp, arr))  # [1, 196, 2048]
+        channels = 2048
+    else:
+        size = 224
+        img = Image.open(args.image_path).convert("RGB").resize((size, size))
+        arr = np.asarray(img, np.float32)[None] / 255.0
+        arr = (arr - resnet.IMAGENET_MEAN) / resnet.IMAGENET_STD
+        if args.weights:
+            bp = vgg.convert_torchvision_vgg19(dict(np.load(args.weights)))
+        else:
+            print("WARNING: random backbone (no --weights)")
+            bp = vgg.random_init(jax.random.PRNGKey(0))
+        feats = np.asarray(vgg.grid_features(bp, arr))  # [1, 196, 512]
+        channels = feats.shape[-1]
+
+    # ---- question -> right-aligned ids (predict_pytorch.py:58-66) --------
+    ids = np.asarray(
+        [encode_question(args.question, q_vocab, max_len, right_align=True)],
+        np.int32,
+    )
+    qlen = np.asarray([int((ids != 0).sum())], np.int32)
+
+    # ---- model ------------------------------------------------------------
+    cfg = Config(
+        model_name=args.model_name,
+        q_vocab_size=vocab["question_vocab"]["UNK"] + 1,
+        a_vocab_size=len(vocab["answer_vocab"]),
+        max_question_length=max_len,
+        img_feature_channel=channels,
+    ).validate()
+    model = get_model(cfg.model_name)
+    template = model.init(jax.random.PRNGKey(0), cfg)
+    state = ckpt.restore_checkpoint(
+        f"{args.model_dir}/{cfg.model_name}",
+        {"params": template, "opt_state": None, "step": 0},
+    )
+    params = state["params"]
+
+    logits, _ = model.apply(params, cfg, feats, ids, ques_length=qlen)
+    probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
+    order = np.argsort(-probs)
+
+    print("Ans:", ans_of[int(order[0])])
+    print("Top Answers")
+    for i in order[: args.topk]:
+        print(f"  {ans_of[int(i)]}  ({probs[i]:.4f})")
+
+
+if __name__ == "__main__":
+    main()

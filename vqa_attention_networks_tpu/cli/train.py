@@ -1,0 +1,100 @@
+"""Training / testing CLI (counterpart of train_models.py:15-71).
+
+Same flag surface, constructing one frozen Config instead of mutating a
+global easydict (cfg.py policy — see config.py)."""
+
+import argparse
+import sys
+
+import numpy as np
+
+from vqa_attention_networks_tpu.config import Config
+from vqa_attention_networks_tpu.data.feature_store import FeatureStore
+from vqa_attention_networks_tpu.data.glove import load_glove_table
+from vqa_attention_networks_tpu.data.prepare import load_qa_data, qa_artifact_path
+from vqa_attention_networks_tpu.train.solver import Solver
+
+
+def build_solver(args) -> Solver:
+    base = qa_artifact_path(args.data_dir, args.version, args.num_answer)
+    qa_data = load_qa_data(base)
+    store = FeatureStore(
+        f"{args.data_dir}/{args.feature_type}_{'train' if args.mode == 'training' else 'val'}"
+        if args.single_store else f"{args.data_dir}/{args.feature_type}_all"
+    )
+
+    cfg = Config(
+        model_name=args.model_name,
+        q_vocab_size=qa_data.q_vocab_size,
+        a_vocab_size=qa_data.a_vocab_size,
+        max_question_length=qa_data.max_question_length,
+        glove=bool(args.glove),
+        image_first=bool(args.image_first),
+        mode=args.mode,
+        data_dir=args.data_dir,
+        batch_size=args.batch_size,
+        num_epoch=args.num_epoch,
+        compute_dtype=args.compute_dtype,
+        early_stopping=bool(args.early_stopping),
+        model_parallel=args.model_parallel,
+    ).validate()
+    print(f"q_vocab_size {cfg.q_vocab_size}")
+    print(f"a_vocab_size {cfg.a_vocab_size}")
+
+    glove_table = None
+    if cfg.glove:
+        glove_table = load_glove_table(f"{args.data_dir}/glove_table.npy")
+        if glove_table is None:
+            print("WARNING: data/glove_table.npy not found; GloVe rows are "
+                  "zero. Build it offline with data/glove.py.")
+
+    return Solver(cfg, qa_data, store, glove_table=glove_table)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_name", type=str, default="mhb",
+                        help="mfb|mfb-multilayer|mhb|mhb_coAtt|hieCoAtten|"
+                             "visLstm|iBOWIMG|attentionNet (default=mhb)")
+    parser.add_argument("--version", type=int, default=2)
+    parser.add_argument("--image_first", type=int, default=0)
+    parser.add_argument("--num_answer", type=int, default=1000)
+    parser.add_argument("--mode", type=str, default="training",
+                        help="training | testing")
+    parser.add_argument("--glove", type=int, default=0)
+    parser.add_argument("--data_dir", type=str, default="data")
+    parser.add_argument("--feature_type", type=str, default="resnet152")
+    parser.add_argument("--single_store", action="store_true",
+                        help="use per-mode feature store dirs")
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--num_epoch", type=int, default=18)
+    parser.add_argument("--compute_dtype", type=str, default="float32")
+    parser.add_argument("--early_stopping", type=int, default=0)
+    parser.add_argument("--model_parallel", type=int, default=1)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest checkpoint")
+    args = parser.parse_args(argv)
+
+    solver = build_solver(args)
+
+    if args.resume or args.mode == "testing":
+        try:
+            solver.restore()
+            print(f"restored checkpoint at step {solver.step}")
+        except FileNotFoundError:
+            if args.mode == "testing":
+                print("no checkpoint found for testing mode")
+                sys.exit(-1)
+
+    if args.mode == "training":
+        solver.train()
+        solver.save()
+        print("Training done")
+    else:
+        print(f"Start to evaluate model: {args.model_name}")
+        solver.val(full=True)
+        print("Testing done")
+
+
+if __name__ == "__main__":
+    main()

@@ -104,10 +104,16 @@ class FeatureStore:
 
     def gather(self, image_ids: Sequence[int], dtype=np.float32) -> np.ndarray:
         """Gather a batch of feature grids: [B, num_regions, channels]."""
-        rows = self.rows_for(image_ids)
-        return np.asarray(self.features[rows], dtype=dtype)
+        return self.gather_rows(self.rows_for(image_ids), dtype)
 
     def gather_rows(self, rows: np.ndarray, dtype=np.float32) -> np.ndarray:
+        # fused native gather+widen when available (native/dataplane.cpp)
+        if dtype == np.float32 and self.features.dtype == np.float16:
+            from vqa_attention_networks_tpu.data import native
+
+            out = native.gather_f16_to_f32(self.features, np.asarray(rows))
+            if out is not None:
+                return out
         return np.asarray(self.features[rows], dtype=dtype)
 
 

@@ -1,0 +1,99 @@
+"""ctypes bindings for the native data-plane library (native/dataplane.cpp).
+
+Builds ``libvqa_dataplane.so`` on first use (g++, no external deps) and falls
+back silently to NumPy when a compiler isn't available — every caller has a
+pure-NumPy path with identical semantics.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libvqa_dataplane.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "-s"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.vqa_gather_f16_to_f32.argtypes = [
+        ctypes.c_void_p, i64p, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+    ]
+    lib.vqa_gather_rows_u16.argtypes = [
+        ctypes.c_void_p, i64p, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+    ]
+    lib.vqa_densify_soft.argtypes = [
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+    ]
+    _lib = lib
+    return _lib
+
+
+def gather_f16_to_f32(
+    src: np.ndarray,  # [num_rows, ...] float16 (memmap ok)
+    rows: np.ndarray,  # [n] int64
+) -> Optional[np.ndarray]:
+    """Fused gather+widen; None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert src.dtype == np.float16
+    row_elems = int(np.prod(src.shape[1:]))
+    rows = np.ascontiguousarray(rows, np.int64)
+    out = np.empty((len(rows), *src.shape[1:]), np.float32)
+    lib.vqa_gather_f16_to_f32(
+        src.ctypes.data if isinstance(src, np.ndarray) else src,
+        rows, len(rows), row_elems, out.reshape(len(rows), -1),
+    )
+    return out
+
+
+def densify_soft(
+    idx: np.ndarray, val: np.ndarray, num_answers: int
+) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    idx = np.ascontiguousarray(idx, np.int32)
+    val = np.ascontiguousarray(val, np.float32)
+    n, width = idx.shape
+    out = np.zeros((n, num_answers), np.float32)
+    lib.vqa_densify_soft(idx, val, n, width, num_answers, out)
+    return out

@@ -7,26 +7,22 @@ Each module exports
             train=False, rng=None) -> (logits, aux)``
 
 Registry keys match the reference CLI names (train_models.py:16,44-52 plus the
-models its Solver/legacy trainer dispatch to).
+models its Solver/legacy trainer dispatch to). Resolution is lazy so that
+``ops``/``models`` stay import-cycle-free.
 """
 
-from vqa_attention_networks_tpu.models import (  # noqa: F401
-    hiecoatten,
-    ibowimg,
-    mfb,
-    mhb_coatt,
-    vis_lstm,
-)
+import importlib
 
 _REGISTRY = {
-    "mfb": mfb,
-    "mfb-multilayer": mfb,
-    "mhb": mhb_coatt.MHB,
-    "mhb_coAtt": mhb_coatt,
-    "hieCoAtten": hiecoatten,
-    "visLstm": vis_lstm,
-    "iBOWIMG": ibowimg.IBOWIMG,
-    "attentionNet": ibowimg.ATTENTION_NET,
+    "mfb": ("vqa_attention_networks_tpu.models.mfb", None),
+    "mfb-multilayer": ("vqa_attention_networks_tpu.models.mfb", None),
+    "mhb": ("vqa_attention_networks_tpu.models.mhb_coatt", "MHB"),
+    "mhb_coAtt": ("vqa_attention_networks_tpu.models.mhb_coatt", None),
+    "hieCoAtten": ("vqa_attention_networks_tpu.models.hiecoatten", None),
+    "visLstm": ("vqa_attention_networks_tpu.models.vis_lstm", None),
+    "iBOWIMG": ("vqa_attention_networks_tpu.models.ibowimg", "IBOWIMG"),
+    "attentionNet": ("vqa_attention_networks_tpu.models.ibowimg",
+                     "ATTENTION_NET"),
 }
 
 
@@ -34,4 +30,14 @@ def get_model(name: str):
     """Model factory (the counterpart of train_models.py:44-52)."""
     if name not in _REGISTRY:
         raise ValueError(f"model {name!r} not supported; have {sorted(_REGISTRY)}")
-    return _REGISTRY[name]
+    module_name, attr = _REGISTRY[name]
+    module = importlib.import_module(module_name)
+    return getattr(module, attr) if attr else module
+
+
+def __getattr__(name):
+    # lazy submodule access: models.mhb_coatt etc.
+    if name in ("mfb", "mhb_coatt", "hiecoatten", "vis_lstm", "ibowimg",
+                "layers", "resnet", "vgg"):
+        return importlib.import_module(f"vqa_attention_networks_tpu.models.{name}")
+    raise AttributeError(name)

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from vqa_attention_networks_tpu.config import Config
 from vqa_attention_networks_tpu.models import layers as L
 from vqa_attention_networks_tpu.ops.fusion import mfb_fuse_pool, two_glimpse_pool
+from vqa_attention_networks_tpu.ops.pallas_fusion import grid_fuse
 
 
 def _is_multilayer(cfg: Config) -> bool:
@@ -108,11 +109,11 @@ def apply(
     q_att_logits = _att_logits(params, "ques_att", h_seq, multilayer)  # [N, T, 2]
     q_att_feature = two_glimpse_pool(q_att_logits, h_seq, uniform_quirk=quirk)
 
-    # stage-1 MFB fusion with the image grid (mfb.py:91-106)
+    # stage-1 MFB fusion with the image grid (mfb.py:91-106) — fused Pallas
+    # kernel on TPU at inference (ops/pallas_fusion.py)
     q_proj = L.dense(params["ques_proj1"], q_att_feature)  # [N, 5000]
-    img_proj = L.dense(params["img_conv1d"], img_features)  # [N, 196, 5000]
-    fused = mfb_fuse_pool(
-        img_proj, q_proj[:, None, :], cfg.mfb_factor,
+    fused = grid_fuse(
+        img_features, params["img_conv1d"], q_proj, cfg.mfb_factor,
         rng=k_m1, dropout_rate=cfg.dropout_fusion, train=train,
     )  # [N, 196, 1000]
     # L2 over the *flattened* grid (mfb.py:105)

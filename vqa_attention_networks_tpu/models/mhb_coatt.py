@@ -43,6 +43,7 @@ from vqa_attention_networks_tpu.ops.fusion import (
     mfb_sumpool,
     two_glimpse_pool,
 )
+from vqa_attention_networks_tpu.ops.pallas_fusion import grid_fuse
 
 
 # ---------------------------------------------------------------------------
@@ -130,11 +131,11 @@ def apply(
     )  # [N, T, 2]
     q_att_feature = two_glimpse_pool(q_att_logits, h_seq, uniform_quirk=False)
 
-    # stage-1 fusion with the image grid (mhb_coAtt.py:93-108)
+    # stage-1 fusion with the image grid (mhb_coAtt.py:93-108) — fused Pallas
+    # kernel on TPU at inference (ops/pallas_fusion.py)
     q_proj = L.dense(params["ques_proj1"], q_att_feature)
-    img_proj = L.dense(params["img_conv1d"], img_features)
-    fused = mfb_fuse_pool(
-        img_proj, q_proj[:, None, :], cfg.mfb_factor,
+    fused = grid_fuse(
+        img_features, params["img_conv1d"], q_proj, cfg.mfb_factor,
         rng=k_m1, dropout_rate=cfg.dropout_fusion, train=train,
     )
     fused = L.l2_normalize(fused.reshape(n, -1)).reshape(fused.shape)

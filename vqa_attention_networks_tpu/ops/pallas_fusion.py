@@ -1,0 +1,173 @@
+"""Fused Pallas TPU kernel for the MFB/MHB image-grid fusion.
+
+The hottest op sequence in the model family (mfb.py:96-104,
+mhb_coAtt.py:98-106) is, per sample:
+
+    z     = (img[196, 2048] @ W[2048, 5000] + b) * q_proj[5000]   (Hadamard)
+    pool  = z.reshape(196, 1000, 5).sum(-1)                        (k-factor)
+    out   = sqrt(relu(pool)) - sqrt(relu(-pool))                   (signed sqrt)
+
+Composed in XLA, the [N, 196, 5000] product round-trips HBM twice
+(~7.8 MB/sample/direction). This kernel fuses projection, bias, Hadamard,
+k-pool and signed-sqrt in VMEM: HBM sees only the inputs and the 5x smaller
+pooled output.
+
+Blocking (grid = (F_tiles, N_tiles), N fastest):
+- W block [2048, TF] (bf16) stays resident while the batch streams past it
+  (the index map is constant in the fast axis), so weight traffic is
+  F_tiles * |W| instead of N * |W|;
+- each instance computes an [NB*196, TF] matmul on the MXU
+  (M=392, K=2048, N=1280 by default — well above the 128x128 tile);
+- TF is a multiple of 128*k so the k-factor pool never crosses a lane-tile
+  boundary and the output tile keeps a 128-aligned minor dim.
+
+The kernel is inference-only (training inserts dropout *inside* the chain,
+mfb.py:99 — the composed XLA path handles that); ``grid_fuse`` dispatches.
+The final L2 normalisation stays outside (its axis differs per call site:
+flat-grid at mfb.py:105 vs vector at mfb.py:135).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vqa_attention_networks_tpu.models.layers import dropout, signed_sqrt
+from vqa_attention_networks_tpu.ops.fusion import mfb_sumpool
+
+# default tiles: NB*196 rows x TF fusion columns per instance
+_NB = 2
+_TF = 1280  # 256 outputs * k=5; W block = 2048*1280*2B = 5.2 MB in bf16
+
+
+def _kernel(img_ref, w_ref, b_ref, q_ref, out_ref, *, k: int):
+    # img [NB, L, D]; w [D, TF]; b [1, TF]; q [NB, TF]; out [NB, L, TF//k]
+    nb, l, d = img_ref.shape
+    tf = w_ref.shape[1]
+    img = img_ref[:].reshape(nb * l, d)
+    z = jnp.dot(img, w_ref[:], preferred_element_type=jnp.float32)
+    z = z + b_ref[0][None, :].astype(jnp.float32)
+    q = q_ref[:].astype(jnp.float32)  # [NB, TF]
+    z = z.reshape(nb, l, tf) * q[:, None, :]
+    pooled = jnp.sum(z.reshape(nb, l, tf // k, k), axis=-1)
+    out_ref[:] = jnp.sqrt(jax.nn.relu(pooled)) - jnp.sqrt(jax.nn.relu(-pooled))
+
+
+def _grid_fuse_pallas(
+    img: jnp.ndarray,  # [N, L, D]
+    w: jnp.ndarray,  # [D, F]
+    b: jnp.ndarray,  # [F]
+    q_proj: jnp.ndarray,  # [N, F]
+    k: int,
+    nb: int = _NB,
+    tf: int = _TF,
+) -> jnp.ndarray:
+    n, l, d = img.shape
+    f = w.shape[1]
+    o = f // k
+    assert f % tf == 0 and n % nb == 0, (n, f, nb, tf)
+    assert tf % k == 0
+
+    grid = (f // tf, n // nb)  # N fastest => W block resident across batch
+    to = tf // k
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, k=k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nb, l, d), lambda fi, ni: (ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, tf), lambda fi, ni: (0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tf), lambda fi, ni: (0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, tf), lambda fi, ni: (ni, fi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nb, l, to), lambda fi, ni: (ni, 0, fi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, l, o), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * l * d * f,
+            bytes_accessed=(n * l * d * img.dtype.itemsize
+                            + (f // tf) * d * tf * w.dtype.itemsize
+                            + n * l * o * 4),
+            transcendentals=0,
+        ),
+    )(img, w.astype(img.dtype), b.reshape(1, -1), q_proj)
+    return out
+
+
+def _grid_fuse_reference(
+    img: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, q_proj: jnp.ndarray,
+    k: int,
+) -> jnp.ndarray:
+    """XLA-composed oracle (identical semantics, differentiable)."""
+    acc = jnp.promote_types(img.dtype, jnp.float32)
+    z = jnp.dot(img, w.astype(img.dtype), preferred_element_type=acc)
+    z = (z + b.astype(acc)) * q_proj[:, None, :].astype(acc)
+    return signed_sqrt(mfb_sumpool(z, k))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _grid_fuse_tpu(img, w, b, q_proj, k):
+    return _grid_fuse_pallas(img, w, b, q_proj, k)
+
+
+def _grid_fuse_fwd(img, w, b, q_proj, k):
+    return _grid_fuse_pallas(img, w, b, q_proj, k), (img, w, b, q_proj)
+
+
+def _grid_fuse_bwd(k, res, g):
+    # Composed-op backward (same graph XLA differentiates for the fallback).
+    img, w, b, q_proj = res
+    _, vjp = jax.vjp(
+        lambda i, ww, bb, qq: _grid_fuse_reference(i, ww, bb, qq, k),
+        img, w, b, q_proj,
+    )
+    return vjp(g)
+
+
+_grid_fuse_tpu.defvjp(_grid_fuse_fwd, _grid_fuse_bwd)
+
+
+def pallas_supported(n: int, f: int, nb: int = _NB, tf: int = _TF) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    return n % nb == 0 and f % tf == 0
+
+
+def grid_fuse(
+    img: jnp.ndarray,  # [N, L, D]
+    proj_params: dict,  # {"w": [D, F], "b": [F]}
+    q_proj: jnp.ndarray,  # [N, F]
+    k: int,
+    *,
+    rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.1,
+    train: bool = False,
+) -> jnp.ndarray:
+    """Dispatching entry: Pallas on TPU at inference, XLA otherwise.
+
+    Training keeps the composed path because the reference applies dropout to
+    the pre-pool product (mfb.py:99, mhb_coAtt.py:101)."""
+    w, b = proj_params["w"], proj_params.get("b")
+    if b is None:
+        b = jnp.zeros((w.shape[1],), w.dtype)
+    if train:
+        acc = jnp.promote_types(img.dtype, jnp.float32)
+        z = jnp.dot(img, w.astype(img.dtype), preferred_element_type=acc)
+        z = (z + b.astype(acc)) * q_proj[:, None, :].astype(acc)
+        z = dropout(rng, z, dropout_rate, True)
+        return signed_sqrt(mfb_sumpool(z, k))
+    if pallas_supported(img.shape[0], w.shape[1]):
+        return _grid_fuse_tpu(img, w, b, q_proj, k)
+    return _grid_fuse_reference(img, w, b, q_proj, k)
