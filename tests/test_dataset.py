@@ -1,0 +1,83 @@
+"""Batch pipeline: static shapes, valid-masked padding, soft labels,
+prefetch, deterministic shuffling."""
+
+import numpy as np
+
+from vqa_attention_networks_tpu.data.dataset import VqaBatches, prefetch
+from vqa_attention_networks_tpu.data.feature_store import (
+    make_synthetic_feature_store,
+)
+from vqa_attention_networks_tpu.data.prepare import make_synthetic_qa_data
+
+
+def _pipeline(tmp_path, n=37, batch_size=8, soft=False, shuffle=False, seed=0):
+    qa = make_synthetic_qa_data(
+        np.random.default_rng(0), n_train=n, n_val=8, num_images=5
+    )
+    store = make_synthetic_feature_store(
+        str(tmp_path / "feat"),
+        image_ids=sorted(set(qa.train.image_ids) | set(qa.val.image_ids)),
+        num_regions=4,
+        channels=16,
+    )
+    return qa, VqaBatches(
+        qa.train, store, batch_size=batch_size,
+        num_answers=qa.a_vocab_size, soft_answer=soft,
+        shuffle=shuffle, seed=seed,
+    )
+
+
+def test_static_shapes_and_final_padding(tmp_path):
+    qa, batches = _pipeline(tmp_path, n=37, batch_size=8)
+    all_batches = list(batches.epoch())
+    assert len(all_batches) == 5  # ceil(37/8)
+    for b in all_batches:
+        assert b.image_features.shape == (8, 4, 16)  # ALWAYS batch_size
+        assert b.questions.shape == (8, qa.max_question_length)
+    # final batch: 37 - 32 = 5 valid rows
+    assert all_batches[-1].valid.sum() == 5
+    assert all(b.valid.all() for b in all_batches[:-1])
+
+
+def test_total_valid_rows_covers_split_once(tmp_path):
+    qa, batches = _pipeline(tmp_path, n=37)
+    total = sum(int(b.valid.sum()) for b in batches.epoch())
+    assert total == 37
+
+
+def test_soft_labels_densified(tmp_path):
+    qa, batches = _pipeline(tmp_path, soft=True)
+    b = next(batches.epoch())
+    assert b.soft_answers.shape == (8, qa.a_vocab_size)
+    np.testing.assert_allclose(b.soft_answers.sum(1), 1.0, rtol=1e-5)
+    # argmax of the soft vector == the dominant annotator answer
+    np.testing.assert_array_equal(b.soft_answers.argmax(1), b.answers)
+
+
+def test_shuffle_deterministic_per_seed(tmp_path):
+    _, b1 = _pipeline(tmp_path, shuffle=True, seed=7)
+    _, b2 = _pipeline(tmp_path, shuffle=True, seed=7)
+    q1 = np.concatenate([b.questions for b in b1.epoch()])
+    q2 = np.concatenate([b.questions for b in b2.epoch()])
+    np.testing.assert_array_equal(q1, q2)
+    # successive epochs differ (reshuffle)
+    q3 = np.concatenate([b.questions for b in b1.epoch()])
+    assert not np.array_equal(q1, q3)
+
+
+def test_prefetch_preserves_order_and_propagates_errors(tmp_path):
+    _, batches = _pipeline(tmp_path)
+    direct = [b.answers.copy() for b in batches.epoch()]
+    _, batches2 = _pipeline(tmp_path)
+    threaded = [b.answers.copy() for b in prefetch(batches2.epoch())]
+    for a, b in zip(direct, threaded):
+        np.testing.assert_array_equal(a, b)
+
+    def boom():
+        yield from batches.epoch()
+        raise RuntimeError("producer failed")
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(prefetch(boom()))

@@ -116,6 +116,22 @@ class Config:
     # --- run mode -------------------------------------------------------------
     mode: str = "training"  # training | testing (train_models.py:20)
 
+    # --- legacy-trainer knobs (train_hfd.py capability, SURVEY C22) ---------
+    # loss_override: None = reference selection (soft-CE for mhb*, CE else,
+    # solver.py:26-29); "soft_bce" = the legacy trainer's soft BCE loss
+    # (train_hfd.py:69-72).
+    loss_override: str = ""
+    # early-stopping metric: "loss" (solver.py:160-172, patience 10) or
+    # "acc" (train_hfd.py:154-166, patience 5 on val accuracy).
+    early_stop_metric: str = "loss"
+
+    # --- aux subsystems (SURVEY section 5) ----------------------------------
+    # enable jax.debug_nans behind a flag (race/sanitizer analog)
+    debug_nans: bool = False
+    # write a jax.profiler trace for the first N steps of each run (0 = off)
+    profile_steps: int = 0
+    profile_dir: str = "runs/profile"
+
     # checkpointing cadence (capability upgrade over the reference's
     # save-at-end-only, solver.py:184-190)
     checkpoint_every_steps: int = 2000

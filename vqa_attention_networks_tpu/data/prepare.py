@@ -348,8 +348,9 @@ def make_synthetic_qa_data(
         soft_val = np.zeros((n, SOFT_WIDTH), dtype=np.float32)
         soft_idx[:, 0] = answers
         soft_val[:, 0] = 0.7
-        second = rng.integers(0, num_answers, size=n).astype(np.int32)
-        soft_idx[:, 1] = second
+        # a distinct second answer so the sparse entries never collide
+        offset = rng.integers(1, num_answers, size=n).astype(np.int32)
+        soft_idx[:, 1] = (answers + offset) % num_answers
         soft_val[:, 1] = 0.3
         return QASplit(
             questions=questions,

@@ -40,22 +40,31 @@ from jax.experimental.pallas import tpu as pltpu
 from vqa_attention_networks_tpu.models.layers import dropout, signed_sqrt
 from vqa_attention_networks_tpu.ops.fusion import mfb_sumpool
 
-# default tiles: NB*196 rows x TF fusion columns per instance
+# default tiles: NB*196 rows x TF fusion columns per instance.
+# Mosaic requires 128-aligned block minors, and 5000 has no 128-multiple
+# divisor, so the dispatcher zero-pads the fusion axis to the next multiple
+# of TF (5000 -> 5120): padded columns pool to signed_sqrt(0) = 0 and are
+# sliced off. TF = 1280 = 256 outputs * k=5 -> 256-wide aligned output tiles;
+# W block = 2048*1280*2B = 5.2 MB in bf16.
 _NB = 2
-_TF = 1280  # 256 outputs * k=5; W block = 2048*1280*2B = 5.2 MB in bf16
+_TF = 1280
 
 
 def _kernel(img_ref, w_ref, b_ref, q_ref, out_ref, *, k: int):
-    # img [NB, L, D]; w [D, TF]; b [1, TF]; q [NB, TF]; out [NB, L, TF//k]
+    # img [NB, L, D]; w [D, k, TO]; b [1, k, TO]; q [NB, k, TO];
+    # out [NB, L, TO].  The k factor lives on its own (full) sublane axis, so
+    # the pool is k statically-unrolled [NB*L, D]x[D, TO] matmuls summed in
+    # f32 — no minor-axis reshapes (Mosaic cannot relayout lanes->sublanes).
     nb, l, d = img_ref.shape
-    tf = w_ref.shape[1]
-    img = img_ref[:].reshape(nb * l, d)
-    z = jnp.dot(img, w_ref[:], preferred_element_type=jnp.float32)
-    z = z + b_ref[0][None, :].astype(jnp.float32)
-    q = q_ref[:].astype(jnp.float32)  # [NB, TF]
-    z = z.reshape(nb, l, tf) * q[:, None, :]
-    pooled = jnp.sum(z.reshape(nb, l, tf // k, k), axis=-1)
-    out_ref[:] = jnp.sqrt(jax.nn.relu(pooled)) - jnp.sqrt(jax.nn.relu(-pooled))
+    to = w_ref.shape[2]
+    img = img_ref[:].reshape(nb * l, d)  # major-dim merge only
+    acc = jnp.zeros((nb, l, to), jnp.float32)
+    for j in range(k):
+        z = jnp.dot(img, w_ref[:, j, :], preferred_element_type=jnp.float32)
+        z = z + b_ref[0, j, :][None, :].astype(jnp.float32)
+        z = z.reshape(nb, l, to)  # major-dim split only
+        acc += z * q_ref[:, j, :][:, None, :].astype(jnp.float32)
+    out_ref[:] = jnp.sqrt(jax.nn.relu(acc)) - jnp.sqrt(jax.nn.relu(-acc))
 
 
 def _grid_fuse_pallas(
@@ -70,40 +79,56 @@ def _grid_fuse_pallas(
     n, l, d = img.shape
     f = w.shape[1]
     o = f // k
-    assert f % tf == 0 and n % nb == 0, (n, f, nb, tf)
-    assert tf % k == 0
+    to = tf // k  # output tile width
+    assert n % nb == 0 and tf % k == 0, (n, nb, tf, k)
 
-    grid = (f // tf, n // nb)  # N fastest => W block resident across batch
-    to = tf // k
+    # Re-factor the fusion axis: channel c = o_idx*k + j (output-major,
+    # mfb.py:100-101) -> a [.., k, O_pad] layout with the k factor on its own
+    # axis and the output axis zero-padded to a multiple of TO. Padded
+    # outputs pool to signed_sqrt(0) = 0 and are sliced off below.
+    o_pad = -(-o // to) * to
+
+    def refactor(x):  # [..., F] -> [..., k, O_pad]
+        x3 = x.reshape(*x.shape[:-1], o, k)
+        x3 = jnp.swapaxes(x3, -1, -2)  # [..., k, o]
+        return jnp.pad(
+            x3, [(0, 0)] * (x3.ndim - 1) + [(0, o_pad - o)]
+        )
+
+    w3 = refactor(w.astype(img.dtype))  # [D, k, O_pad]
+    b3 = refactor(b.reshape(1, -1))  # [1, k, O_pad]
+    q3 = refactor(q_proj)  # [N, k, O_pad]
+
+    grid = (o_pad // to, n // nb)  # N fastest => W block resident across batch
 
     out = pl.pallas_call(
         functools.partial(_kernel, k=k),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((nb, l, d), lambda fi, ni: (ni, 0, 0),
+            pl.BlockSpec((nb, l, d), lambda oi, ni: (ni, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, tf), lambda fi, ni: (0, fi),
+            pl.BlockSpec((d, k, to), lambda oi, ni: (0, 0, oi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tf), lambda fi, ni: (0, fi),
+            pl.BlockSpec((1, k, to), lambda oi, ni: (0, 0, oi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, tf), lambda fi, ni: (ni, fi),
+            pl.BlockSpec((nb, k, to), lambda oi, ni: (ni, 0, oi),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nb, l, to), lambda fi, ni: (ni, 0, fi),
+        out_specs=pl.BlockSpec((nb, l, to), lambda oi, ni: (ni, 0, oi),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, l, o), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, l, o_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * l * d * f,
+            flops=2 * n * l * d * k * o_pad,
             bytes_accessed=(n * l * d * img.dtype.itemsize
-                            + (f // tf) * d * tf * w.dtype.itemsize
-                            + n * l * o * 4),
+                            + d * k * o_pad * w3.dtype.itemsize
+                            + n * l * o_pad * 4),
             transcendentals=0,
         ),
-    )(img, w.astype(img.dtype), b.reshape(1, -1), q_proj)
-    return out
+    )(img, w3, b3, q3)
+    return out[..., :o] if o_pad != o else out
 
 
 def _grid_fuse_reference(
@@ -140,9 +165,14 @@ _grid_fuse_tpu.defvjp(_grid_fuse_fwd, _grid_fuse_bwd)
 
 
 def pallas_supported(n: int, f: int, nb: int = _NB, tf: int = _TF) -> bool:
+    del f, tf  # the dispatcher pads the fusion axis to any TF multiple
+    import os
+
+    if os.environ.get("VQA_DISABLE_PALLAS"):  # A/B kill switch for benchmarks
+        return False
     if jax.default_backend() != "tpu":
         return False
-    return n % nb == 0 and f % tf == 0
+    return n % nb == 0
 
 
 def grid_fuse(

@@ -54,6 +54,32 @@ def cross_entropy(
     return jnp.sum(nll) / n
 
 
+def soft_bce(
+    logits: jnp.ndarray,  # [N, A]
+    soft_labels: jnp.ndarray,  # [N, A] raw soft-label vector
+    valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """The legacy trainer's 'soft BCE' loss (train_hfd.py:69-72):
+    s = softmax(labels); elementwise -s log p - (1-s) log(1-p), summed over
+    answers, mean over batch.
+
+    The reference feeds raw logits where probabilities are expected (its
+    models return logits) — a latent NaN factory. Here p = softmax(logits)
+    and the log terms are computed stably (documented deviation)."""
+    s = jax.nn.softmax(soft_labels, axis=-1)
+    log_p = jax.nn.log_softmax(logits, axis=-1)
+    # log(1-p) = log1p(-exp(log_p)), clamped away from log_p == 0
+    log_1mp = jnp.log1p(-jnp.exp(jnp.minimum(log_p, -1e-7)))
+    elem = -s * log_p - (1.0 - s) * log_1mp
+    per_row = jnp.sum(elem, axis=-1)
+    if valid is not None:
+        per_row = per_row * valid.astype(per_row.dtype)
+        n = jnp.maximum(jnp.sum(valid.astype(per_row.dtype)), 1.0)
+    else:
+        n = jnp.asarray(logits.shape[0], per_row.dtype)
+    return jnp.sum(per_row) / n
+
+
 def correct_count(
     logits: jnp.ndarray,
     labels: jnp.ndarray,  # [N] int — hard labels OR argmax of soft labels

@@ -51,6 +51,7 @@ from vqa_attention_networks_tpu.parallel import (
 from vqa_attention_networks_tpu.train.losses import (
     correct_count,
     cross_entropy,
+    soft_bce,
     soft_cross_entropy,
     topk_correct_count,
 )
@@ -84,6 +85,9 @@ class Solver:
     ):
         cfg.validate()
         self.cfg = cfg
+        if cfg.debug_nans:
+            # sanitizer analog (SURVEY section 5): trap NaNs at the op level
+            jax.config.update("jax_debug_nans", True)
         self.model = get_model(cfg.model_name)
         self.mesh = mesh if mesh is not None else make_mesh(model=cfg.model_parallel)
         self.writer = MetricWriter(log_dir, run_name=cfg.model_name)
@@ -135,6 +139,10 @@ class Solver:
     # ------------------------------------------------------------------
 
     def _loss(self, logits, batch_answers, soft, valid):
+        # loss selection: solver.py:26-29, with the legacy trainer's soft-BCE
+        # (train_hfd.py:69-72) available via cfg.loss_override
+        if self.cfg.loss_override == "soft_bce":
+            return soft_bce(logits, soft, valid)
         if self.cfg.soft_answer:
             return soft_cross_entropy(logits, soft, valid)
         return cross_entropy(logits, batch_answers, valid)
@@ -204,6 +212,11 @@ class Solver:
         print(f"Model: {cfg.model_name}")
         print(f"total training iterations: {cfg.num_epoch * iters_per_epoch}")
 
+        profiling = False
+        if cfg.profile_steps > 0:
+            jax.profiler.start_trace(cfg.profile_dir)
+            profiling = True
+
         last = {}
         for epoch in range(cfg.num_epoch):
             timer = Timer()
@@ -218,6 +231,12 @@ class Solver:
                 )
                 self.step += 1
                 seen += int(batch.valid.sum())
+                if profiling and self.step >= cfg.profile_steps:
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready(), loss_d
+                    )
+                    jax.profiler.stop_trace()
+                    profiling = False
                 if cfg.checkpoint_every_steps and (
                     self.step % cfg.checkpoint_every_steps == 0
                 ):
@@ -248,8 +267,17 @@ class Solver:
                     "val_loss": val_loss, "val_acc": val_acc, "qps": qps}
 
             if cfg.early_stopping:
-                if val_loss < self.min_val_loss:
-                    self.min_val_loss = val_loss
+                # metric choice: val loss (solver.py:160-172) or val accuracy
+                # (legacy trainer, train_hfd.py:154-166)
+                if cfg.early_stop_metric == "acc":
+                    improved = val_acc > getattr(self, "best_val_acc", -1.0)
+                    if improved:
+                        self.best_val_acc = val_acc
+                else:
+                    improved = val_loss < self.min_val_loss
+                    if improved:
+                        self.min_val_loss = val_loss
+                if improved:
                     self.i_patience = 0
                     self.best_params = jax.tree_util.tree_map(
                         lambda x: x, self.params
@@ -258,8 +286,8 @@ class Solver:
                     self.i_patience += 1
                 if self.i_patience >= cfg.patience:
                     print(
-                        f"validation loss has not decreased for "
-                        f"{cfg.patience} epochs, stopping"
+                        f"validation {cfg.early_stop_metric} has not improved "
+                        f"for {cfg.patience} epochs, stopping"
                     )
                     break
         return last
