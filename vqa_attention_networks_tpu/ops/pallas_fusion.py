@@ -46,7 +46,7 @@ from vqa_attention_networks_tpu.ops.fusion import mfb_sumpool
 # of TF (5000 -> 5120): padded columns pool to signed_sqrt(0) = 0 and are
 # sliced off. TF = 1280 = 256 outputs * k=5 -> 256-wide aligned output tiles;
 # W block = 2048*1280*2B = 5.2 MB in bf16.
-_NB = 2
+_NB = 4
 _TF = 1280
 
 

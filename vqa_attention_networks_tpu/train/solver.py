@@ -111,7 +111,12 @@ class Solver:
         self.tx = optax.adam(schedule)
         self.opt_state = jax.device_put(self.tx.init(self.params))
 
-        # data pipelines (the counterpart of solver.py:39-41)
+        # data pipelines (the counterpart of solver.py:39-41). With a bf16
+        # compute dtype the features ship as f16 (same store dtype) and the
+        # model casts on device — half the host->device traffic.
+        feature_dtype = (
+            np.float16 if cfg.compute_dtype == "bfloat16" else np.float32
+        )
         self.batches = {
             split: VqaBatches(
                 getattr(qa_data, split),
@@ -121,6 +126,7 @@ class Solver:
                 soft_answer=cfg.soft_answer,
                 shuffle=(cfg.shuffle and split == "train"),
                 seed=cfg.seed,
+                feature_dtype=feature_dtype,
             )
             for split in ("train", "val")
         }
