@@ -79,8 +79,10 @@ def test_vgg_taps_shapes():
     assert len(params["convs"]) == 16  # VGG-19 has 16 conv layers
     imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
     f27, f36 = vgg.apply(params, imgs, taps=(27, 36), dtype=jnp.float32)
-    # tap 27 = relu4_4 (64/8 = 8px, 512ch); tap 36 = relu5_4 (64/16 = 4px)
-    assert f27.shape == (1, 8, 8, 512)
-    assert f36.shape == (1, 4, 4, 512)
-    grid = vgg.grid_features(params, imgs, tap=36, dtype=jnp.float32)
+    # torchvision indices 27/36 are pool4/pool5: /16 and /32 downsampling
+    # (at the reference's 224 input, tap 27 is the 14x14x512 grid its
+    # predict path flattens to [1, 196, 512], predict_pytorch.py:48-50)
+    assert f27.shape == (1, 4, 4, 512)
+    assert f36.shape == (1, 2, 2, 512)
+    grid = vgg.grid_features(params, imgs, tap=27, dtype=jnp.float32)
     assert grid.shape == (1, 16, 512)

@@ -94,11 +94,7 @@ def main(argv=None) -> None:
     ).validate()
     model = get_model(cfg.model_name)
     template = model.init(jax.random.PRNGKey(0), cfg)
-    state = ckpt.restore_checkpoint(
-        f"{args.model_dir}/{cfg.model_name}",
-        {"params": template, "opt_state": None, "step": 0},
-    )
-    params = state["params"]
+    params = ckpt.load_weights(f"{args.model_dir}/{cfg.model_name}", template)
 
     logits, _ = model.apply(params, cfg, feats, ids, ques_length=qlen)
     probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]

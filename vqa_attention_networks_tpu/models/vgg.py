@@ -2,8 +2,9 @@
 
 Capability twin of the predict CLI's extractor, which taps torchvision
 ``vgg19.features`` at module indices {27, 36} (predict_pytorch.py:34-37) —
-i.e. relu4_4 (28x28x512 at 224 input) and the final relu5_4 before pool5
-(14x14x512) — and of the legacy fc7 path (predict.py:14-94 used VGG16 fc7).
+i.e. pool4 (14x14x512 at 224 input, the grid the reference flattens to
+[1, 196, 512], predict_pytorch.py:48-50) and pool5 (7x7x512) — and of the
+legacy fc7 path (predict.py:14-94 used VGG16 fc7).
 
 Functional, NHWC, jit-compiled; weights convert from torchvision
 ``vgg19().state_dict()`` via ``convert_torchvision_vgg19``.
@@ -78,7 +79,7 @@ def apply(
 
 
 def grid_features(params: Dict, images: jnp.ndarray,
-                  tap: int = 36, dtype=jnp.bfloat16) -> jnp.ndarray:
+                  tap: int = 27, dtype=jnp.bfloat16) -> jnp.ndarray:
     """[N, H, W, 3] -> [N, L, C] flattened grid at one tap — the shape the
     predict path feeds the models (predict_pytorch.py:48-50)."""
     (feat,) = apply(params, images, taps=(tap,), dtype=dtype)

@@ -12,14 +12,19 @@ Composed in XLA, the [N, 196, 5000] product round-trips HBM twice
 k-pool and signed-sqrt in VMEM: HBM sees only the inputs and the 5x smaller
 pooled output.
 
-Blocking (grid = (F_tiles, N_tiles), N fastest):
-- W block [2048, TF] (bf16) stays resident while the batch streams past it
-  (the index map is constant in the fast axis), so weight traffic is
-  F_tiles * |W| instead of N * |W|;
-- each instance computes an [NB*196, TF] matmul on the MXU
-  (M=392, K=2048, N=1280 by default — well above the 128x128 tile);
-- TF is a multiple of 128*k so the k-factor pool never crosses a lane-tile
-  boundary and the output tile keeps a 128-aligned minor dim.
+Blocking (grid = (O_tiles, N_tiles), N fastest):
+- the fusion axis is re-factored at dispatch into [.., k, O] with the k
+  factor on its own (full) sublane axis — Mosaic cannot relayout lanes into
+  sublanes, so an in-kernel [.., o*k] -> [.., o, k] reshape is not lowerable;
+  instead the pool is k statically-unrolled [NB*196, D] x [D, TO] matmuls
+  accumulated in f32 on the VPU;
+- W's [D, k, TO] block (bf16) stays resident while the batch streams past it
+  (its index map is constant in the fast grid axis), so weight traffic is
+  O_tiles * |W| instead of N * |W|;
+- measured on TPU v5e at batch 1024: ~1.2x over the XLA-composed chain, and
+  ~1.5x less HBM traffic. (A variant that pools via a 0/1 matmul is ~10%
+  faster still but routes the f32 product through the MXU's bf16 path,
+  losing ~1e-2 relative precision under the signed sqrt — rejected.)
 
 The kernel is inference-only (training inserts dropout *inside* the chain,
 mfb.py:99 — the composed XLA path handles that); ``grid_fuse`` dispatches.

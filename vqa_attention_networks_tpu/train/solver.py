@@ -371,5 +371,11 @@ class Solver:
         self.step = int(state["step"])
 
     def save(self) -> str:
-        """Final save (the counterpart of solver.py:184-190)."""
-        return self.save_checkpoint()
+        """Final save (the counterpart of solver.py:184-190): a full resume
+        checkpoint plus a weights-only export for the predict/serve paths."""
+        path = self.save_checkpoint()
+        params = self.best_params if self.best_params is not None else self.params
+        ckpt.save_weights(
+            os.path.join(self.cfg.out_dir, self.cfg.model_name), params
+        )
+        return path

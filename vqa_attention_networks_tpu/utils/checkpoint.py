@@ -52,3 +52,19 @@ def restore_checkpoint(
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(_step_dir(directory, step), abstract)
+
+
+def save_weights(directory: str, params: Any) -> str:
+    """Weights-only export (the analog of the reference's final ``.pth``,
+    solver.py:184-190) — what the predict/serve paths load."""
+    path = os.path.join(os.path.abspath(directory), "weights")
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, params, force=True)
+    return path
+
+
+def load_weights(directory: str, template: Any) -> Any:
+    path = os.path.join(os.path.abspath(directory), "weights")
+    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, abstract)
