@@ -84,7 +84,7 @@ def apply(
     cv = L.dense(params["fc_Wbv"], img)  # [N, 196, E]
     cq = L.dense(params["fc_Wbq"], que)  # [N, T, E]
     c = jnp.tanh(
-        jnp.einsum("nte,nle->ntl", cq, cv, preferred_element_type=dtype)
+        jnp.einsum("nte,nle->ntl", cq, cv, preferred_element_type=dtype, precision=L.matmul_precision(dtype))
     )  # [N, T, 196]
     c = L.dropout(nxt(), c, rate, train)
 
@@ -94,22 +94,22 @@ def apply(
     # image attention map (hieCoAtten.py:38-43)
     hv = jnp.tanh(
         img_w
-        + jnp.einsum("nte,ntl->nle", que_w, c, preferred_element_type=dtype)
+        + jnp.einsum("nte,ntl->nle", que_w, c, preferred_element_type=dtype, precision=L.matmul_precision(dtype))
     )  # [N, 196, E]
     hv = L.dropout(nxt(), hv, rate, train)
     av = jax.nn.softmax(L.dense(params["fc_Whv"], hv), axis=1)  # [N, 196, 1]
     v = jnp.einsum(
-        "nl,nle->ne", av[..., 0], img, preferred_element_type=dtype
+        "nl,nle->ne", av[..., 0], img, preferred_element_type=dtype, precision=L.matmul_precision(dtype)
     )  # [N, E]
 
     # question attention map (hieCoAtten.py:45-50)
     hq = jnp.tanh(
         que_w
-        + jnp.einsum("nle,ntl->nte", img_w, c, preferred_element_type=dtype)
+        + jnp.einsum("nle,ntl->nte", img_w, c, preferred_element_type=dtype, precision=L.matmul_precision(dtype))
     )  # [N, T, E]
     hq = L.dropout(nxt(), hq, rate, train)
     aq = jax.nn.softmax(L.dense(params["fc_Whq"], hq), axis=1)  # [N, T, 1]
-    q = jnp.einsum("nt,nte->ne", aq[..., 0], que, preferred_element_type=dtype)
+    q = jnp.einsum("nt,nte->ne", aq[..., 0], que, preferred_element_type=dtype, precision=L.matmul_precision(dtype))
 
     # classifier over the feature concat (dim-1; bugfix of hieCoAtten.py:52)
     x = jnp.concatenate([v, q], axis=-1)

@@ -58,7 +58,7 @@ def attention_1(
     )  # [N, T] — w.f2 (bias already counted once in s1)
     att = jax.nn.softmax(s2[:, :, None] + s1[:, None, :], axis=2)  # [N, T, L]
     f_hat = jnp.einsum(
-        "ntl,nld->ntd", att, feature_1, preferred_element_type=feature_1.dtype
+        "ntl,nld->ntd", att, feature_1, preferred_element_type=feature_1.dtype, precision=L.matmul_precision(feature_1.dtype)
     )
     return f_hat, att
 
@@ -78,12 +78,12 @@ def attention_2(
     f1w = L.dense(p["fc1"], feature_1)  # [N, L, D]
     att = jax.nn.softmax(
         jnp.einsum(
-            "ntd,nld->ntl", feature_2, f1w, preferred_element_type=feature_1.dtype
+            "ntd,nld->ntl", feature_2, f1w, preferred_element_type=feature_1.dtype, precision=L.matmul_precision(feature_1.dtype)
         ),
         axis=2,
     )
     f_hat = jnp.einsum(
-        "ntl,nld->ntd", att, feature_1, preferred_element_type=feature_1.dtype
+        "ntl,nld->ntd", att, feature_1, preferred_element_type=feature_1.dtype, precision=L.matmul_precision(feature_1.dtype)
     )
     return f_hat, att
 

@@ -27,6 +27,16 @@ import jax.numpy as jnp
 Params = Dict[str, jnp.ndarray]
 
 
+def matmul_precision(dtype) -> Optional[jax.lax.Precision]:
+    """JAX's default matmul precision feeds the MXU bf16 inputs even for
+    float32 operands (~1e-3 relative error). Under a float32/float64 compute
+    dtype the reference-faithful choice is full-precision passes; under bf16
+    the default is already right and fastest."""
+    if jnp.dtype(dtype) in (jnp.float32, jnp.float64):
+        return jax.lax.Precision.HIGHEST
+    return None
+
+
 # --------------------------------------------------------------------------
 # initialisers
 # --------------------------------------------------------------------------
@@ -48,7 +58,11 @@ def dense_init(rng: jax.Array, d_in: int, d_out: int, bias: bool = True) -> Para
 
 
 def dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=x.dtype)
+    y = jnp.dot(
+        x, p["w"].astype(x.dtype),
+        preferred_element_type=x.dtype,
+        precision=matmul_precision(x.dtype),
+    )
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
@@ -85,7 +99,9 @@ def lstm_cell(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One LSTM step given the precomputed input projection."""
     gates = x_proj + jnp.dot(
-        h, p["w_hh"].astype(h.dtype), preferred_element_type=h.dtype
+        h, p["w_hh"].astype(h.dtype),
+        preferred_element_type=h.dtype,
+        precision=matmul_precision(h.dtype),
     )
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     i = jax.nn.sigmoid(i)
@@ -109,7 +125,8 @@ def lstm(
     dtype = x.dtype
     # Hoisted input projection: one [N*T, d_in] x [d_in, 4H] matmul.
     x_proj = (
-        jnp.dot(x, p["w_ih"].astype(dtype), preferred_element_type=dtype)
+        jnp.dot(x, p["w_ih"].astype(dtype), preferred_element_type=dtype,
+                precision=matmul_precision(dtype))
         + p["b"].astype(dtype)
     )
     if h0 is None:

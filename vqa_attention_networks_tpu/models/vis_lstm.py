@@ -93,7 +93,7 @@ def apply(
     p1, p2 = params["lstm1"], params["lstm2"]
     hidden = cfg.hidden_dim
     x1_proj = (
-        jnp.dot(seq, p1["w_ih"].astype(dtype), preferred_element_type=dtype)
+        jnp.dot(seq, p1["w_ih"].astype(dtype), preferred_element_type=dtype, precision=L.matmul_precision(dtype))
         + p1["b"].astype(dtype)
     )  # [N, T+1, 4H]
 
@@ -101,7 +101,7 @@ def apply(
         h1, c1, h2, c2 = carry
         h1, c1 = L.lstm_cell(p1, xp, h1, c1)
         x2 = (
-            jnp.dot(h1, p2["w_ih"].astype(dtype), preferred_element_type=dtype)
+            jnp.dot(h1, p2["w_ih"].astype(dtype), preferred_element_type=dtype, precision=L.matmul_precision(dtype))
             + p2["b"].astype(dtype)
         )
         h2, c2 = L.lstm_cell(p2, x2, h2, c2)
@@ -146,7 +146,7 @@ def lstm_attention_apply(
 
     emb = L.embed(params["embedding"], inputs, dtype)  # [N, T, E]
     x1_proj = (
-        jnp.dot(emb, p1["w_ih"].astype(dtype), preferred_element_type=dtype)
+        jnp.dot(emb, p1["w_ih"].astype(dtype), preferred_element_type=dtype, precision=L.matmul_precision(dtype))
         + p1["b"].astype(dtype)
     )
 
@@ -155,14 +155,14 @@ def lstm_attention_apply(
         h1, c1 = L.lstm_cell(p1, xp, h1, c1)
         # raw dot-product attention, NO softmax (visLstm.py:91-97 quirk)
         alpha = jnp.einsum(
-            "nd,nld->nl", h1, img_features, preferred_element_type=dtype
+            "nd,nld->nl", h1, img_features, preferred_element_type=dtype, precision=L.matmul_precision(dtype)
         )
         v_hat = jnp.einsum(
-            "nl,nld->nd", alpha, img_features, preferred_element_type=dtype
+            "nl,nld->nd", alpha, img_features, preferred_element_type=dtype, precision=L.matmul_precision(dtype)
         )
         x2 = jnp.concatenate([v_hat, h1], axis=-1)
         x2 = (
-            jnp.dot(x2, p2["w_ih"].astype(dtype), preferred_element_type=dtype)
+            jnp.dot(x2, p2["w_ih"].astype(dtype), preferred_element_type=dtype, precision=L.matmul_precision(dtype))
             + p2["b"].astype(dtype)
         )
         h2, c2 = L.lstm_cell(p2, x2, h2, c2)

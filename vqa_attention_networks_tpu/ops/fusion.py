@@ -73,7 +73,13 @@ def two_glimpse_pool(
         weights = jnp.ones_like(att_logits)
     else:
         weights = jax.nn.softmax(att_logits, axis=1)
+    # accumulate the position sum in (at least) f32 even under bf16 compute;
+    # full-precision passes when the compute dtype is f32/f64
+    from vqa_attention_networks_tpu.models.layers import matmul_precision
+
+    acc = jnp.promote_types(values.dtype, jnp.float32)
     pooled = jnp.einsum(
-        "npg,npd->ngd", weights, values, preferred_element_type=values.dtype
+        "npg,npd->ngd", weights, values,
+        preferred_element_type=acc, precision=matmul_precision(values.dtype),
     )
-    return pooled.reshape(n, g * d)
+    return pooled.reshape(n, g * d).astype(values.dtype)

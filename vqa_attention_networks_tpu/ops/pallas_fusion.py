@@ -42,7 +42,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vqa_attention_networks_tpu.models.layers import dropout, signed_sqrt
+from vqa_attention_networks_tpu.models.layers import (
+    dropout,
+    matmul_precision,
+    signed_sqrt,
+)
 from vqa_attention_networks_tpu.ops.fusion import mfb_sumpool
 
 # default tiles: NB*196 rows x TF fusion columns per instance.
@@ -142,7 +146,8 @@ def _grid_fuse_reference(
 ) -> jnp.ndarray:
     """XLA-composed oracle (identical semantics, differentiable)."""
     acc = jnp.promote_types(img.dtype, jnp.float32)
-    z = jnp.dot(img, w.astype(img.dtype), preferred_element_type=acc)
+    z = jnp.dot(img, w.astype(img.dtype), preferred_element_type=acc,
+                precision=matmul_precision(img.dtype))
     z = (z + b.astype(acc)) * q_proj[:, None, :].astype(acc)
     return signed_sqrt(mfb_sumpool(z, k))
 
@@ -199,7 +204,8 @@ def grid_fuse(
         b = jnp.zeros((w.shape[1],), w.dtype)
     if train:
         acc = jnp.promote_types(img.dtype, jnp.float32)
-        z = jnp.dot(img, w.astype(img.dtype), preferred_element_type=acc)
+        z = jnp.dot(img, w.astype(img.dtype), preferred_element_type=acc,
+                    precision=matmul_precision(img.dtype))
         z = (z + b.astype(acc)) * q_proj[:, None, :].astype(acc)
         z = dropout(rng, z, dropout_rate, True)
         return signed_sqrt(mfb_sumpool(z, k))

@@ -1,0 +1,51 @@
+"""Multi-host initialisation.
+
+The reference has no multi-node story (single-process ``nn.DataParallel``
+only, solver.py:34-36). Here multi-host is the same mesh code path
+(parallel/mesh.py) over globally-visible devices: call
+``initialize_distributed()`` once per host before building the mesh, and
+XLA routes collectives over ICI within a slice and DCN across slices.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Idempotent ``jax.distributed.initialize`` wrapper.
+
+    With no arguments, relies on the TPU environment's automatic discovery;
+    explicit values (or JAX_COORDINATOR_ADDRESS etc.) override. Safe to call
+    in single-process runs — it no-ops unless a multi-process environment is
+    detected or configured.
+    """
+    if jax.process_count() > 1:
+        return  # already initialised
+    explicit = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    auto_tpu = os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    )
+    if not explicit and not auto_tpu:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        # already initialised by the runtime
+        pass
+
+
+def is_primary() -> bool:
+    """True on the host that should write checkpoints/metrics."""
+    return jax.process_index() == 0

@@ -1,0 +1,113 @@
+"""Batched inference engine: the production serving path.
+
+The reference's closest analog is the single-image predict script
+(predict_pytorch.py:15-94). This engine is the throughput-first version the
+north-star metric targets (BASELINE.md: >=10k QA pairs/sec/chip):
+
+- ONE compiled program at a fixed batch size (pad + mask smaller requests:
+  no recompiles, ever);
+- bf16 activations, f32 logits; the Pallas grid-fusion kernel on TPU;
+- requests stream through a double-buffered dispatch queue — the host
+  assembles batch t+1 while the device runs batch t.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqa_attention_networks_tpu.config import Config
+from vqa_attention_networks_tpu.models import get_model
+
+
+@dataclass
+class Prediction:
+    answer_id: int
+    top_ids: np.ndarray  # [k]
+    top_probs: np.ndarray  # [k]
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        cfg: Config,
+        params,
+        batch_size: int = 256,
+        topk: int = 5,
+    ):
+        self.cfg = cfg.replace(compute_dtype="bfloat16")
+        self.model = get_model(cfg.model_name)
+        self.params = jax.device_put(params)
+        self.batch_size = batch_size
+        self.topk = topk
+
+        def fwd(params, img, ques, qlen):
+            logits, _ = self.model.apply(
+                params, self.cfg, img, ques, ques_length=qlen, train=False
+            )
+            probs = jax.nn.softmax(logits, axis=-1)
+            top_p, top_i = jax.lax.top_k(probs, topk)
+            return top_i, top_p
+
+        self._fwd = jax.jit(fwd)
+
+    def _pad(self, arr: np.ndarray, fill=0) -> Tuple[np.ndarray, int]:
+        n = arr.shape[0]
+        if n == self.batch_size:
+            return arr, n
+        assert n < self.batch_size, "request larger than engine batch size"
+        pad = np.full(
+            (self.batch_size - n, *arr.shape[1:]), fill, dtype=arr.dtype
+        )
+        return np.concatenate([arr, pad]), n
+
+    def predict_batch(
+        self,
+        image_features: np.ndarray,  # [n, 196, D], n <= batch_size
+        questions: np.ndarray,  # [n, T] int32
+        ques_length: Optional[np.ndarray] = None,
+    ) -> List[Prediction]:
+        if ques_length is None:
+            ques_length = (questions != 0).sum(axis=1).astype(np.int32)
+        img, n = self._pad(image_features.astype(np.float16))
+        ques, _ = self._pad(questions.astype(np.int32))
+        qlen, _ = self._pad(np.maximum(ques_length.astype(np.int32), 1), fill=1)
+        top_i, top_p = self._fwd(self.params, img, ques, qlen)
+        top_i = np.asarray(top_i)[:n]
+        top_p = np.asarray(top_p)[:n]
+        return [
+            Prediction(int(top_i[i, 0]), top_i[i], top_p[i]) for i in range(n)
+        ]
+
+    def predict_stream(
+        self,
+        batches: Iterator[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]],
+    ) -> Iterator[List[Prediction]]:
+        """Pipelined streaming: keeps one batch in flight so host assembly
+        overlaps device compute."""
+        pending = None  # (device handles, n)
+        for image_features, questions, ques_length in batches:
+            if ques_length is None:
+                ques_length = (questions != 0).sum(axis=1).astype(np.int32)
+            img, n = self._pad(image_features.astype(np.float16))
+            ques, _ = self._pad(questions.astype(np.int32))
+            qlen, _ = self._pad(
+                np.maximum(ques_length.astype(np.int32), 1), fill=1
+            )
+            handles = self._fwd(self.params, img, ques, qlen)
+            if pending is not None:
+                yield self._collect(*pending)
+            pending = (handles, n)
+        if pending is not None:
+            yield self._collect(*pending)
+
+    def _collect(self, handles, n: int) -> List[Prediction]:
+        top_i = np.asarray(handles[0])[:n]
+        top_p = np.asarray(handles[1])[:n]
+        return [
+            Prediction(int(top_i[i, 0]), top_i[i], top_p[i]) for i in range(n)
+        ]

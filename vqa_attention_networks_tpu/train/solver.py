@@ -350,8 +350,9 @@ class Solver:
     # ------------------------------------------------------------------
 
     def _state(self):
-        params = self.best_params if self.best_params is not None else self.params
-        return {"params": params, "opt_state": self.opt_state,
+        # resume checkpoints always carry the CURRENT state; the best-model
+        # snapshot only affects the final weights export (solver.py:188-189)
+        return {"params": self.params, "opt_state": self.opt_state,
                 "step": jnp.asarray(self.step)}
 
     def save_checkpoint(self) -> str:
@@ -379,3 +380,6 @@ class Solver:
             os.path.join(self.cfg.out_dir, self.cfg.model_name), params
         )
         return path
+
+    def close(self) -> None:
+        self.writer.close()

@@ -26,6 +26,11 @@ class MetricWriter:
         self._tb = self._try_tensorboard()
 
     def _try_tensorboard(self):
+        # Opt-in: tensorboardX spawns background writer threads per
+        # SummaryWriter, which is unwanted overhead on constrained hosts.
+        # The JSONL stream always carries the same scalars.
+        if not os.environ.get("VQA_TENSORBOARD"):
+            return None
         for modname, attr in (
             ("tensorboardX", "SummaryWriter"),
             ("torch.utils.tensorboard", "SummaryWriter"),
