@@ -12,10 +12,15 @@ from vqa_attention_networks_tpu.train.losses import (
     topk_correct_count,
 )
 
-torch = pytest.importorskip("torch")
+
+@pytest.fixture(scope="module")
+def torch():
+    # imported lazily INSIDE tests: importing torch at collection time loads
+    # its OMP runtime alongside XLA:CPU for the whole session
+    return pytest.importorskip("torch")
 
 
-def test_soft_cross_entropy_matches_torch_kldiv():
+def test_soft_cross_entropy_matches_torch_kldiv(torch):
     rng = np.random.default_rng(0)
     logits = rng.standard_normal((6, 9)).astype(np.float32)
     soft = rng.random((6, 9)).astype(np.float32)
@@ -34,7 +39,7 @@ def test_soft_cross_entropy_matches_torch_kldiv():
     assert got == pytest.approx(want, rel=1e-3)
 
 
-def test_cross_entropy_matches_torch():
+def test_cross_entropy_matches_torch(torch):
     rng = np.random.default_rng(1)
     logits = rng.standard_normal((5, 7)).astype(np.float32)
     labels = rng.integers(0, 7, size=5).astype(np.int32)

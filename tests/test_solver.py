@@ -22,7 +22,7 @@ def _setup(tmp_path, model_name, **cfg_kw):
         num_regions=196,
         channels=32,
     )
-    cfg = Config(
+    base_kw = dict(
         model_name=model_name,
         q_vocab_size=qa.q_vocab_size,
         a_vocab_size=qa.a_vocab_size,
@@ -38,8 +38,9 @@ def _setup(tmp_path, model_name, **cfg_kw):
         checkpoint_every_steps=0,
         out_dir=str(tmp_path / "models"),
         results_dir=str(tmp_path / "results"),
-        **cfg_kw,
-    ).validate()
+    )
+    base_kw.update(cfg_kw)
+    cfg = Config(**base_kw).validate()
     mesh = make_mesh(data=1, model=1)
     solver = Solver(cfg, qa, store, mesh=mesh, log_dir=str(tmp_path / "runs"))
     return solver, qa
