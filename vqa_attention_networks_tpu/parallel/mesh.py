@@ -28,10 +28,9 @@ def make_mesh(
     if data is None:
         assert n % model == 0, f"{n} devices not divisible by model={model}"
         data = n // model
-    assert data * model == n, (
-        f"mesh {data}x{model} != {n} available devices"
-    )
-    arr = np.asarray(devices).reshape(data, model)
+    need = data * model
+    assert need <= n, f"mesh {data}x{model} needs {need} devices, have {n}"
+    arr = np.asarray(devices[:need]).reshape(data, model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 

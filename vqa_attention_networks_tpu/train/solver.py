@@ -89,7 +89,14 @@ class Solver:
             # sanitizer analog (SURVEY section 5): trap NaNs at the op level
             jax.config.update("jax_debug_nans", True)
         self.model = get_model(cfg.model_name)
-        self.mesh = mesh if mesh is not None else make_mesh(model=cfg.model_parallel)
+        if mesh is None:
+            # default mesh: all devices, shrinking the data axis until it
+            # divides the (static) batch size
+            data = len(jax.devices()) // cfg.model_parallel
+            while data > 1 and cfg.batch_size % data != 0:
+                data -= 1
+            mesh = make_mesh(data=data, model=cfg.model_parallel)
+        self.mesh = mesh
         self.writer = MetricWriter(log_dir, run_name=cfg.model_name)
         self.step = 0
 
