@@ -47,7 +47,10 @@ from vqa_attention_networks_tpu.models.layers import (
     matmul_precision,
     signed_sqrt,
 )
-from vqa_attention_networks_tpu.ops.fusion import mfb_sumpool
+from vqa_attention_networks_tpu.ops.fusion import (
+    grid_fuse_weight_contracted,
+    mfb_sumpool,
+)
 
 # default tiles: NB*196 rows x TF fusion columns per instance.
 # Mosaic requires 128-aligned block minors, and 5000 has no 128-multiple
@@ -203,12 +206,22 @@ def grid_fuse(
     if b is None:
         b = jnp.zeros((w.shape[1],), w.dtype)
     if train:
+        # dropout lands on the pre-pool product (mfb.py:99), which the fast
+        # formulations never materialise — composed path only
         acc = jnp.promote_types(img.dtype, jnp.float32)
         z = jnp.dot(img, w.astype(img.dtype), preferred_element_type=acc,
                     precision=matmul_precision(img.dtype))
         z = (z + b.astype(acc)) * q_proj[:, None, :].astype(acc)
         z = dropout(rng, z, dropout_rate, True)
         return signed_sqrt(mfb_sumpool(z, k))
+    if img.dtype == jnp.bfloat16:
+        # bf16 speed path: weight-contracted formulation, 5x fewer FLOPs
+        # (see ops/fusion.py:grid_fuse_weight_contracted; 2x faster than the
+        # Pallas kernel, which remains available via VQA_FORCE_PALLAS)
+        import os
+
+        if not os.environ.get("VQA_FORCE_PALLAS"):
+            return grid_fuse_weight_contracted(img, w, b, q_proj, k)
     if pallas_supported(img.shape[0], w.shape[1]):
         return _grid_fuse_tpu(img, w, b, q_proj, k)
     return _grid_fuse_reference(img, w, b, q_proj, k)
