@@ -172,9 +172,15 @@ def signed_sqrt(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    """torch.nn.functional.normalize semantics: x / max(||x||_2, eps)."""
-    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
-    return x / jnp.maximum(norm, eps)
+    """torch.nn.functional.normalize semantics: x / max(||x||_2, eps).
+
+    The square-sum accumulates in (at least) f32 — a bf16 reduction over the
+    196*1000-element flattened grid (mfb.py:105) would be badly lossy."""
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    norm = jnp.sqrt(
+        jnp.sum(jnp.square(x.astype(acc)), axis=axis, keepdims=True)
+    )
+    return (x.astype(acc) / jnp.maximum(norm, eps)).astype(x.dtype)
 
 
 # --------------------------------------------------------------------------

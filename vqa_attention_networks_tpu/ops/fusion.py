@@ -103,7 +103,10 @@ def grid_fuse_weight_contracted(
         )
         + bq[:, None, :]
     )
-    return signed_sqrt(pooled)
+    # bf16 output halves the HBM traffic of the [N, 196, 1000] grid through
+    # the L2 normalise + co-attention stack that consume it (the norm itself
+    # accumulates in f32, layers.l2_normalize)
+    return signed_sqrt(pooled).astype(jnp.bfloat16)
 
 
 def two_glimpse_pool(

@@ -215,13 +215,15 @@ def grid_fuse(
         z = dropout(rng, z, dropout_rate, True)
         return signed_sqrt(mfb_sumpool(z, k))
     if img.dtype == jnp.bfloat16:
-        # bf16 speed path: weight-contracted formulation, 5x fewer FLOPs
-        # (see ops/fusion.py:grid_fuse_weight_contracted; 2x faster than the
-        # Pallas kernel, which remains available via VQA_FORCE_PALLAS)
+        # bf16 speed paths only — float32/float64 compute always takes the
+        # exact composed chain below (the kernel's MXU passes round to bf16
+        # internally, which would silently break the f32 exactness policy).
         import os
 
         if not os.environ.get("VQA_FORCE_PALLAS"):
+            # weight-contracted formulation: 5x fewer FLOPs, 2x faster than
+            # the Pallas kernel (see ops/fusion.py)
             return grid_fuse_weight_contracted(img, w, b, q_proj, k)
-    if pallas_supported(img.shape[0], w.shape[1]):
-        return _grid_fuse_tpu(img, w, b, q_proj, k)
+        if pallas_supported(img.shape[0], w.shape[1]):
+            return _grid_fuse_tpu(img, w, b, q_proj, k)
     return _grid_fuse_reference(img, w, b, q_proj, k)
