@@ -37,6 +37,7 @@ def build_solver(args) -> Solver:
         compute_dtype=args.compute_dtype,
         early_stopping=bool(args.early_stopping),
         model_parallel=args.model_parallel,
+        rng_impl=args.rng_impl,
     ).validate()
     print(f"q_vocab_size {cfg.q_vocab_size}")
     print(f"a_vocab_size {cfg.a_vocab_size}")
@@ -71,6 +72,9 @@ def main(argv=None) -> None:
     parser.add_argument("--compute_dtype", type=str, default="float32")
     parser.add_argument("--early_stopping", type=int, default=0)
     parser.add_argument("--model_parallel", type=int, default=1)
+    parser.add_argument("--rng_impl", type=str, default="threefry2x32",
+                        help="threefry2x32 (reproducible) | rbg (~30% faster "
+                             "train steps on TPU)")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest checkpoint")
     args = parser.parse_args(argv)

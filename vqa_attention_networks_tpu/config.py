@@ -88,6 +88,12 @@ class Config:
     # the forward path (bf16 keeps the MXU fed at full rate on TPU).
     compute_dtype: str = "float32"
 
+    # PRNG implementation for training randomness (dropout). "threefry" is
+    # JAX's reproducible default; "rbg" is hardware-accelerated on TPU —
+    # the fusion-site dropout draws ~1M bits/sample, ~30% of the train step
+    # under threefry.
+    rng_impl: str = "threefry2x32"
+
     # --- reference-bug policy ----------------------------------------------
     # The reference carries live bugs whose "fixed" semantics are the evident
     # intent (SURVEY.md section 2). We implement the fixed semantics and record

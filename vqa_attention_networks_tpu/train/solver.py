@@ -138,7 +138,7 @@ class Solver:
             for split in ("train", "val")
         }
 
-        self._rng = jax.random.PRNGKey(cfg.seed + 1)
+        self._rng = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl)
         self._train_step = jax.jit(self._train_step_fn, donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._eval_step_fn)
 
