@@ -43,6 +43,7 @@ from vqa_attention_networks_tpu.ops.fusion import (
     mfb_sumpool,
     two_glimpse_pool,
 )
+from vqa_attention_networks_tpu.ops.pallas_attention import glimpse_attention
 from vqa_attention_networks_tpu.ops.pallas_fusion import grid_fuse
 
 
@@ -124,12 +125,21 @@ def apply(
     h_seq = L.lstm(params["lstm"], emb)  # [N, T, H] — time scan (bugfix, see above)
     h_seq = L.dropout(k_l, h_seq, cfg.dropout_lstm, train)
 
-    # 2-glimpse question attention with REAL softmax over T (mhb_coAtt.py:81-91)
-    q_att_logits = L.dense(
-        params["ques_att_conv2"],
-        jax.nn.relu(L.dense(params["ques_att_conv1"], h_seq)),
-    )  # [N, T, 2]
-    q_att_feature = two_glimpse_pool(q_att_logits, h_seq, uniform_quirk=False)
+    # 2-glimpse question attention with REAL softmax over T
+    # (mhb_coAtt.py:81-91) — fused Pallas block on TPU at bf16 inference
+    if train:
+        q_att_logits = L.dense(
+            params["ques_att_conv2"],
+            jax.nn.relu(L.dense(params["ques_att_conv1"], h_seq)),
+        )  # [N, T, 2]
+        q_att_feature = two_glimpse_pool(q_att_logits, h_seq,
+                                         uniform_quirk=False)
+    else:
+        q_att_logits = None
+        q_att_feature = glimpse_attention(
+            h_seq, params["ques_att_conv1"], params["ques_att_conv2"], h_seq,
+            uniform_quirk=False,
+        )
 
     # stage-1 fusion with the image grid (mhb_coAtt.py:93-108) — fused Pallas
     # kernel on TPU at inference (ops/pallas_fusion.py)
@@ -141,11 +151,20 @@ def apply(
     fused = L.l2_normalize(fused.reshape(n, -1)).reshape(fused.shape)
 
     # co-attention with REAL softmax over the 196 regions (mhb_coAtt.py:110-121)
-    co_logits = L.dense(
-        params["co_att_conv2"],
-        jax.nn.relu(L.dense(params["co_att_conv1"], fused)),
-    )  # [N, 196, 2]
-    v_att_feature = two_glimpse_pool(co_logits, img_features, uniform_quirk=False)
+    if train:
+        co_logits = L.dense(
+            params["co_att_conv2"],
+            jax.nn.relu(L.dense(params["co_att_conv1"], fused)),
+        )  # [N, 196, 2]
+        v_att_feature = two_glimpse_pool(co_logits, img_features,
+                                         uniform_quirk=False)
+    else:
+        co_logits = None
+        v_att_feature = glimpse_attention(
+            fused.astype(img_features.dtype),
+            params["co_att_conv1"], params["co_att_conv2"], img_features,
+            uniform_quirk=False,
+        )
 
     # cascaded output fusions (mhb_coAtt.py:123-148)
     out2 = _output_fusion(params, cfg, "2", q_att_feature, v_att_feature, k_m2, train)
