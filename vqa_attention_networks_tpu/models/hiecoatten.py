@@ -83,6 +83,28 @@ def apply(
     # affinity (hieCoAtten.py:30-33) — Wbq on the question branch (bugfix)
     cv = L.dense(params["fc_Wbv"], img)  # [N, 196, E]
     cq = L.dense(params["fc_Wbq"], que)  # [N, T, E]
+
+    # fused Pallas co-attention core for bf16 inference (SURVEY 7.4):
+    # affinity + both attention maps + both pools in one VMEM kernel
+    if (
+        not train
+        and dtype == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+        and questions.shape[0] % 8 == 0
+    ):
+        from vqa_attention_networks_tpu.ops.pallas_coattention import (
+            coattention_core_pallas,
+        )
+
+        img_w = L.dense(params["fc_Wv"], img)
+        que_w = L.dense(params["fc_Wq"], que)
+        v, q, av_m, aq_m = coattention_core_pallas(
+            img, que, cv, cq, img_w, que_w,
+            params["fc_Whv"]["w"], params["fc_Whq"]["w"],
+        )
+        x = jnp.concatenate([v.astype(dtype), q.astype(dtype)], axis=-1)
+        logits = L.dense(params["fc"], x).astype(jnp.float32)
+        return logits, {"av": av_m, "aq": aq_m}
     c = jnp.tanh(
         jnp.einsum("nte,nle->ntl", cq, cv, preferred_element_type=dtype, precision=L.matmul_precision(dtype))
     )  # [N, T, 196]
