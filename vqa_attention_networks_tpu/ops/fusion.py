@@ -128,12 +128,14 @@ def two_glimpse_pool(
     else:
         weights = jax.nn.softmax(att_logits, axis=1)
     # accumulate the position sum in (at least) f32 even under bf16 compute;
-    # full-precision passes when the compute dtype is f32/f64
+    # full-precision passes when the compute dtype is f32/f64. The softmax
+    # ran in the logits' dtype; the pool runs in the VALUES' dtype (weights
+    # cast down under bf16 compute — probabilities lose ~1e-3, the fast path).
     from vqa_attention_networks_tpu.models.layers import matmul_precision
 
     acc = jnp.promote_types(values.dtype, jnp.float32)
     pooled = jnp.einsum(
-        "npg,npd->ngd", weights, values,
+        "npg,npd->ngd", weights.astype(values.dtype), values,
         preferred_element_type=acc, precision=matmul_precision(values.dtype),
     )
     return pooled.reshape(n, g * d).astype(values.dtype)

@@ -118,9 +118,11 @@ def _glimpse_reference(x, w1, b1, w2, b2, v, uniform_quirk):
                 precision=matmul_precision(x.dtype))
         + b2.astype(acc)
     )
-    return two_glimpse_pool(
-        logits, v.astype(acc), uniform_quirk=uniform_quirk
-    )
+    # keep v in its own dtype: casting [N, P, D] values up would double HBM
+    # traffic and flip the pool einsum onto the slow full-precision path
+    # (two_glimpse_pool softmaxes the f32 logits, then pools in v's dtype
+    # with an f32 accumulator)
+    return two_glimpse_pool(logits, v, uniform_quirk=uniform_quirk)
 
 
 def glimpse_attention(
