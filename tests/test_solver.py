@@ -82,8 +82,16 @@ def test_soft_answer_training_step(tmp_path):
 
 def test_loss_decreases_when_learnable(tmp_path):
     # iBOWIMG on a tiny dataset should fit: loss after 8 epochs < first epoch
-    solver, _ = _setup(tmp_path, "iBOWIMG", num_epoch=1)
-    first = solver.train()["train_loss"]
-    for _ in range(7):
-        last = solver.train()["train_loss"]
-    assert last < first
+    import glob
+    import json
+
+    solver, _ = _setup(tmp_path, "iBOWIMG", num_epoch=8)
+    solver.train()
+    events = []
+    for path in glob.glob(str(tmp_path / "runs" / "**" / "events.jsonl"),
+                          recursive=True):
+        with open(path) as f:
+            events += [json.loads(line) for line in f]
+    losses = [e["train loss"] for e in events if "train loss" in e]
+    assert len(losses) == 8
+    assert losses[-1] < losses[0]

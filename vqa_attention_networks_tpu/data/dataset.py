@@ -66,7 +66,8 @@ class VqaBatches:
         self.shuffle = shuffle
         self.feature_dtype = feature_dtype
         self.drop_remainder = drop_remainder
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
         # Resolve image_id -> store row once; per-batch gather is then pure
         # integer indexing into the memmap.
         self._rows = store.rows_for(split.image_ids)
@@ -104,11 +105,22 @@ class VqaBatches:
             soft_answers=self._densify_soft(idx) if self.soft_answer else None,
         )
 
-    def epoch(self) -> Iterator[Batch]:
+    def epoch(self, epoch_index: Optional[int] = None) -> Iterator[Batch]:
+        """One epoch of batches.
+
+        Shuffling is a pure function of ``(seed, epoch_index)`` so that
+        checkpoint-resume replays the exact batch order (the reference's
+        DataLoader order is unrecoverable after its crash-loses-everything
+        save-at-end design, solver.py:184-190). Without an explicit index an
+        internal counter advances per call.
+        """
+        if epoch_index is None:
+            epoch_index = self._epoch
+        self._epoch = epoch_index + 1
         n = len(self.split)
         order = np.arange(n)
         if self.shuffle:
-            self._rng.shuffle(order)
+            np.random.default_rng((self.seed, epoch_index)).shuffle(order)
         stop = (n // self.batch_size) * self.batch_size if self.drop_remainder else n
         for start in range(0, stop, self.batch_size):
             yield self._assemble(order[start : start + self.batch_size])

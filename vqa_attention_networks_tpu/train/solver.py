@@ -138,7 +138,9 @@ class Solver:
             for split in ("train", "val")
         }
 
-        self._rng = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl)
+        # per-step dropout keys are fold_in(base, step): deterministic and
+        # resume-exact (no mutable RNG state to checkpoint)
+        self._rng_base = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl)
         self._train_step = jax.jit(self._train_step_fn, donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._eval_step_fn)
 
@@ -231,13 +233,16 @@ class Solver:
             profiling = True
 
         last = {}
-        for epoch in range(cfg.num_epoch):
+        # resume-aware: restarting from a checkpoint at step S replays the
+        # same epoch boundaries, batch order and dropout keys
+        start_epoch = self.step // max(iters_per_epoch, 1)
+        for epoch in range(start_epoch, cfg.num_epoch):
             timer = Timer()
             timer.tic()
             seen = 0
             loss = acc = 0.0
-            for batch in prefetch(self.batches["train"].epoch()):
-                self._rng, key = jax.random.split(self._rng)
+            for batch in prefetch(self.batches["train"].epoch(epoch)):
+                key = jax.random.fold_in(self._rng_base, self.step)
                 dev = self._device_batch(batch)
                 self.params, self.opt_state, loss_d, correct_d = self._train_step(
                     self.params, self.opt_state, *dev, key
