@@ -206,8 +206,18 @@ def grid_fuse(
     if b is None:
         b = jnp.zeros((w.shape[1],), w.dtype)
     if train:
-        # dropout lands on the pre-pool product (mfb.py:99), which the fast
-        # formulations never materialise — composed path only
+        # fused train kernel (in-kernel PRNG dropout, mask replayed in the
+        # backward): opt-in via VQA_PALLAS_TRAIN_FUSION
+        from vqa_attention_networks_tpu.ops import pallas_train_fusion as ptf
+
+        if dropout_rate > 0 and ptf.supported(img.shape[0], dropout_rate):
+            seed = jax.random.randint(
+                rng, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+            )
+            return ptf.train_grid_fuse(
+                img, w, b, q_proj, seed, k, dropout_rate
+            )
+        # composed: dropout lands on the pre-pool product (mfb.py:99)
         acc = jnp.promote_types(img.dtype, jnp.float32)
         z = jnp.dot(img, w.astype(img.dtype), preferred_element_type=acc,
                     precision=matmul_precision(img.dtype))
