@@ -81,3 +81,30 @@ def test_prefetch_preserves_order_and_propagates_errors(tmp_path):
 
     with pytest.raises(RuntimeError, match="producer failed"):
         list(prefetch(boom()))
+
+
+def test_combined_feature_store_routes_by_image_id(tmp_path):
+    from vqa_attention_networks_tpu.data.feature_store import (
+        CombinedFeatureStore,
+        make_synthetic_feature_store,
+        open_feature_store,
+    )
+
+    a = make_synthetic_feature_store(
+        str(tmp_path / "resnet152_train"), image_ids=[1, 2, 3],
+        num_regions=4, channels=8, seed=1,
+    )
+    b = make_synthetic_feature_store(
+        str(tmp_path / "resnet152_val"), image_ids=[10, 11],
+        num_regions=4, channels=8, seed=2,
+    )
+    combo = CombinedFeatureStore([a, b])
+    assert len(combo) == 5
+    got = combo.gather([10, 2, 11, 1])
+    np.testing.assert_array_equal(got[0], b.gather([10])[0])
+    np.testing.assert_array_equal(got[1], a.gather([2])[0])
+    np.testing.assert_array_equal(got[3], a.gather([1])[0])
+
+    opened = open_feature_store(str(tmp_path))
+    assert isinstance(opened, CombinedFeatureStore)
+    np.testing.assert_array_equal(opened.gather([3]), a.gather([3]))

@@ -9,7 +9,7 @@ import sys
 import numpy as np
 
 from vqa_attention_networks_tpu.config import Config
-from vqa_attention_networks_tpu.data.feature_store import FeatureStore
+from vqa_attention_networks_tpu.data.feature_store import open_feature_store
 from vqa_attention_networks_tpu.data.glove import load_glove_table
 from vqa_attention_networks_tpu.data.prepare import load_qa_data, qa_artifact_path
 from vqa_attention_networks_tpu.train.solver import Solver
@@ -18,10 +18,9 @@ from vqa_attention_networks_tpu.train.solver import Solver
 def build_solver(args) -> Solver:
     base = qa_artifact_path(args.data_dir, args.version, args.num_answer)
     qa_data = load_qa_data(base)
-    store = FeatureStore(
-        f"{args.data_dir}/{args.feature_type}_{'train' if args.mode == 'training' else 'val'}"
-        if args.single_store else f"{args.data_dir}/{args.feature_type}_all"
-    )
+    # opens <ft>_all, or combines the per-split stores the extraction CLI
+    # writes (<ft>_train + <ft>_val)
+    store = open_feature_store(args.data_dir, args.feature_type)
 
     cfg = Config(
         model_name=args.model_name,
@@ -65,8 +64,6 @@ def main(argv=None) -> None:
     parser.add_argument("--glove", type=int, default=0)
     parser.add_argument("--data_dir", type=str, default="data")
     parser.add_argument("--feature_type", type=str, default="resnet152")
-    parser.add_argument("--single_store", action="store_true",
-                        help="use per-mode feature store dirs")
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--num_epoch", type=int, default=18)
     parser.add_argument("--compute_dtype", type=str, default="float32")

@@ -117,6 +117,73 @@ class FeatureStore:
         return np.asarray(self.features[rows], dtype=dtype)
 
 
+class CombinedFeatureStore:
+    """Reader over several stores (e.g. the per-split outputs of the
+    extraction CLI: ``resnet152_train`` + ``resnet152_val``), routing each
+    image_id to its owning store. COCO train/val image ids are disjoint, so
+    the union index is unambiguous."""
+
+    def __init__(self, stores: Sequence["FeatureStore"]):
+        assert stores, "need at least one store"
+        self.stores = list(stores)
+        self.num_regions = stores[0].num_regions
+        self.channels = stores[0].channels
+        self._owner: Dict[int, tuple] = {}
+        for si, store in enumerate(self.stores):
+            for img_id, row in store.row_of.items():
+                self._owner[img_id] = (si, row)
+
+    def __len__(self) -> int:
+        return sum(len(s) for s in self.stores)
+
+    def rows_for(self, image_ids: Iterable[int]) -> np.ndarray:
+        # encoded (store, row) pairs: store index in the high bits
+        return np.asarray(
+            [
+                (lambda sr: (sr[0] << 40) | sr[1])(self._owner[int(i)])
+                for i in image_ids
+            ],
+            dtype=np.int64,
+        )
+
+    def gather_rows(self, rows: np.ndarray, dtype=np.float32) -> np.ndarray:
+        rows = np.asarray(rows)
+        store_idx = rows >> 40
+        local = rows & ((1 << 40) - 1)
+        out = np.empty(
+            (len(rows), self.num_regions, self.channels), dtype=dtype
+        )
+        for si in np.unique(store_idx):
+            sel = store_idx == si
+            out[sel] = self.stores[int(si)].gather_rows(local[sel], dtype)
+        return out
+
+    def gather(self, image_ids: Sequence[int], dtype=np.float32) -> np.ndarray:
+        return self.gather_rows(self.rows_for(image_ids), dtype)
+
+
+def open_feature_store(data_dir: str, feature_type: str = "resnet152"):
+    """Open whatever store layout exists: a combined ``<ft>_all`` directory,
+    or the per-split ``<ft>_train`` + ``<ft>_val`` pair the extraction CLI
+    writes (extract_image_features.py runs per split)."""
+    all_dir = join(data_dir, f"{feature_type}_all")
+    if os.path.exists(join(all_dir, INDEX_FILE)):
+        return FeatureStore(all_dir)
+    stores = []
+    for split in ("train", "val"):
+        d = join(data_dir, f"{feature_type}_{split}")
+        if os.path.exists(join(d, INDEX_FILE)):
+            stores.append(FeatureStore(d))
+    if not stores:
+        raise FileNotFoundError(
+            f"no feature store under {data_dir} for {feature_type!r} "
+            f"(looked for _all, _train, _val)"
+        )
+    if len(stores) == 1:
+        return stores[0]
+    return CombinedFeatureStore(stores)
+
+
 def make_synthetic_feature_store(
     directory: str,
     image_ids: Sequence[int],
