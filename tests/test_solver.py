@@ -95,3 +95,31 @@ def test_loss_decreases_when_learnable(tmp_path):
     losses = [e["train loss"] for e in events if "train loss" in e]
     assert len(losses) == 8
     assert losses[-1] < losses[0]
+
+
+def test_glove_training_path(tmp_path):
+    # GloVe table installed as a frozen buffer; on-device gather; trains
+    import jax
+    import numpy as np
+
+    from vqa_attention_networks_tpu.data.glove import random_glove_table
+
+    solver, qa = _setup(tmp_path, "mhb_coAtt", num_epoch=1, glove=True,
+                        emb_dim=8)
+    # rebuild with a real (random) table
+    from vqa_attention_networks_tpu.parallel import make_mesh
+    from vqa_attention_networks_tpu.train.solver import Solver
+
+    table = random_glove_table(qa.question_vocab, dim=8)
+    solver = Solver(solver.cfg, qa, solver.batches["train"].store,
+                    glove_table=table, mesh=make_mesh(data=1, model=1),
+                    log_dir=str(tmp_path / "runs_glove"))
+    np.testing.assert_array_equal(
+        np.asarray(solver.params["glove_table"]), table
+    )
+    metrics = solver.train()
+    assert np.isfinite(metrics["train_loss"])
+    # the frozen table must not move under Adam
+    np.testing.assert_array_equal(
+        np.asarray(solver.params["glove_table"]), table
+    )
