@@ -253,3 +253,16 @@ def test_mfb_quirk_glimpses_are_uniform_sums():
     np.testing.assert_array_equal(pooled[:, :6], pooled[:, 6:])
     # f32 sum-ordering noise over 196 near-cancelling terms -> loose atol
     np.testing.assert_allclose(pooled[:, :6], want, atol=0.1)
+
+
+def test_quirk_flag_switches_mfb_softmax_axis():
+    """keep_reference_quirks=False gives MFB real per-position softmax
+    (different logits than the quirk path, config.py policy)."""
+    cfg_q = _cfg("mfb")
+    cfg_fixed = cfg_q.replace(keep_reference_quirks=False)
+    model = get_model("mfb")
+    params = model.init(jax.random.PRNGKey(7), cfg_q)
+    img, ques, qlen = _inputs(np.random.default_rng(7))
+    l_quirk, _ = model.apply(params, cfg_q, img, ques, ques_length=qlen)
+    l_fixed, _ = model.apply(params, cfg_fixed, img, ques, ques_length=qlen)
+    assert not np.allclose(np.asarray(l_quirk), np.asarray(l_fixed), atol=1e-4)
