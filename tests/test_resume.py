@@ -15,7 +15,7 @@ from vqa_attention_networks_tpu.parallel import make_mesh
 from vqa_attention_networks_tpu.train.solver import Solver
 
 
-def _solver(tmp_path, num_epoch, tag):
+def _solver(tmp_path, num_epoch, tag, **cfg_kw):
     qa = make_synthetic_qa_data(
         np.random.default_rng(0), n_train=64, n_val=16, num_images=4
     )
@@ -25,7 +25,7 @@ def _solver(tmp_path, num_epoch, tag):
         num_regions=196,
         channels=16,
     )
-    cfg = Config(
+    kw = dict(
         model_name="iBOWIMG",
         q_vocab_size=qa.q_vocab_size,
         a_vocab_size=qa.a_vocab_size,
@@ -37,7 +37,9 @@ def _solver(tmp_path, num_epoch, tag):
         checkpoint_every_steps=0,
         out_dir=str(tmp_path / f"models_{tag}"),
         results_dir=str(tmp_path / f"results_{tag}"),
-    ).validate()
+    )
+    kw.update(cfg_kw)
+    cfg = Config(**kw).validate()
     return Solver(cfg, qa, store, mesh=make_mesh(data=1, model=1),
                   log_dir=str(tmp_path / f"runs_{tag}"))
 
@@ -56,6 +58,31 @@ def test_interrupted_training_matches_straight_run(tmp_path):
     second.restore()
     assert second.step == first.step
     second.train()
+
+    a = jax.tree_util.tree_leaves(straight.params)
+    b = jax.tree_util.tree_leaves(second.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-7
+        )
+
+
+def test_mid_epoch_resume_matches_straight_run(tmp_path):
+    """checkpoint_every_steps deliberately NOT epoch-aligned: 4 iters/epoch,
+    checkpoint at step 3. Resume must skip the already-trained prefix of the
+    restart epoch (not replay it from batch 0) and land on identical params."""
+    straight = _solver(tmp_path, 3, "mid_straight")
+    straight.train()
+    assert straight.step == 12
+
+    first = _solver(tmp_path, 1, "mid_resume", checkpoint_every_steps=3)
+    first.train()  # writes a checkpoint at step 3, mid-epoch 0
+
+    second = _solver(tmp_path, 3, "mid_resume")
+    second.restore(step=3)
+    assert second.step == 3
+    second.train()
+    assert second.step == 12  # 3 epochs x 4 iters, no double-consumed batches
 
     a = jax.tree_util.tree_leaves(straight.params)
     b = jax.tree_util.tree_leaves(second.params)

@@ -97,6 +97,75 @@ def test_loss_decreases_when_learnable(tmp_path):
     assert losses[-1] < losses[0]
 
 
+def test_early_stopping_trains_past_best_and_saves(tmp_path):
+    # Regression for the donation crash: the best-params snapshot must be a
+    # materialised copy (the analog of the reference's copy.deepcopy,
+    # solver.py:62). An aliasing snapshot dies with "Array has been deleted"
+    # at save() after the next donated train step.
+    import jax
+
+    solver, _ = _setup(
+        tmp_path, "iBOWIMG", num_epoch=10, early_stopping=True, patience=2
+    )
+    # Scripted val losses: epoch 0 is the best; every later epoch is worse,
+    # so training continues (donating params) past the snapshot and then
+    # early-stops once patience is exhausted.
+    scripted = iter([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0])
+    real_val = solver.val
+
+    def fake_val(full=False):
+        if full:
+            return real_val(full=True)
+        _, acc = real_val()
+        return next(scripted), acc
+
+    solver.val = fake_val
+    solver.train()
+    assert solver.i_patience >= solver.cfg.patience
+    assert solver.best_params is not None
+    # the snapshot must still be readable after donated steps ran
+    best = [np.asarray(x) for x in jax.tree_util.tree_leaves(solver.best_params)]
+    final = [np.asarray(x) for x in jax.tree_util.tree_leaves(solver.params)]
+    assert any(not np.array_equal(b, f) for b, f in zip(best, final)), (
+        "best snapshot should differ from the final (worse) params"
+    )
+    # final save exports the best snapshot (solver.py:184-190 semantics)
+    path = solver.save()
+    assert path
+    from vqa_attention_networks_tpu.utils import checkpoint as ckpt
+
+    exported = ckpt.load_weights(
+        str(tmp_path / "models" / "iBOWIMG"), solver.best_params
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(exported), best):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_early_stop_state_survives_restore(tmp_path):
+    solver, _ = _setup(
+        tmp_path, "iBOWIMG", num_epoch=2, early_stopping=True, patience=5
+    )
+    solver.train()
+    assert solver.best_params is not None
+    min_loss, patience = solver.min_val_loss, solver.i_patience
+    solver.save_checkpoint()
+
+    fresh, _ = _setup(
+        tmp_path, "iBOWIMG", num_epoch=2, early_stopping=True, patience=5
+    )
+    fresh.restore()
+    assert fresh.min_val_loss == min_loss
+    assert fresh.i_patience == patience
+    assert fresh.best_params is not None
+    import jax
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(fresh.best_params),
+        jax.tree_util.tree_leaves(solver.best_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_glove_training_path(tmp_path):
     # GloVe table installed as a frozen buffer; on-device gather; trains
     import jax

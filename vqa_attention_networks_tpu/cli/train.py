@@ -35,6 +35,9 @@ def build_solver(args) -> Solver:
         num_epoch=args.num_epoch,
         compute_dtype=args.compute_dtype,
         early_stopping=bool(args.early_stopping),
+        patience=args.patience,
+        early_stop_metric=args.early_stop_metric,
+        checkpoint_every_steps=args.checkpoint_every_steps,
         model_parallel=args.model_parallel,
         rng_impl=args.rng_impl,
     ).validate()
@@ -68,6 +71,15 @@ def main(argv=None) -> None:
     parser.add_argument("--num_epoch", type=int, default=18)
     parser.add_argument("--compute_dtype", type=str, default="float32")
     parser.add_argument("--early_stopping", type=int, default=0)
+    parser.add_argument("--patience", type=int, default=10,
+                        help="early-stopping patience in epochs "
+                             "(reference: solver.py:42-45)")
+    parser.add_argument("--early_stop_metric", type=str, default="loss",
+                        help="loss (solver.py:160-172) | acc "
+                             "(legacy trainer, train_hfd.py:154-166)")
+    parser.add_argument("--checkpoint_every_steps", type=int, default=2000,
+                        help="mid-training checkpoint cadence; 0 disables "
+                             "(final save always writes one)")
     parser.add_argument("--model_parallel", type=int, default=1)
     parser.add_argument("--rng_impl", type=str, default="threefry2x32",
                         help="threefry2x32 (reproducible) | rbg (~30% faster "
@@ -86,6 +98,11 @@ def main(argv=None) -> None:
             if args.mode == "testing":
                 print("no checkpoint found for testing mode")
                 sys.exit(-1)
+
+    if args.mode == "testing" and solver.best_params is not None:
+        # evaluate the early-stopping best snapshot, matching the reference
+        # whose final .pth holds the best weights (solver.py:165,184-190)
+        solver.params = solver.best_params
 
     if args.mode == "training":
         solver.train()

@@ -169,4 +169,16 @@ class Config:
             pass
         if self.img_feature_dim != 196:
             raise ValueError("img_feature_dim must be 196 (14x14 ResNet grid)")
+        for field, value, allowed in (
+            ("early_stop_metric", self.early_stop_metric, ("loss", "acc")),
+            ("mode", self.mode, ("training", "testing")),
+            ("compute_dtype", self.compute_dtype,
+             ("float32", "float64", "bfloat16")),
+            ("rng_impl", self.rng_impl, ("threefry2x32", "rbg")),
+            ("loss_override", self.loss_override, ("", "soft_bce")),
+        ):
+            if value not in allowed:
+                raise ValueError(
+                    f"{field}={value!r} not supported; choose from {allowed}"
+                )
         return self

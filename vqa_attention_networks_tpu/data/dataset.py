@@ -79,11 +79,19 @@ class VqaBatches:
         return -(-n // self.batch_size)
 
     def _densify_soft(self, idx: np.ndarray) -> np.ndarray:
+        sidx = self.split.soft_idx[idx]
+        sval = self.split.soft_val[idx]
+        # one-pass native scatter (native/dataplane.cpp) with NumPy fallback
+        from vqa_attention_networks_tpu.data import native
+
+        dense = native.densify_soft(sidx, sval, self.num_answers)
+        if dense is not None:
+            return dense
         b = len(idx)
         dense = np.zeros((b, self.num_answers), dtype=np.float32)
         rows = np.repeat(np.arange(b), SOFT_WIDTH)
-        sidx = self.split.soft_idx[idx].reshape(-1)
-        sval = self.split.soft_val[idx].reshape(-1)
+        sidx = sidx.reshape(-1)
+        sval = sval.reshape(-1)
         keep = sidx >= 0
         dense[rows[keep], sidx[keep]] = sval[keep]
         return dense
@@ -105,14 +113,18 @@ class VqaBatches:
             soft_answers=self._densify_soft(idx) if self.soft_answer else None,
         )
 
-    def epoch(self, epoch_index: Optional[int] = None) -> Iterator[Batch]:
+    def epoch(
+        self, epoch_index: Optional[int] = None, start_batch: int = 0
+    ) -> Iterator[Batch]:
         """One epoch of batches.
 
         Shuffling is a pure function of ``(seed, epoch_index)`` so that
         checkpoint-resume replays the exact batch order (the reference's
         DataLoader order is unrecoverable after its crash-loses-everything
         save-at-end design, solver.py:184-190). Without an explicit index an
-        internal counter advances per call.
+        internal counter advances per call. ``start_batch`` skips the first
+        batches without assembling them — mid-epoch resume lands exactly
+        where the checkpoint left off at zero gather cost.
         """
         if epoch_index is None:
             epoch_index = self._epoch
@@ -122,7 +134,7 @@ class VqaBatches:
         if self.shuffle:
             np.random.default_rng((self.seed, epoch_index)).shuffle(order)
         stop = (n // self.batch_size) * self.batch_size if self.drop_remainder else n
-        for start in range(0, stop, self.batch_size):
+        for start in range(start_batch * self.batch_size, stop, self.batch_size):
             yield self._assemble(order[start : start + self.batch_size])
 
 

@@ -146,6 +146,7 @@ class Solver:
 
         # early stopping state (solver.py:42-45)
         self.min_val_loss = float("inf")
+        self.best_val_acc = -1.0
         self.i_patience = 0
         self.best_params = None
 
@@ -234,14 +235,21 @@ class Solver:
 
         last = {}
         # resume-aware: restarting from a checkpoint at step S replays the
-        # same epoch boundaries, batch order and dropout keys
-        start_epoch = self.step // max(iters_per_epoch, 1)
+        # same epoch boundaries, batch order and dropout keys. A mid-epoch
+        # checkpoint (step % iters != 0) resumes *inside* its epoch: the
+        # shuffle is a pure function of (seed, epoch), so the already-trained
+        # prefix of the restart epoch is skipped rather than replayed.
+        start_epoch, skip_batches = divmod(self.step, max(iters_per_epoch, 1))
         for epoch in range(start_epoch, cfg.num_epoch):
             timer = Timer()
             timer.tic()
             seen = 0
             loss = acc = 0.0
-            for batch in prefetch(self.batches["train"].epoch(epoch)):
+            batches = self.batches["train"].epoch(
+                epoch,
+                start_batch=skip_batches if epoch == start_epoch else 0,
+            )
+            for batch in prefetch(batches):
                 key = jax.random.fold_in(self._rng_base, self.step)
                 dev = self._device_batch(batch)
                 self.params, self.opt_state, loss_d, correct_d = self._train_step(
@@ -288,7 +296,7 @@ class Solver:
                 # metric choice: val loss (solver.py:160-172) or val accuracy
                 # (legacy trainer, train_hfd.py:154-166)
                 if cfg.early_stop_metric == "acc":
-                    improved = val_acc > getattr(self, "best_val_acc", -1.0)
+                    improved = val_acc > self.best_val_acc
                     if improved:
                         self.best_val_acc = val_acc
                 else:
@@ -297,8 +305,14 @@ class Solver:
                         self.min_val_loss = val_loss
                 if improved:
                     self.i_patience = 0
+                    # Materialised copy (the functional analog of the
+                    # reference's copy.deepcopy, solver.py:62). A bare
+                    # tree_map(lambda x: x, ...) would alias the same Array
+                    # buffers the next _train_step donates
+                    # (donate_argnums=(0,1)) and die with
+                    # "Array has been deleted" at save().
                     self.best_params = jax.tree_util.tree_map(
-                        lambda x: x, self.params
+                        jnp.copy, self.params
                     )
                 else:
                     self.i_patience += 1
@@ -362,10 +376,27 @@ class Solver:
     # ------------------------------------------------------------------
 
     def _state(self):
-        # resume checkpoints always carry the CURRENT state; the best-model
-        # snapshot only affects the final weights export (solver.py:188-189)
-        return {"params": self.params, "opt_state": self.opt_state,
-                "step": jnp.asarray(self.step)}
+        # Resume checkpoints carry the CURRENT state plus the early-stop
+        # bookkeeping (min_val_loss / patience / best snapshot) so a resumed
+        # run continues the patience countdown and final-weights selection
+        # exactly where it left off. ``best_params`` falls back to the live
+        # params purely to keep a fixed tree structure for Orbax; ``has_best``
+        # records whether a real snapshot existed.
+        best = self.best_params if self.best_params is not None else self.params
+        return {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "step": jnp.asarray(self.step),
+            "best_params": best,
+            "early_stop": {
+                "min_val_loss": jnp.asarray(self.min_val_loss, jnp.float32),
+                "best_val_acc": jnp.asarray(self.best_val_acc, jnp.float32),
+                "i_patience": jnp.asarray(self.i_patience),
+                "has_best": jnp.asarray(
+                    1 if self.best_params is not None else 0
+                ),
+            },
+        }
 
     def save_checkpoint(self) -> str:
         path = ckpt.save_checkpoint(
@@ -382,6 +413,13 @@ class Solver:
         self.params = state["params"]
         self.opt_state = state["opt_state"]
         self.step = int(state["step"])
+        es = state["early_stop"]
+        self.min_val_loss = float(es["min_val_loss"])
+        self.best_val_acc = float(es["best_val_acc"])
+        self.i_patience = int(es["i_patience"])
+        self.best_params = (
+            state["best_params"] if int(es["has_best"]) else None
+        )
 
     def save(self) -> str:
         """Final save (the counterpart of solver.py:184-190): a full resume
