@@ -49,12 +49,14 @@ def _mini_vqa_json(tmp_path, version=2):
         (2, 11, "Is the dog sleeping?", None),
         (3, 10, "How many dogs are there?", None),
         (4, 12, "What color is the sky?", None),
+        (7, 14, "Is the sky blue?", None),
     ]
     train_ann = [
         (1, 10, "black", "other", ["black"] * 7 + ["gray"] * 3),
         (2, 11, "yes", "yes/no", ["yes"] * 10),
         (3, 10, "two", "number", ["two"] * 6 + ["three"] * 4),
         (4, 12, "blue", "other", ["blue"] * 9 + ["rainbowish"] * 1),
+        (7, 14, "no", "yes/no", ["no"] * 10),
     ]
     val_rows = [
         (5, 13, "Is the cat black?", None),
@@ -99,7 +101,12 @@ def test_prepare_roundtrip(tmp_path):
     data_dir = _mini_vqa_json(tmp_path)
     data = prepare_training_data(data_dir=data_dir, version=2, num_ans=5)
 
+    # 5 distinct answers, num_ans=5: the reference keeps top_n-1 = 4 answers
+    # + UNK (utils.py:239-247), displacing the least-frequent ("two"), whose
+    # question is then dropped (utils.py:181-182) -> 4 of 5 train rows survive
     assert len(data.train) == 4 and len(data.val) == 2
+    assert data.a_vocab_size == 5
+    assert "two" not in data.answer_vocab
     # pad id 0 is reserved; every real token id is within the embedding range
     assert data.train.questions.min() >= 0
     assert data.train.questions.max() < data.q_vocab_size
@@ -122,9 +129,13 @@ def test_answer_type_filter(tmp_path):
     data = prepare_training_data(
         data_dir=data_dir, version=2, num_ans=5, answer_type="yes/no"
     )
-    # only the yes/no questions survive (1 train, 1 val)
+    # only the yes/no questions are considered (2 train + 1 val); with two
+    # distinct answers top_n = min(num_ans, 2) = 2, so UNK displaces "no"
+    # (reference utils.py:239-247) and the "no" question is dropped
     assert len(data.train) == 1 and len(data.val) == 1
     assert "yes" in data.answer_vocab
+    assert "no" not in data.answer_vocab
+    assert data.a_vocab_size == 2
 
 
 def test_synthetic_qa_data_contract():

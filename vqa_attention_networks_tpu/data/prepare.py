@@ -65,12 +65,17 @@ def _json_paths(data_dir: str, version: int, split: str) -> Tuple[str, str]:
 
 
 def build_answer_vocab(annotations: List[dict], num_ans: int) -> Dict[str, int]:
-    """Top-(num_ans-1) answers + UNK (utils.py:226-248)."""
+    """Top-(num_ans-1) answers + UNK (utils.py:226-248).
+
+    Matches the reference's ``top_n = min(num_ans, len(distinct))`` exactly:
+    when there are fewer distinct answers than ``num_ans`` the least-frequent
+    one is still displaced by UNK, so vocab size and label indices agree with
+    the reference for filtered answer_type runs too."""
     freq: collections.Counter = collections.Counter(
         normalize_answer(a["multiple_choice_answer"]) for a in annotations
     )
     ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
-    top_n = min(num_ans, len(ranked) + 1)
+    top_n = min(num_ans, len(ranked))
     vocab = {ans: i for i, (ans, _) in enumerate(ranked[: top_n - 1])}
     vocab["UNK"] = top_n - 1
     return vocab
