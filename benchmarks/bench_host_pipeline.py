@@ -1,0 +1,95 @@
+"""Host batch-assembly throughput: can the data plane feed the device?
+
+The flagship bf16 inference path consumes ~40k qa-pairs/s on one chip
+(BENCH_r01.json); every batch the host assembles is a feature gather from the
+memory-mapped store + a soft-answer densify (data/dataset.py). This measures
+that assembly rate for both feeds (f16 = the bf16-training/inference feed,
+f32 = the full-precision feed), with the native C++ kernels
+(native/dataplane.cpp) and with the pure-NumPy fallback.
+
+Usage: python benchmarks/bench_host_pipeline.py [--images 2000] [--batch 256]
+"""
+
+import argparse
+import tempfile
+import time
+
+import numpy as np
+
+
+def _assemble_rate(batches, n_batches: int, trials: int = 3) -> float:
+    """Best-of-``trials`` qa-pairs/s over a sweep of ``n_batches`` assemblies."""
+    best = 0.0
+    for _ in range(trials):
+        it = batches.epoch(0)
+        t0 = time.perf_counter()
+        seen = 0
+        for i, b in enumerate(it):
+            seen += len(b)
+            if i + 1 >= n_batches:
+                break
+        best = max(best, seen / (time.perf_counter() - t0))
+    return best
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--images", type=int, default=2000)
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--pairs", type=int, default=20000)
+    parser.add_argument("--num_answers", type=int, default=1000)
+    args = parser.parse_args(argv)
+
+    from vqa_attention_networks_tpu.data import native
+    from vqa_attention_networks_tpu.data.dataset import VqaBatches
+    from vqa_attention_networks_tpu.data.feature_store import (
+        make_synthetic_feature_store,
+    )
+    from vqa_attention_networks_tpu.data.prepare import make_synthetic_qa_data
+
+    rng = np.random.default_rng(0)
+    qa = make_synthetic_qa_data(
+        rng, n_train=args.pairs, n_val=args.batch,
+        num_images=args.images, num_answers=args.num_answers,
+    )
+    n_batches = max(args.pairs // args.batch - 1, 1)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        store = make_synthetic_feature_store(
+            tmp,
+            image_ids=sorted(
+                set(qa.train.image_ids) | set(qa.val.image_ids)
+            ),
+        )
+        # page the whole store into the OS cache so neither path pays the
+        # cold-mmap cost (ordering-fair comparison)
+        float(np.asarray(store.features[:, 0, 0], np.float32).sum())
+        float(np.asarray(store.features[:, -1, -1], np.float32).sum())
+        float(np.asarray(store.features, np.float16).view(np.uint16).sum())
+        have_native = native.get_lib() is not None
+        for label, force_numpy in (("native", False), ("numpy ", True)):
+            if force_numpy:
+                native._lib, native._tried = None, True
+            elif not have_native:
+                print("native library unavailable — NumPy fallback only")
+                continue
+            for dtype in (np.float16, np.float32):
+                batches = VqaBatches(
+                    qa.train, store, batch_size=args.batch,
+                    num_answers=args.num_answers, soft_answer=True,
+                    shuffle=True, feature_dtype=dtype,
+                )
+                rate = _assemble_rate(batches, n_batches)
+                print(
+                    f"{label} feed={np.dtype(dtype).name:8s} "
+                    f"batch={args.batch:5d} {rate:12.0f} qa-pairs/s "
+                    f"({rate * 196 * 2048 * np.dtype(dtype).itemsize / 1e9:.1f}"
+                    f" GB/s features)",
+                    flush=True,
+                )
+            if force_numpy and have_native:
+                native._lib, native._tried = None, False  # restore
+
+
+if __name__ == "__main__":
+    main()

@@ -15,6 +15,10 @@
 #include <cstdint>
 #include <cstring>
 
+#if defined(__F16C__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 // IEEE 754 half -> float, branch-light bit manipulation.
@@ -58,7 +62,16 @@ void vqa_gather_f16_to_f32(const uint16_t* src, const int64_t* rows,
   for (int64_t i = 0; i < n_rows; ++i) {
     const uint16_t* r = src + rows[i] * row_elems;
     float* o = out + i * row_elems;
-    for (int64_t j = 0; j < row_elems; ++j) {
+    int64_t j = 0;
+#if defined(__F16C__)
+    // hardware half->float: 8 lanes per vcvtph2ps (the rows are 196*2048
+    // elements, so the vector loop carries essentially all of the work)
+    for (; j + 8 <= row_elems; j += 8) {
+      __m128i h = _mm_loadu_si128(reinterpret_cast<const __m128i*>(r + j));
+      _mm256_storeu_ps(o + j, _mm256_cvtph_ps(h));
+    }
+#endif
+    for (; j < row_elems; ++j) {
       o[j] = half_to_float(r[j]);
     }
   }

@@ -47,6 +47,25 @@ def test_densify_soft(lib):
     np.testing.assert_array_equal(got, want)
 
 
+def test_gather_f16_raw(lib):
+    rng = np.random.default_rng(1)
+    src = rng.standard_normal((10, 4, 8)).astype(np.float16)
+    rows = np.array([9, 1, 1, 0], np.int64)
+    got = native.gather_f16(src, rows)
+    assert got.dtype == np.float16
+    np.testing.assert_array_equal(got, src[rows])
+
+
+def test_gather_rejects_noncontiguous_and_out_of_range(lib):
+    src = np.zeros((10, 8), np.float16)
+    with pytest.raises(ValueError):
+        native.gather_f16_to_f32(src[:, ::2], np.array([0], np.int64))
+    with pytest.raises(IndexError):
+        native.gather_f16_to_f32(src, np.array([10], np.int64))
+    with pytest.raises(IndexError):
+        native.gather_f16(src, np.array([-1], np.int64))
+
+
 def test_feature_store_uses_native(tmp_path, lib):
     from vqa_attention_networks_tpu.data.feature_store import (
         make_synthetic_feature_store,
@@ -58,3 +77,30 @@ def test_feature_store_uses_native(tmp_path, lib):
     batch = store.gather([9, 5], dtype=np.float32)
     want = np.asarray(store.features[store.rows_for([9, 5])], np.float32)
     np.testing.assert_array_equal(batch, want)
+    # the f16 feed (bf16 training) routes through the raw native gather
+    batch16 = store.gather([11, 9], dtype=np.float16)
+    assert batch16.dtype == np.float16
+    np.testing.assert_array_equal(
+        batch16, np.asarray(store.features[store.rows_for([11, 9])])
+    )
+
+
+def test_batch_pipeline_densify_uses_native(lib):
+    from vqa_attention_networks_tpu.data.prepare import SOFT_WIDTH
+
+    rng = np.random.default_rng(2)
+    n, a = 7, 13
+    idx = np.full((n, SOFT_WIDTH), -1, np.int32)
+    val = np.zeros((n, SOFT_WIDTH), np.float32)
+    for i in range(n):
+        k = int(rng.integers(1, SOFT_WIDTH))
+        cols = rng.choice(a, size=k, replace=False).astype(np.int32)
+        idx[i, :k] = cols
+        val[i, :k] = rng.random(k).astype(np.float32)
+    got = native.densify_soft(idx, val, a)
+    want = np.zeros((n, a), np.float32)
+    for i in range(n):
+        for j in range(SOFT_WIDTH):
+            if idx[i, j] >= 0:
+                want[i, idx[i, j]] = val[i, j]
+    np.testing.assert_array_equal(got, want)

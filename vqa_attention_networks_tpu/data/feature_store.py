@@ -107,11 +107,18 @@ class FeatureStore:
         return self.gather_rows(self.rows_for(image_ids), dtype)
 
     def gather_rows(self, rows: np.ndarray, dtype=np.float32) -> np.ndarray:
-        # fused native gather+widen when available (native/dataplane.cpp)
-        if dtype == np.float32 and self.features.dtype == np.float16:
+        # native gather when available (native/dataplane.cpp): fused
+        # gather+widen for the f32 feed, raw row memcpy for the f16 feed
+        # (the bf16-training configuration — feature_dtype=float16 in
+        # train/solver.py)
+        if self.features.dtype == np.float16:
             from vqa_attention_networks_tpu.data import native
 
-            out = native.gather_f16_to_f32(self.features, np.asarray(rows))
+            out = None
+            if dtype == np.float32:
+                out = native.gather_f16_to_f32(self.features, np.asarray(rows))
+            elif np.dtype(dtype) == np.float16:
+                out = native.gather_f16(self.features, np.asarray(rows))
             if out is not None:
                 return out
         return np.asarray(self.features[rows], dtype=dtype)

@@ -66,6 +66,21 @@ def get_lib() -> Optional[ctypes.CDLL]:
     return _lib
 
 
+def _check_gather_args(src: np.ndarray, rows: np.ndarray) -> np.ndarray:
+    """Safety gates in front of the unchecked C kernels: the source must be a
+    dense row-major buffer (a strided view would be walked with the wrong
+    pitch) and every row index must be in range (the kernel does no bounds
+    check — an out-of-range row reads foreign memory or segfaults)."""
+    if not src.flags["C_CONTIGUOUS"]:
+        raise ValueError("native gather requires a C-contiguous source")
+    rows = np.ascontiguousarray(rows, np.int64)
+    if len(rows) and (rows.min() < 0 or rows.max() >= src.shape[0]):
+        raise IndexError(
+            f"row indices out of range [0, {src.shape[0]}) for native gather"
+        )
+    return rows
+
+
 def gather_f16_to_f32(
     src: np.ndarray,  # [num_rows, ...] float16 (memmap ok)
     rows: np.ndarray,  # [n] int64
@@ -75,12 +90,32 @@ def gather_f16_to_f32(
     if lib is None:
         return None
     assert src.dtype == np.float16
+    rows = _check_gather_args(src, rows)
     row_elems = int(np.prod(src.shape[1:]))
-    rows = np.ascontiguousarray(rows, np.int64)
     out = np.empty((len(rows), *src.shape[1:]), np.float32)
     lib.vqa_gather_f16_to_f32(
-        src.ctypes.data if isinstance(src, np.ndarray) else src,
-        rows, len(rows), row_elems, out.reshape(len(rows), -1),
+        src.ctypes.data, rows, len(rows), row_elems,
+        out.reshape(len(rows), -1),
+    )
+    return out
+
+
+def gather_f16(
+    src: np.ndarray,  # [num_rows, ...] float16 (memmap ok)
+    rows: np.ndarray,  # [n] int64
+) -> Optional[np.ndarray]:
+    """Raw f16 row gather (the bf16-training feed: the store dtype ships to
+    the device unwidened); None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert src.dtype == np.float16
+    rows = _check_gather_args(src, rows)
+    row_elems = int(np.prod(src.shape[1:]))
+    out = np.empty((len(rows), *src.shape[1:]), np.float16)
+    lib.vqa_gather_rows_u16(
+        src.ctypes.data, rows, len(rows), row_elems,
+        out.reshape(len(rows), -1).view(np.uint16),
     )
     return out
 
