@@ -68,6 +68,42 @@ def test_loss_and_grads_match_single_device(mesh_shape):
         )
 
 
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_bf16_inference_path_on_tp_mesh(mesh_shape):
+    """The bf16 eval path routes through grid_fuse_weight_contracted
+    (ops/fusion.py), whose w.reshape(D, O, K) runs under a fusion-axis
+    'model'-sharded weight. It must compile + execute on a >1-'model' mesh
+    and agree with the single-device result."""
+    assert len(jax.devices()) >= 8
+    cfg = Config(
+        model_name="mhb_coAtt", q_vocab_size=Q_VOCAB, a_vocab_size=A_VOCAB,
+        hidden_dim=16, emb_dim=8, img_feature_channel=D,
+        max_question_length=T, mfb_factor=5, mfb_out=8,
+        compute_dtype="bfloat16",
+    ).validate()
+    model = get_model("mhb_coAtt")
+    params = model.init(jax.random.PRNGKey(0), cfg)
+    img, ques, _ = _data(np.random.default_rng(1))
+    img16 = img.astype(np.float16)  # the f16 feed the bf16 config ships
+
+    def fwd(p, img, ques):
+        logits, _ = model.apply(p, cfg, img, ques, train=False)
+        return logits
+
+    fwd_j = jax.jit(fwd)
+    logits_1 = np.asarray(fwd_j(params, img16, ques))
+
+    data, model_par = mesh_shape
+    mesh = make_mesh(data=data, model=model_par)
+    p_sh = shard_params(mesh, params, cfg.fusion_dim)
+    img_sh, ques_sh = shard_batch(mesh, (img16, ques))
+    logits_8 = np.asarray(fwd_j(p_sh, img_sh, ques_sh))
+
+    # bf16 compute: identical op sequence, but collective reduction order may
+    # differ — tolerance at the bf16 resolution of the logits
+    np.testing.assert_allclose(logits_1, logits_8, rtol=2e-2, atol=2e-2)
+
+
 def test_tp_sharding_places_fusion_axis():
     cfg = _cfg()
     model = get_model("mhb_coAtt")
