@@ -187,6 +187,109 @@ def oracle_mfb(p, cfg, img, ques, multilayer=False):
     return np_dense(p["linear_pred"], f)
 
 
+def np_lstm2_cells(p1, p2, seq):
+    """Two stacked LSTMCells exactly as visLstm.py:53-56: layer 1 consumes the
+    input token, layer 2 consumes layer-1's hidden state, per step. Returns
+    the final layer-2 hidden state."""
+    n, t1, _ = seq.shape
+    h1 = np.zeros((n, p1["w_hh"].shape[0]))
+    c1 = np.zeros_like(h1)
+    h2 = np.zeros((n, p2["w_hh"].shape[0]))
+    c2 = np.zeros_like(h2)
+    for step in range(t1):
+        gates = seq[:, step] @ p1["w_ih"] + h1 @ p1["w_hh"] + p1["b"]
+        i, f, g, o = np.split(gates, 4, axis=-1)
+        c1 = np_sigmoid(f) * c1 + np_sigmoid(i) * np.tanh(g)
+        h1 = np_sigmoid(o) * np.tanh(c1)
+        gates = h1 @ p2["w_ih"] + h2 @ p2["w_hh"] + p2["b"]
+        i, f, g, o = np.split(gates, 4, axis=-1)
+        c2 = np_sigmoid(f) * c2 + np_sigmoid(i) * np.tanh(g)
+        h2 = np_sigmoid(o) * np.tanh(c2)
+    return h2
+
+
+def oracle_vis_lstm(p, cfg, img, ques, image_first):
+    """NumPy transcription of visLstm.py:27-60 (eval mode; image projected to
+    emb_dim per the documented intent fix; grid mean-pooled to a vector)."""
+    emb_q = p["embedding_ques"]["table"][ques]  # N, T, E (visLstm.py:34)
+    emb_i = np.tanh(np_dense(p["embedding_img"], img.mean(axis=1)))  # :35
+    if image_first:  # visLstm.py:42-48
+        seq = np.concatenate([emb_i[:, None, :], emb_q], axis=1)
+    else:
+        seq = np.concatenate([emb_q, emb_i[:, None, :]], axis=1)
+    h2 = np_lstm2_cells(p["lstm1"], p["lstm2"], seq)  # visLstm.py:50-56
+    return np_dense(p["output_layer"], h2)  # visLstm.py:58
+
+
+def oracle_hiecoatten(p, cfg, img_raw, ques):
+    """NumPy transcription of hieCoAtten.py:18-55 (eval mode, with the two
+    documented bugfixes: Wbq on the question branch, dim-1 concat)."""
+    img = np.maximum(np_dense(p["img_emb"], img_raw), 0)  # :25-26
+    que = p["que_emb"]["table"][ques]  # :27
+    cv = np_dense(p["fc_Wbv"], img)  # :30
+    cq = np_dense(p["fc_Wbq"], que)  # :31 with fc_Wbq (bugfix)
+    c = np.tanh(np.einsum("nte,nle->ntl", cq, cv))  # :32
+    img_w = np_dense(p["fc_Wv"], img)  # :35
+    que_w = np_dense(p["fc_Wq"], que)  # :36
+    # Hv = tanh(Wv v + (Wq q)^T C)  (:38)
+    hv = np.tanh(img_w + np.einsum("nte,ntl->nle", que_w, c))
+    av = np_softmax(np_dense(p["fc_Whv"], hv), axis=1)[..., 0]  # :40
+    v = np.einsum("nl,nle->ne", av, img)  # :42
+    # Hq = tanh(Wq q + (Wv v)^T C^T)  (:45)
+    hq = np.tanh(que_w + np.einsum("nle,ntl->nte", img_w, c))
+    aq = np_softmax(np_dense(p["fc_Whq"], hq), axis=1)[..., 0]  # :47
+    q = np.einsum("nt,nte->ne", aq, que)  # :49
+    x = np.concatenate([v, q], axis=-1)  # dim-1 concat (bugfix of :52)
+    return np_dense(p["fc"], x)  # :54
+
+
+def np_batchnorm_eval(p, x, eps=1e-5):
+    return (x - p["mean"]) / np.sqrt(p["var"] + eps) * p["scale"] + p["bias"]
+
+
+def oracle_ibowimg(p, cfg, img_raw, ques):
+    """NumPy transcription of networks.py:7-28 (eval mode; grid mean-pooled)."""
+    img = np_batchnorm_eval(p["img_bn"], np_dense(p["img_emb"], img_raw.mean(1)))
+    img = np.maximum(img, 0)  # :22 (dropout is eval-off)
+    que = p["que_emb"]["table"][ques].sum(axis=1)  # :23-25 bag of words
+    return np_dense(p["fc"], np.concatenate([img, que], axis=1))  # :26-27
+
+
+def np_attention_1(p, f1, f2):
+    """Additive attention exactly as modules.py:41-77: materialise the
+    [N, T, L, D] broadcast sum and push it through the D->1 linear layer
+    (the independent path for the repo's decomposed formulation)."""
+    h_temp = f1[:, None, :, :] + f2[:, :, None, :]  # N, T, L, D (:53-60)
+    att = (h_temp @ p["fc"]["w"])[..., 0] + p["fc"]["b"]  # N, T, L (:63-64)
+    att = np_softmax(att, axis=2)  # :67
+    f_hat = np.einsum("ntl,nld->ntd", att, f1)  # :68
+    return f_hat, att
+
+
+def oracle_attention_net(p, cfg, img_raw, ques):
+    """NumPy transcription of networks.py:30-69 + modules.py:8-77 (eval mode,
+    with the dim-1 concat bugfix of networks.py:64)."""
+    n = ques.shape[0]
+    img = np.maximum(np_dense(p["img_emb"], img_raw), 0)  # :55-56
+    que = p["que_emb"]["table"][ques]  # :57
+    que_att = img_att = None
+    for i in range(cfg.att_num):  # :59-62
+        f1, f2 = (img, que) if i % 2 == 0 else (que, img)
+        f1 = np.maximum(f1, 0)  # modules.py:27
+        f2 = np.maximum(f2, 0)  # modules.py:28
+        f_hat, att = np_attention_1(p[f"att{i}"]["att"], f1, f2)
+        f2 = np.maximum(f2 + f_hat, 0)  # modules.py:31
+        if i % 2 == 0:
+            img, que, que_att = f1, f2, att
+        else:
+            que, img, img_att = f1, f2, att
+    x = np.concatenate(
+        [que_att, img_att.transpose(0, 2, 1)], axis=1
+    ).reshape(n, -1)  # :64-65 (dim-1 bugfix)
+    x = np_dense(p["fc"], x)  # :66
+    return np_batchnorm_eval(p["batchnorm"], x)  # :68
+
+
 # ---------------------------------------------------------------------------
 # tests
 # ---------------------------------------------------------------------------
@@ -236,6 +339,74 @@ def test_mfb_multilayer_matches_oracle():
     got = _apply_f64(model, params, cfg, img, ques, qlen)
     want = oracle_mfb(_np(params), cfg, img.astype(np.float64), ques,
                       multilayer=True)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_vis_lstm_matches_oracle():
+    for image_first, seed in ((True, 8), (False, 9)):
+        cfg = _cfg("visLstm").replace(image_first=image_first)
+        model = get_model("visLstm")
+        params = model.init(jax.random.PRNGKey(seed), cfg)
+        img, ques, qlen = _inputs(np.random.default_rng(seed))
+        got = _apply_f64(model, params, cfg, img, ques, qlen)
+        want = oracle_vis_lstm(
+            _np(params), cfg, img.astype(np.float64), ques, image_first
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_hiecoatten_matches_oracle():
+    cfg = _cfg("hieCoAtten").replace(embed_size=HID)
+    model = get_model("hieCoAtten")
+    params = model.init(jax.random.PRNGKey(10), cfg)
+    img, ques, qlen = _inputs(np.random.default_rng(10))
+    got = _apply_f64(model, params, cfg, img, ques, qlen)
+    want = oracle_hiecoatten(_np(params), cfg, img.astype(np.float64), ques)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def _randomize_bn_stats(params, name, rng):
+    """Replace a batchnorm layer's running stats so the eval normalisation is
+    exercised with non-identity statistics."""
+    dim = np.asarray(params[name]["mean"]).shape[0]
+    params = dict(params)
+    params[name] = dict(
+        params[name],
+        mean=jax.numpy.asarray(rng.standard_normal(dim), jax.numpy.float32),
+        var=jax.numpy.asarray(0.3 + rng.random(dim), jax.numpy.float32),
+        scale=jax.numpy.asarray(
+            0.5 + rng.random(dim), jax.numpy.float32
+        ),
+        bias=jax.numpy.asarray(rng.standard_normal(dim), jax.numpy.float32),
+    )
+    return params
+
+
+def test_ibowimg_matches_oracle():
+    cfg = _cfg("iBOWIMG").replace(embed_size=HID)
+    model = get_model("iBOWIMG")
+    rng = np.random.default_rng(11)
+    params = _randomize_bn_stats(
+        model.init(jax.random.PRNGKey(11), cfg), "img_bn", rng
+    )
+    img, ques, qlen = _inputs(rng)
+    got = _apply_f64(model, params, cfg, img, ques, qlen)
+    want = oracle_ibowimg(_np(params), cfg, img.astype(np.float64), ques)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_attention_net_matches_oracle():
+    cfg = _cfg("attentionNet").replace(embed_size=HID, att_num=6)
+    model = get_model("attentionNet")
+    rng = np.random.default_rng(12)
+    params = _randomize_bn_stats(
+        model.init(jax.random.PRNGKey(12), cfg), "batchnorm", rng
+    )
+    img, ques, qlen = _inputs(rng)
+    got = _apply_f64(model, params, cfg, img, ques, qlen)
+    want = oracle_attention_net(
+        _np(params), cfg, img.astype(np.float64), ques
+    )
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
 
 
