@@ -94,7 +94,20 @@ def main(argv=None) -> None:
     ).validate()
     model = get_model(cfg.model_name)
     template = model.init(jax.random.PRNGKey(0), cfg)
-    params = ckpt.load_weights(f"{args.model_dir}/{cfg.model_name}", template)
+    try:
+        params = ckpt.load_weights(
+            f"{args.model_dir}/{cfg.model_name}", template
+        )
+    except Exception as e:  # orbax raises deep tensorstore shape errors
+        if "not compatible with the stored shape" in str(e):
+            raise SystemExit(
+                f"checkpoint under {args.model_dir}/{cfg.model_name} was "
+                f"trained with different vocab sizes than {vocab_path} "
+                f"describes (q_vocab={cfg.q_vocab_size}, "
+                f"a_vocab={cfg.a_vocab_size}) — pass the vocab artifact the "
+                f"model was trained with"
+            )
+        raise
 
     logits, _ = model.apply(params, cfg, feats, ids, ques_length=qlen)
     probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]

@@ -43,12 +43,17 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 # functional blocks
 # ---------------------------------------------------------------------------
 
-def _conv(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
-          padding="SAME") -> jnp.ndarray:
+def _conv(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
+    # Explicit symmetric k//2 padding — torch's Conv2d(padding=k//2)
+    # semantics. XLA's "SAME" pads asymmetrically under stride 2 on even
+    # inputs ((0,1) instead of (1,1)), sampling a grid shifted by one pixel;
+    # that misalignment compounds through every stride-2 stage and diverged
+    # 23-56% from the torch forward (caught by tests/test_torch_parity.py).
+    kh, kw = int(w.shape[0]), int(w.shape[1])
     return jax.lax.conv_general_dilated(
         x, w.astype(x.dtype),
         window_strides=(stride, stride),
-        padding=padding,
+        padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=x.dtype,
     )

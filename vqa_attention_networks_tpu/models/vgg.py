@@ -88,24 +88,30 @@ def grid_features(params: Dict, images: jnp.ndarray,
 
 
 def convert_torchvision_vgg19(state_dict: Dict[str, np.ndarray]) -> Dict:
-    """torchvision ``vgg19().state_dict()`` (as numpy) -> param pytree."""
-    convs = []
-    i = 0
-    while f"features.{i}.weight" in state_dict or any(
-        k.startswith(f"features.{j}.") for j in range(i, i + 2)
+    """torchvision ``vgg19().state_dict()`` (as numpy) -> param pytree.
+
+    Convs are collected by scanning the key set for ``features.<i>.weight``
+    in index order — torchvision's Sequential indices are sparse (ReLU and
+    pool modules hold no params), so an index walk with a fixed lookahead
+    misses convs after a relu+pool gap."""
+    conv_indices = sorted(
+        int(k.split(".")[1])
         for k in state_dict
-    ):
-        key = f"features.{i}.weight"
-        if key in state_dict:
-            convs.append({
-                "w": np.transpose(state_dict[key], (2, 3, 1, 0)).astype(
-                    np.float32
-                ),
-                "b": state_dict[f"features.{i}.bias"].astype(np.float32),
-            })
-        i += 1
-        if i > 40:
-            break
+        if k.startswith("features.") and k.endswith(".weight")
+    )
+    convs = [
+        {
+            "w": np.transpose(
+                state_dict[f"features.{i}.weight"], (2, 3, 1, 0)
+            ).astype(np.float32),
+            "b": state_dict[f"features.{i}.bias"].astype(np.float32),
+        }
+        for i in conv_indices
+    ]
+    expected = sum(1 for item in VGG19_CFG if item != "M")
+    assert len(convs) == expected, (
+        f"vgg19 state_dict has {len(convs)} convs, expected {expected}"
+    )
     return {"convs": convs}
 
 
