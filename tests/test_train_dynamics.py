@@ -1,0 +1,200 @@
+"""Training-dynamics parity: the flagship model trained in this framework and
+in a torch transcription of the reference must produce the same loss
+trajectory from identical weights and batches.
+
+The torch twin below re-expresses the reference op sequence
+(mhb_coAtt.py:61-151 with the two documented bugfixes: time-major LSTM scan,
+dim-correct concat) plus the reference training rule (KLDivLoss on
+log_softmax outputs, solver.py:26-27,91-94; Adam lr=7e-4, solver.py:30)
+through torch autograd + torch.optim.Adam — a fully independent
+differentiation and optimiser path. Identical initial weights, identical
+synthetic batches, dropout disabled; the per-step losses must agree.
+
+This is the strongest accuracy-parity proxy available without the real
+dataset (SURVEY.md section 6): if gradients or optimiser dynamics diverged
+anywhere, the trajectories would separate within a few steps.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+from vqa_attention_networks_tpu.config import Config  # noqa: E402
+from vqa_attention_networks_tpu.models import get_model  # noqa: E402
+from vqa_attention_networks_tpu.train.losses import soft_cross_entropy  # noqa: E402
+
+N, T, L, D = 8, 7, 196, 16
+Q_VOCAB, A_VOCAB = 25, 11
+HID, EMB = 16, 8
+K, O = 5, 8  # fusion 40
+LR = 7e-4  # solver.py:30
+STEPS = 12
+
+
+# ---------------------------------------------------------------------------
+# torch twin (independent autograd path over the same parameter tree)
+# ---------------------------------------------------------------------------
+
+def _t_lstm(p, x):
+    """Time-major LSTM scan, PyTorch gate order i,f,g,o (mhb_coAtt.py:27-31
+    with the documented time-scan bugfix)."""
+    n, t, _ = x.shape
+    hdim = p["w_hh"].shape[0]
+    h = torch.zeros(n, hdim, dtype=x.dtype)
+    c = torch.zeros_like(h)
+    outs = []
+    for step in range(t):
+        gates = x[:, step] @ p["w_ih"] + h @ p["w_hh"] + p["b"]
+        i, f, g, o = torch.split(gates, hdim, dim=-1)
+        c = torch.sigmoid(f) * c + torch.sigmoid(i) * torch.tanh(g)
+        h = torch.sigmoid(o) * torch.tanh(c)
+        outs.append(h)
+    return torch.stack(outs, dim=1)
+
+
+def _t_dense(p, x):
+    y = x @ p["w"]
+    return y + p["b"] if "b" in p else y
+
+
+def _t_ssqrt(x):
+    return torch.sqrt(torch.relu(x)) - torch.sqrt(torch.relu(-x))
+
+
+def _t_l2(x, eps=1e-12):
+    norm = torch.sqrt((x * x).sum(dim=-1, keepdim=True))
+    return x / torch.clamp(norm, min=eps)
+
+
+def _t_kpool(z, k):
+    *lead, d = z.shape
+    return z.reshape(*lead, d // k, k).sum(-1)
+
+
+def _t_glimpse(att, values):
+    """Real per-position softmax glimpses (mhb_coAtt.py:84-91,114-121)."""
+    outs = []
+    for g in range(att.shape[-1]):
+        w = torch.softmax(att[:, :, g], dim=1)
+        outs.append((w.unsqueeze(-1) * values).sum(dim=1))
+    return torch.cat(outs, dim=-1)
+
+
+def torch_mhb_coatt(p, img, ques, k):
+    """mhb_coAtt.py:61-151 (dropout disabled)."""
+    emb = torch.tanh(p["word_embedding"]["table"][ques])  # :70
+    h = _t_lstm(p["lstm"], emb)  # :72-74
+
+    att = _t_dense(p["ques_att_conv2"],
+                   torch.relu(_t_dense(p["ques_att_conv1"], h)))  # :81-83
+    q_att = _t_glimpse(att, h)  # :84-91
+
+    q_proj = _t_dense(p["ques_proj1"], q_att)  # :94
+    z = _t_dense(p["img_conv1d"], img) * q_proj.unsqueeze(1)  # :96-99
+    z = _t_ssqrt(_t_kpool(z, k))  # :102-106
+    n = img.shape[0]
+    z = _t_l2(z.reshape(n, -1)).reshape(z.shape)  # :107 (grid-flat L2)
+
+    co = _t_dense(p["co_att_conv2"],
+                  torch.relu(_t_dense(p["co_att_conv1"], z)))  # :110-113
+    v_att = _t_glimpse(co, img)  # :114-121
+
+    outs = []
+    for stage in ("2", "3"):  # :123-148
+        a = _t_dense(p[f"ques_proj{stage}"], q_att)
+        b = _t_dense(p[f"img_proj{stage}"], v_att)
+        outs.append(_t_l2(_t_ssqrt(_t_kpool(a * b, k))))
+    return _t_dense(p["linear_pred"], torch.cat(outs, dim=-1))
+
+
+def _to_torch_tree(params):
+    """Same tree, same orientation, as trainable torch doubles."""
+    leaves = []
+
+    def conv(x):
+        t = torch.tensor(np.asarray(x, np.float64), requires_grad=True)
+        leaves.append(t)
+        return t
+
+    return jax.tree_util.tree_map(conv, params), leaves
+
+
+def test_mhb_coatt_loss_trajectory_matches_torch():
+    cfg = Config(
+        model_name="mhb_coAtt", q_vocab_size=Q_VOCAB, a_vocab_size=A_VOCAB,
+        hidden_dim=HID, emb_dim=EMB, img_feature_channel=D,
+        max_question_length=T, mfb_factor=K, mfb_out=O,
+        dropout_lstm=0.0, dropout_fusion=0.0,
+    ).validate()
+    model = get_model("mhb_coAtt")
+    params = model.init(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((STEPS, N, L, D))
+    quess = rng.integers(0, Q_VOCAB, size=(STEPS, N, T)).astype(np.int32)
+    softs = rng.random((STEPS, N, A_VOCAB))  # unnormalised, like the
+    # reference's annotator-fraction vectors (data_loader.py:39-42)
+    qlen = np.full((N,), T, np.int32)
+
+    # ---- torch side -------------------------------------------------------
+    tp, tleaves = _to_torch_tree(params)
+    opt = torch.optim.Adam(tleaves, lr=LR)  # solver.py:30
+    torch_losses = []
+    for s in range(STEPS):
+        opt.zero_grad()
+        logits = torch_mhb_coatt(
+            tp, torch.tensor(imgs[s]), torch.tensor(quess[s].astype(np.int64)),
+            K,
+        )
+        # criterion(log_softmax(out), soft) with reduction='mean'
+        # (solver.py:27 + mhb_coAtt.py:149)
+        loss = torch.nn.functional.kl_div(
+            torch.log_softmax(logits, dim=-1),
+            torch.tensor(softs[s]), reduction="mean",
+        )
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss.detach()))
+
+    # ---- this framework (f64 to isolate semantics from summation order) ---
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg64 = cfg.replace(compute_dtype="float64")
+        p64 = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x), jnp.float64), params
+        )
+        tx = optax.adam(LR)
+        opt_state = tx.init(p64)
+        key = jax.random.PRNGKey(1)  # dropout rates are 0: key is inert
+
+        @jax.jit
+        def step(p, o, img, ques, soft):
+            def loss_fn(p):
+                logits, _ = model.apply(
+                    p, cfg64, img, ques, ques_length=qlen, train=True, rng=key
+                )
+                return soft_cross_entropy(logits, soft)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o = tx.update(grads, o, p)
+            return optax.apply_updates(p, updates), o, loss
+
+        jax_losses = []
+        for s in range(STEPS):
+            p64, opt_state, loss = step(
+                p64, opt_state, jnp.asarray(imgs[s]), jnp.asarray(quess[s]),
+                jnp.asarray(softs[s]),
+            )
+            jax_losses.append(float(loss))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    # identical weights + batches + lr: trajectories must track each other
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=1e-6)
+    # and training must actually be moving
+    assert jax_losses[-1] != jax_losses[0]
