@@ -1,0 +1,69 @@
+"""GloVe table construction from a standard text distribution file
+(the spaCy-free path that unblocks the reference's best config,
+data_loader.py:18-23 being spaCy-only)."""
+
+import numpy as np
+
+from vqa_attention_networks_tpu.cli import build_glove
+from vqa_attention_networks_tpu.data.glove import (
+    build_glove_table_from_text,
+    load_glove_table,
+)
+
+
+def _fixture_file(tmp_path, dim=4):
+    lines = [
+        "cat 0.1 0.2 0.3 0.4",
+        "dog -1.0 0.5 0.25 0.0",
+        # 840B-style token containing a space: must split from the right
+        ". . 9.0 9.0 9.0 9.0",
+        "malformed 1.0 2.0",  # wrong arity: skipped
+        "sky 1 2 3 4",
+        "unused 7 7 7 7",
+    ]
+    path = tmp_path / "glove.test.txt"
+    path.write_text("\n".join(lines) + "\n")
+    return str(path)
+
+
+def test_build_from_text_matches_vocab_rows(tmp_path):
+    vocab = {"cat": 1, "sky": 2, ". .": 3, "dog": 4, "oov": 5, "UNK": 6}
+    table = build_glove_table_from_text(
+        vocab, _fixture_file(tmp_path), dim=4
+    )
+    assert table.shape == (7, 4)
+    np.testing.assert_array_equal(table[0], 0.0)  # pad row
+    np.testing.assert_allclose(table[1], [0.1, 0.2, 0.3, 0.4])
+    np.testing.assert_allclose(table[2], [1, 2, 3, 4])
+    np.testing.assert_allclose(table[3], [9, 9, 9, 9])  # space token
+    np.testing.assert_allclose(table[4], [-1.0, 0.5, 0.25, 0.0])
+    np.testing.assert_array_equal(table[5], 0.0)  # OOV stays zero
+    np.testing.assert_array_equal(table[6], 0.0)  # UNK not in vectors
+
+
+def test_build_glove_cli_vectors_path(tmp_path):
+    import json
+
+    vocab_file = tmp_path / "v.vocab.json"
+    vocab_file.write_text(json.dumps({
+        "question_vocab": {"cat": 1, "dog": 2, "UNK": 3},
+        "answer_vocab": {"yes": 0, "UNK": 1},
+        "max_question_length": 5,
+    }))
+    out = tmp_path / "table.npy"
+    # GLOVE_DIM is 300; the fixture is 4-dim, so go through the API with an
+    # explicit dim for the row check and the CLI end-to-end with a 300-dim row
+    vec300 = tmp_path / "glove300.txt"
+    vec300.write_text(
+        "cat " + " ".join(["0.5"] * 300) + "\n"
+        "dog " + " ".join(["1.5"] * 300) + "\n"
+    )
+    build_glove.main([
+        "--vocab", str(vocab_file), "--out", str(out),
+        "--vectors", str(vec300),
+    ])
+    table = load_glove_table(str(out))
+    assert table.shape == (4, 300)
+    np.testing.assert_allclose(table[1], 0.5)
+    np.testing.assert_allclose(table[2], 1.5)
+    np.testing.assert_array_equal(table[3], 0.0)

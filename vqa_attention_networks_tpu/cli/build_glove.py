@@ -17,6 +17,7 @@ import numpy as np
 
 from vqa_attention_networks_tpu.data.glove import (
     build_glove_table,
+    build_glove_table_from_text,
     random_glove_table,
     save_glove_table,
 )
@@ -27,6 +28,9 @@ def main(argv=None) -> None:
     parser.add_argument("--vocab", type=str, required=True,
                         help="path to <artifact>.vocab.json")
     parser.add_argument("--out", type=str, default="data/glove_table.npy")
+    parser.add_argument("--vectors", type=str, default=None,
+                        help="standard GloVe text file (e.g. "
+                             "glove.840B.300d.txt) — no spaCy needed")
     parser.add_argument("--spacy_model", type=str, default="en_vectors_web_lg")
     parser.add_argument("--random", action="store_true",
                         help="random stand-in table (tests/smoke only)")
@@ -39,6 +43,11 @@ def main(argv=None) -> None:
         table = random_glove_table(vocab)
         print("WARNING: random GloVe table (--random); vectors carry no "
               "semantics")
+    elif args.vectors:
+        table = build_glove_table_from_text(vocab, args.vectors)
+        hit = int((np.abs(table).sum(axis=1) > 0).sum())
+        print(f"matched {hit}/{table.shape[0]} vocabulary rows in "
+              f"{args.vectors}")
     else:
         table = build_glove_table(vocab, spacy_model=args.spacy_model)
 

@@ -41,6 +41,41 @@ def build_glove_table(
     return table
 
 
+def build_glove_table_from_text(
+    question_vocab: Dict[str, int],
+    vectors_path: str,
+    dim: int = GLOVE_DIM,
+) -> np.ndarray:
+    """Embed the question vocabulary from a standard GloVe text file
+    (``glove.840B.300d.txt``-style: one ``word v1 ... vD`` line per word).
+
+    Capability upgrade over the reference's spaCy-only path
+    (data_loader.py:19): the published GloVe distributions work directly,
+    no spaCy install needed. Streams the (multi-GB) file once, keeping only
+    the vocabulary's rows. Out-of-vocabulary words stay zero — the same
+    fallback spaCy gives for unknown tokens. Row 0 (pad) is zero
+    (data_loader.py:51-52).
+    """
+    size = max(question_vocab.values()) + 1
+    table = np.zeros((size, dim), dtype=np.float32)
+    wanted = {w: i for w, i in question_vocab.items() if i != 0}
+    remaining = set(wanted)
+    with open(vectors_path, "r", encoding="utf-8") as f:
+        for line in f:
+            if not remaining:
+                break
+            # split from the right: GloVe 840B tokens may contain spaces
+            parts = line.rstrip("\n").rsplit(" ", dim)
+            if len(parts) != dim + 1:
+                continue  # malformed line
+            word = parts[0]
+            if word in remaining:
+                table[wanted[word]] = np.asarray(parts[1:], dtype=np.float32)
+                remaining.discard(word)
+    table[0] = 0.0
+    return table
+
+
 def random_glove_table(
     question_vocab: Dict[str, int], dim: int = GLOVE_DIM, seed: int = 0
 ) -> np.ndarray:
