@@ -1,0 +1,98 @@
+"""Parity of the VMEM-resident weight-contracted fusion kernel
+(ops/pallas_wq_fusion.py) against its composed XLA twin, via Pallas
+interpret mode (runs on CPU; the TPU path is A/B-verified on hardware in
+benchmarks/bench_wq_kernel.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqa_attention_networks_tpu.ops.pallas_wq_fusion import (
+    _composed_reference,
+    _composed_stage1_coatt,
+    _wq_grid_fuse_pallas,
+    fused_stage1_coattention_pallas,
+)
+
+N, L, D, K, O = 3, 8, 128, 5, 128  # F = 640, O_pad == O == one lane tile
+C, G = 32, 2
+
+
+def _data(seed=0):
+    rng = np.random.default_rng(seed)
+    img = (rng.standard_normal((N, L, D)) * 0.5).astype(jnp.bfloat16)
+    w = (rng.standard_normal((D, O * K)) * 0.05).astype(np.float32)
+    b = (rng.standard_normal(O * K) * 0.05).astype(np.float32)
+    q = (rng.standard_normal((N, O * K)) * 0.5).astype(np.float32)
+    return img, w, b, q
+
+
+def test_wq_kernel_matches_composed_interpret():
+    img, w, b, q = _data(0)
+    got = np.asarray(
+        _wq_grid_fuse_pallas(jnp.asarray(img), jnp.asarray(w),
+                             jnp.asarray(b), jnp.asarray(q), K,
+                             interpret=True),
+        np.float32,
+    )
+    want = np.asarray(
+        _composed_reference(jnp.asarray(img, jnp.float32), jnp.asarray(w),
+                            jnp.asarray(b), jnp.asarray(q), K),
+        np.float32,
+    )
+    assert got.shape == want.shape == (N, L, O)
+    err = np.abs(got - want)
+    assert err.mean() < 0.02
+    assert np.quantile(err, 0.95) < 0.1
+
+
+def test_combined_kernel_matches_composed_interpret():
+    img, w, b, q = _data(1)
+    rng = np.random.default_rng(2)
+    c1w = (rng.standard_normal((O, C)) * 0.1).astype(np.float32)
+    c1b = (rng.standard_normal(C) * 0.1).astype(np.float32)
+    c2w = (rng.standard_normal((C, G)) * 0.1).astype(np.float32)
+    c2b = (rng.standard_normal(G) * 0.1).astype(np.float32)
+
+    got = np.asarray(
+        fused_stage1_coattention_pallas(
+            jnp.asarray(img), jnp.asarray(w), jnp.asarray(b), jnp.asarray(q),
+            jnp.asarray(c1w), jnp.asarray(c1b), jnp.asarray(c2w),
+            jnp.asarray(c2b), K, interpret=True,
+        ),
+        np.float32,
+    ).reshape(N, G * D)
+    want = np.asarray(
+        _composed_stage1_coatt(
+            jnp.asarray(img, jnp.float32), jnp.asarray(w), jnp.asarray(b),
+            jnp.asarray(q), jnp.asarray(c1w), jnp.asarray(c1b),
+            jnp.asarray(c2w), jnp.asarray(c2b), K,
+        ),
+        np.float32,
+    )
+    assert got.shape == want.shape
+    err = np.abs(got - want)
+    assert err.mean() < 0.02
+    assert np.quantile(err, 0.95) < 0.1
+
+
+def test_combined_kernel_backward_is_composed():
+    # the custom VJP routes gradients through the composed twin
+    img, w, b, q = _data(3)
+    rng = np.random.default_rng(4)
+    c1w = (rng.standard_normal((O, C)) * 0.1).astype(np.float32)
+    c1b = np.zeros(C, np.float32)
+    c2w = (rng.standard_normal((C, G)) * 0.1).astype(np.float32)
+    c2b = np.zeros(G, np.float32)
+
+    def loss_composed(w_):
+        out = _composed_stage1_coatt(
+            jnp.asarray(img, jnp.float32), w_, jnp.asarray(b),
+            jnp.asarray(q), jnp.asarray(c1w), jnp.asarray(c1b),
+            jnp.asarray(c2w), jnp.asarray(c2b), K,
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss_composed)(jnp.asarray(w))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0

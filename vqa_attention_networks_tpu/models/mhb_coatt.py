@@ -141,30 +141,41 @@ def apply(
             uniform_quirk=False,
         )
 
-    # stage-1 fusion with the image grid (mhb_coAtt.py:93-108) — fused Pallas
-    # kernel on TPU at inference (ops/pallas_fusion.py)
+    # stage-1 fusion with the image grid (mhb_coAtt.py:93-108) and the
+    # co-attention with REAL softmax over the 196 regions
+    # (mhb_coAtt.py:110-121). At bf16 inference on TPU both stages run as ONE
+    # VMEM-resident Pallas kernel (ops/pallas_wq_fusion.py): the fused grid —
+    # 401 MB/batch at production shapes — never exists in HBM.
     q_proj = L.dense(params["ques_proj1"], q_att_feature)
-    fused = grid_fuse(
-        img_features, params["img_conv1d"], q_proj, cfg.mfb_factor,
-        rng=k_m1, dropout_rate=cfg.dropout_fusion, train=train,
-    )
-    fused = L.l2_normalize(fused.reshape(n, -1)).reshape(fused.shape)
+    co_logits = None
+    from vqa_attention_networks_tpu.ops import pallas_wq_fusion as wqf
 
-    # co-attention with REAL softmax over the 196 regions (mhb_coAtt.py:110-121)
-    if train:
-        co_logits = L.dense(
-            params["co_att_conv2"],
-            jax.nn.relu(L.dense(params["co_att_conv1"], fused)),
-        )  # [N, 196, 2]
-        v_att_feature = two_glimpse_pool(co_logits, img_features,
-                                         uniform_quirk=False)
-    else:
-        co_logits = None
-        v_att_feature = glimpse_attention(
-            fused.astype(img_features.dtype),
-            params["co_att_conv1"], params["co_att_conv2"], img_features,
-            uniform_quirk=False,
+    if not train and wqf.supported(
+        img_features, params["img_conv1d"]["w"], cfg.mfb_factor
+    ):
+        v_att_feature = wqf.stage1_coattention(
+            img_features, params["img_conv1d"], q_proj,
+            params["co_att_conv1"], params["co_att_conv2"], cfg.mfb_factor,
         )
+    else:
+        fused = grid_fuse(
+            img_features, params["img_conv1d"], q_proj, cfg.mfb_factor,
+            rng=k_m1, dropout_rate=cfg.dropout_fusion, train=train,
+        )
+        fused = L.l2_normalize(fused.reshape(n, -1)).reshape(fused.shape)
+        if train:
+            co_logits = L.dense(
+                params["co_att_conv2"],
+                jax.nn.relu(L.dense(params["co_att_conv1"], fused)),
+            )  # [N, 196, 2]
+            v_att_feature = two_glimpse_pool(co_logits, img_features,
+                                             uniform_quirk=False)
+        else:
+            v_att_feature = glimpse_attention(
+                fused.astype(img_features.dtype),
+                params["co_att_conv1"], params["co_att_conv2"], img_features,
+                uniform_quirk=False,
+            )
 
     # cascaded output fusions (mhb_coAtt.py:123-148)
     out2 = _output_fusion(params, cfg, "2", q_att_feature, v_att_feature, k_m2, train)

@@ -1,0 +1,409 @@
+"""Weight-contracted grid fusion as one VMEM-resident Pallas kernel.
+
+The flagship's stage-1 fusion (mhb_coAtt.py:93-108) in the weight-contracted
+formulation (ops/fusion.py:grid_fuse_weight_contracted) is per sample:
+
+    wq[d, o] = sum_j W[d, o*k+j] * q[o*k+j]        (contract q into W)
+    bq[o]    = sum_j b[o*k+j]    * q[o*k+j]
+    pooled   = img[196, 2048] @ wq + bq            (one MXU matmul)
+    z        = signed_sqrt(pooled)
+    out      = z / max(||z.flatten()||_2, eps)     (grid-flat L2, mfb.py:105)
+
+Composed in XLA this materialises wq for the WHOLE batch in HBM —
+[N, 2048, 1000] bf16 = 4.2 GB at batch 1024 — then reads it straight back
+for the batched matmul, and makes two more full passes for the L2 norm.
+Measured on TPU v5e that is 19.5 of the 26.1 ms flagship forward, all of it
+HBM bandwidth (see benchmarks/bench_flagship_breakdown.py).
+
+This kernel gives every sample its own grid instance and keeps the ENTIRE
+refactored weight [D, k, O_pad] resident in VMEM (21 MB bf16; its index map
+is constant so Pallas loads it once). Per instance it rebuilds wq in VMEM
+(k broadcast-FMAs on the VPU), runs the [196, D] x [D, O_pad] matmul on the
+MXU with f32 accumulation, applies bias + signed-sqrt, and — because the
+instance sees the sample's whole grid — finishes the grid-flat L2
+normalisation in-kernel. HBM sees only img in and the bf16 normalised grid
+out: ~1.25 GB/batch instead of ~14 GB.
+
+Backward falls back to the composed chain via custom VJP (inference is the
+only caller today, but the registration keeps it differentiable).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vqa_attention_networks_tpu.models.layers import l2_normalize, signed_sqrt
+from vqa_attention_networks_tpu.ops.fusion import mfb_sumpool
+
+_LANE = 128
+
+
+_TO = 1024  # in-kernel O tile: wq temporaries stay ~4 MB f32
+
+
+def _kernel(img_ref, w_ref, b_ref, q_ref, out_ref, z_ref, *,
+            k: int, eps: float, to: int):
+    # img [1, L, D] bf16; w [k, D, O] bf16 (resident; k MAJOR so w_ref[j] is
+    # a contiguous [D, O] slab — a [D, k, O] layout would make the j-slice a
+    # strided sublane extraction, measured 8x slower); b [k, 1, O] f32;
+    # q [1, k, O] bf16; out [1, L, O] bf16; z_ref [L, O] f32 scratch.
+    # The O axis is tiled INSIDE the kernel so the per-sample contracted
+    # weight exists only as a [D, to] f32 temporary (a whole-O wq would put
+    # ~40 MB of unrolled temporaries in VMEM on top of the resident weight).
+    d = w_ref.shape[1]
+    o = w_ref.shape[2]
+    img = img_ref[0]
+    for oi in range(o // to):
+        sl = slice(oi * to, (oi + 1) * to)
+        wq = jnp.zeros((d, to), jnp.float32)
+        bq = jnp.zeros((1, to), jnp.float32)
+        for j in range(k):
+            qj = q_ref[0, j, sl].astype(jnp.float32)  # [to]
+            wq += w_ref[j, :, sl].astype(jnp.float32) * qj[None, :]
+            bq += b_ref[j, :, sl] * qj[None, :]
+        pooled = jnp.dot(
+            img, wq.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        ) + bq  # [L, to]
+        z_ref[:, sl] = (
+            jnp.sqrt(jax.nn.relu(pooled)) - jnp.sqrt(jax.nn.relu(-pooled))
+        )
+    # grid-flat L2 (mfb.py:105): padded O columns are exactly 0 and add 0
+    z = z_ref[:]
+    norm = jnp.sqrt(jnp.sum(z * z))
+    out_ref[0] = (z * (1.0 / jnp.maximum(norm, eps))).astype(out_ref.dtype)
+
+
+def _wq_grid_fuse_pallas(
+    img: jnp.ndarray,  # [N, L, D] bf16
+    w: jnp.ndarray,  # [D, F]
+    b: jnp.ndarray,  # [F]
+    q_proj: jnp.ndarray,  # [N, F]
+    k: int,
+    eps: float = 1e-12,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    n, l, d = img.shape
+    f = w.shape[1]
+    o = f // k
+    o_pad = -(-o // _LANE) * _LANE
+
+    # refactor channel c = o_idx*k + j (output-major, mfb.py:100-101) into
+    # [..., k, O_pad] with k on its own axis (Mosaic cannot relayout a
+    # lanes->sublanes reshape in-kernel) and O zero-padded to the lane width
+    def refactor(x):
+        x3 = x.reshape(*x.shape[:-1], o, k)
+        x3 = jnp.swapaxes(x3, -1, -2)
+        return jnp.pad(x3, [(0, 0)] * (x3.ndim - 1) + [(0, o_pad - o)])
+
+    # k goes MAJOR for w/b (contiguous [D, O] per factor inside the kernel)
+    w3 = jnp.moveaxis(refactor(w), 1, 0).astype(jnp.bfloat16)  # [k, D, O_pad]
+    b3 = jnp.moveaxis(
+        refactor(b.reshape(1, -1)), 1, 0
+    ).astype(jnp.float32)  # [k, 1, O_pad]
+    q3 = refactor(q_proj).astype(jnp.bfloat16)  # [N, k, O_pad]
+
+    to = min(_TO, o_pad)
+    while o_pad % to:  # o_pad is a multiple of 128, so this terminates at 128
+        to //= 2
+    out = pl.pallas_call(
+        functools.partial(_kernel, k=k, eps=eps, to=to),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, l, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # constant index map: loaded once, resident across the batch
+            pl.BlockSpec((k, d, o_pad), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1, o_pad), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, o_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, l, o_pad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, l, o_pad), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((l, o_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * l * d * o_pad + 2 * n * d * o_pad * k,
+            bytes_accessed=(n * l * d * 2 + d * k * o_pad * 2
+                            + n * l * o_pad * 2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(img, w3, b3, q3)
+    return out[..., :o] if o_pad != o else out
+
+
+# ---------------------------------------------------------------------------
+# stage-1 fusion + co-attention glimpse in ONE kernel
+# ---------------------------------------------------------------------------
+#
+# The ONLY consumer of the normalised fused grid (mhb_coAtt.py:107) is the
+# 2-glimpse co-attention (mhb_coAtt.py:110-121), and the glimpse pool reads
+# the SAME img block this kernel already holds in VMEM. Fusing it means the
+# [N, 196, 1000] grid never exists in HBM at all: the kernel's output is the
+# [N, 2, D] attended image feature (8 MB/batch instead of 401 MB), and the
+# co-attention stops re-reading img (822 MB/batch).
+
+def _kernel_coatt(img_ref, w_ref, b_ref, q_ref, c1w_ref, c1b_ref, c2w_ref,
+                  c2b_ref, out_ref, z_ref, *, k: int, eps: float, to: int,
+                  glimpses: int):
+    d = w_ref.shape[1]
+    o = w_ref.shape[2]
+    img = img_ref[0]  # [L, D] bf16
+    for oi in range(o // to):
+        sl = slice(oi * to, (oi + 1) * to)
+        wq = jnp.zeros((d, to), jnp.float32)
+        bq = jnp.zeros((1, to), jnp.float32)
+        for j in range(k):
+            qj = q_ref[0, j, sl].astype(jnp.float32)
+            wq += w_ref[j, :, sl].astype(jnp.float32) * qj[None, :]
+            bq += b_ref[j, :, sl] * qj[None, :]
+        pooled = jnp.dot(
+            img, wq.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        ) + bq
+        z_ref[:, sl] = (
+            jnp.sqrt(jax.nn.relu(pooled)) - jnp.sqrt(jax.nn.relu(-pooled))
+        )
+    z = z_ref[:]
+    norm = jnp.sqrt(jnp.sum(z * z))
+    zb = (z * (1.0 / jnp.maximum(norm, eps))).astype(jnp.bfloat16)
+
+    # co-attention glimpse over the in-VMEM grid (mhb_coAtt.py:110-121):
+    # conv1 -> relu -> conv2 -> per-glimpse softmax over the 196 regions ->
+    # attention-weighted img pool. Padded glimpse columns compute garbage
+    # that the [0:glimpses] row slice below discards.
+    h1 = jax.nn.relu(
+        jnp.dot(zb, c1w_ref[:], preferred_element_type=jnp.float32)
+        + c1b_ref[:]
+    ).astype(jnp.bfloat16)  # [L, 512]
+    logits = jnp.dot(
+        h1, c2w_ref[:], preferred_element_type=jnp.float32
+    ) + c2b_ref[:]  # [L, G_pad]
+    att = jnp.exp(logits - jnp.max(logits, axis=0, keepdims=True))
+    att = att / jnp.sum(att, axis=0, keepdims=True)
+    # [G_pad, L] x [L, D] via dot_general contracting the region axis
+    pooled_v = jax.lax.dot_general(
+        att.astype(jnp.bfloat16), img,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [G_pad, D]
+    out_ref[0] = pooled_v[0:glimpses, :].astype(out_ref.dtype)
+
+
+def fused_stage1_coattention_pallas(
+    img: jnp.ndarray,  # [N, L, D] bf16
+    w: jnp.ndarray,  # [D, F]
+    b: jnp.ndarray,  # [F]
+    q_proj: jnp.ndarray,  # [N, F]
+    c1w: jnp.ndarray,  # [O, C]
+    c1b: jnp.ndarray,  # [C]
+    c2w: jnp.ndarray,  # [C, G]
+    c2b: jnp.ndarray,  # [G]
+    k: int,
+    eps: float = 1e-12,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns the attended image feature [N, G, D] (glimpse-major)."""
+    n, l, d = img.shape
+    f = w.shape[1]
+    o = f // k
+    o_pad = -(-o // _LANE) * _LANE
+    c = c1w.shape[1]
+    g = c2w.shape[1]
+    g_pad = _LANE
+
+    def refactor(x):
+        x3 = x.reshape(*x.shape[:-1], o, k)
+        x3 = jnp.swapaxes(x3, -1, -2)
+        return jnp.pad(x3, [(0, 0)] * (x3.ndim - 1) + [(0, o_pad - o)])
+
+    w3 = jnp.moveaxis(refactor(w), 1, 0).astype(jnp.bfloat16)
+    b3 = jnp.moveaxis(refactor(b.reshape(1, -1)), 1, 0).astype(jnp.float32)
+    q3 = refactor(q_proj).astype(jnp.bfloat16)
+    c1w_p = jnp.pad(c1w, ((0, o_pad - o), (0, 0))).astype(jnp.bfloat16)
+    c1b_p = c1b.reshape(1, c).astype(jnp.float32)
+    c2w_p = jnp.pad(c2w, ((0, 0), (0, g_pad - g))).astype(jnp.bfloat16)
+    c2b_p = jnp.pad(c2b, (0, g_pad - g)).reshape(1, g_pad).astype(jnp.float32)
+
+    to = min(_TO, o_pad)
+    while o_pad % to:
+        to //= 2
+    out = pl.pallas_call(
+        functools.partial(_kernel_coatt, k=k, eps=eps, to=to, glimpses=g),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, l, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d, o_pad), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1, o_pad), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, o_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((o_pad, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, g_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, g, d), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((l, o_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * n * l * d * o_pad + 2 * n * d * o_pad * k
+                   + 2 * n * l * o_pad * c + 2 * n * l * c * g_pad
+                   + 2 * n * g_pad * l * d),
+            bytes_accessed=(n * l * d * 2 + d * k * o_pad * 2
+                            + n * g * d * 2),
+            transcendentals=n * l * g_pad,
+        ),
+        interpret=interpret,
+    )(img, w3, b3, q3, c1w_p, c1b_p, c2w_p, c2b_p)
+    return out
+
+
+def _composed_reference(img, w, b, q_proj, k, eps=1e-12):
+    """XLA-composed twin: fuse chain + grid-flat L2 (differentiable)."""
+    acc = jnp.promote_types(img.dtype, jnp.float32)
+    z = jnp.dot(img, w.astype(img.dtype), preferred_element_type=acc)
+    z = (z + b.astype(acc)) * q_proj[:, None, :].astype(acc)
+    z = signed_sqrt(mfb_sumpool(z, k))
+    n = img.shape[0]
+    return l2_normalize(z.reshape(n, -1), eps=eps).reshape(z.shape).astype(
+        img.dtype
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _wq_grid_fuse_tpu(img, w, b, q_proj, k):
+    return _wq_grid_fuse_pallas(img, w, b, q_proj, k)
+
+
+def _fwd(img, w, b, q_proj, k):
+    return _wq_grid_fuse_pallas(img, w, b, q_proj, k), (img, w, b, q_proj)
+
+
+def _bwd(k, res, g):
+    img, w, b, q_proj = res
+    _, vjp = jax.vjp(
+        lambda i, ww, bb, qq: _composed_reference(i, ww, bb, qq, k),
+        img, w, b, q_proj,
+    )
+    return vjp(g.astype(img.dtype))
+
+
+_wq_grid_fuse_tpu.defvjp(_fwd, _bwd)
+
+
+def _composed_stage1_coatt(img, w, b, q_proj, c1w, c1b, c2w, c2b, k,
+                           eps=1e-12):
+    """XLA-composed twin of the combined kernel: fuse + L2 + 2-glimpse
+    co-attention pool (differentiable)."""
+    from vqa_attention_networks_tpu.ops.fusion import two_glimpse_pool
+
+    z = _composed_reference(img, w, b, q_proj, k, eps)  # [N, L, O]
+    h = jax.nn.relu(
+        jnp.dot(z, c1w.astype(z.dtype),
+                preferred_element_type=jnp.float32).astype(z.dtype)
+        + c1b.astype(z.dtype)
+    )
+    logits = (
+        jnp.dot(h, c2w.astype(z.dtype), preferred_element_type=jnp.float32)
+        + c2b.astype(jnp.float32)
+    )  # [N, L, G] f32
+    return two_glimpse_pool(logits, img, uniform_quirk=False)  # [N, G*D]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _stage1_coatt_tpu(img, w, b, q_proj, c1w, c1b, c2w, c2b, k):
+    n, _, d = img.shape
+    g = c2w.shape[1]
+    out = fused_stage1_coattention_pallas(
+        img, w, b, q_proj, c1w, c1b, c2w, c2b, k
+    )
+    return out.reshape(n, g * d)
+
+
+def _s1c_fwd(img, w, b, q_proj, c1w, c1b, c2w, c2b, k):
+    return (
+        _stage1_coatt_tpu(img, w, b, q_proj, c1w, c1b, c2w, c2b, k),
+        (img, w, b, q_proj, c1w, c1b, c2w, c2b),
+    )
+
+
+def _s1c_bwd(k, res, g_out):
+    img, w, b, q_proj, c1w, c1b, c2w, c2b = res
+    _, vjp = jax.vjp(
+        lambda *a: _composed_stage1_coatt(*a, k), img, w, b, q_proj,
+        c1w, c1b, c2w, c2b,
+    )
+    return vjp(g_out.astype(img.dtype))
+
+
+_stage1_coatt_tpu.defvjp(_s1c_fwd, _s1c_bwd)
+
+
+def stage1_coattention(
+    img: jnp.ndarray,
+    proj_params: dict,
+    q_proj: jnp.ndarray,
+    co1_params: dict,
+    co2_params: dict,
+    k: int,
+) -> jnp.ndarray:
+    """Dispatching entry: stage-1 fusion + grid L2 + 2-glimpse co-attention
+    -> attended image feature [N, G*D]. Pallas on TPU at bf16, composed XLA
+    twin otherwise."""
+    w, b = proj_params["w"], proj_params.get("b")
+    if b is None:
+        b = jnp.zeros((w.shape[1],), w.dtype)
+    c1w, c1b = co1_params["w"], co1_params["b"]
+    c2w, c2b = co2_params["w"], co2_params["b"]
+    if supported(img, w, k):
+        return _stage1_coatt_tpu(img, w, b, q_proj, c1w, c1b, c2w, c2b, k)
+    return _composed_stage1_coatt(img, w, b, q_proj, c1w, c1b, c2w, c2b, k)
+
+
+def supported(img: jnp.ndarray, w: jnp.ndarray, k: int) -> bool:
+    if os.environ.get("VQA_DISABLE_PALLAS"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    d, f = w.shape
+    # resident weight must fit comfortably in VMEM next to the working set
+    if d * k * (-(-(f // k) // _LANE) * _LANE) * 2 > 64 * 1024 * 1024:
+        return False
+    return img.dtype == jnp.bfloat16 and d % _LANE == 0 and f % k == 0
+
+
+def fused_grid_fuse_l2(
+    img: jnp.ndarray,
+    proj_params: dict,
+    q_proj: jnp.ndarray,
+    k: int,
+) -> jnp.ndarray:
+    """Dispatching entry for the eval-path stage-1 fusion INCLUDING the
+    grid-flat L2 normalisation. Pallas on TPU at bf16; composed XLA twin
+    otherwise."""
+    w, b = proj_params["w"], proj_params.get("b")
+    if b is None:
+        b = jnp.zeros((w.shape[1],), w.dtype)
+    if supported(img, w, k):
+        return _wq_grid_fuse_tpu(img, w, b, q_proj, k)
+    return _composed_reference(img, w, b, q_proj, k)
