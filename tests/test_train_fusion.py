@@ -45,8 +45,11 @@ def test_prep_shapes():
 
 
 def test_dispatch_gating(monkeypatch):
-    # off by default; on TPU + env + divisible batch + valid rate only
+    # default-on for TPU, but never on the CPU test backend
     assert not supported(8, 0.1)
-    monkeypatch.setenv("VQA_PALLAS_TRAIN_FUSION", "1")
-    # still false on the CPU test backend
+    # kill switches force the composed chain everywhere
+    monkeypatch.setenv("VQA_DISABLE_PALLAS", "1")
+    assert not supported(8, 0.1)
+    monkeypatch.delenv("VQA_DISABLE_PALLAS")
+    monkeypatch.setenv("VQA_COMPOSED_TRAIN_FUSION", "1")
     assert not supported(8, 0.1)

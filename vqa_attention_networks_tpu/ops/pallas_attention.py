@@ -140,7 +140,15 @@ def glimpse_attention(
     version is faster (24.2 vs 29.2 ms full-model at batch 1024) — XLA
     already fuses this op chain well and schedules it better against the
     surrounding work. Kept as the reference Pallas implementation of the
-    SURVEY §7.4 glimpse kernel and for future scheduling experiments.
+    SURVEY §7.4 glimpse kernel.
+
+    Round-2 resolution: the glimpse that actually carried milliseconds (the
+    co-attention over the [N, 196, 1000] fused grid) now runs INSIDE the
+    combined stage-1 kernel (ops/pallas_wq_fusion.py) where its inputs are
+    already VMEM-resident — the standalone kernel's losing proposition
+    (re-reading everything from HBM just to fuse three small matmuls) no
+    longer arises on the flagship path. This dispatcher now serves the
+    cheap q-glimpse ([N, 22, H], ~2 ms/batch, overhead-bound) and MFB.
     """
     import os
 

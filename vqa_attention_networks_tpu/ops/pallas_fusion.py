@@ -207,7 +207,8 @@ def grid_fuse(
         b = jnp.zeros((w.shape[1],), w.dtype)
     if train:
         # fused train kernel (in-kernel PRNG dropout, mask replayed in the
-        # backward): opt-in via VQA_PALLAS_TRAIN_FUSION
+        # backward): default on TPU — eliminates the [N, L, F] f32 pre-pool
+        # dropout residual, the enabler for batch >=1024 on one chip
         from vqa_attention_networks_tpu.ops import pallas_train_fusion as ptf
 
         if dropout_rate > 0 and ptf.supported(img.shape[0], dropout_rate):

@@ -332,12 +332,19 @@ train_grid_fuse.defvjp(
 
 
 def supported(n: int, rate: float, nb: int = _NB) -> bool:
+    """Default-on for TPU training (burned in round 2): speed parity with
+    the composed chain at batch 512 (92.0 vs 92.8 ms/step) and, because it
+    eliminates the [N, 196, 5000] f32 pre-pool dropout residual, it is the
+    only path that FITS at batch 1024 on a 16 GB v5e (composed:
+    RESOURCE_EXHAUSTED; fused: 173.9 ms/step). ``VQA_DISABLE_PALLAS``
+    remains the kill switch; ``VQA_COMPOSED_TRAIN_FUSION`` forces the
+    composed chain."""
     import os
 
     if os.environ.get("VQA_DISABLE_PALLAS"):
         return False
-    if not os.environ.get("VQA_PALLAS_TRAIN_FUSION"):
-        return False  # opt-in until burned in at scale
+    if os.environ.get("VQA_COMPOSED_TRAIN_FUSION"):
+        return False
     return (
         jax.default_backend() == "tpu" and n % nb == 0 and 0.0 < rate < 1.0
     )

@@ -166,7 +166,7 @@ def _kernel_coatt(img_ref, w_ref, b_ref, q_ref, c1w_ref, c1b_ref, c2w_ref,
         bq = jnp.zeros((1, to), jnp.float32)
         for j in range(k):
             qj = q_ref[0, j, sl].astype(jnp.float32)
-            wq += w_ref[j, :, sl].astype(jnp.float32) * qj[None, :]
+            wq += w_ref[j, :, sl] * qj[None, :]
             bq += b_ref[j, :, sl] * qj[None, :]
         pooled = jnp.dot(
             img, wq.astype(jnp.bfloat16), preferred_element_type=jnp.float32
@@ -227,7 +227,9 @@ def fused_stage1_coattention_pallas(
         x3 = jnp.swapaxes(x3, -1, -2)
         return jnp.pad(x3, [(0, 0)] * (x3.ndim - 1) + [(0, o_pad - o)])
 
-    w3 = jnp.moveaxis(refactor(w), 1, 0).astype(jnp.bfloat16)
+    # w stays f32 in VMEM (42 MB): the per-tile bf16->f32 convert of w was
+    # as many VPU element ops as the FMAs themselves
+    w3 = jnp.moveaxis(refactor(w), 1, 0).astype(jnp.float32)
     b3 = jnp.moveaxis(refactor(b.reshape(1, -1)), 1, 0).astype(jnp.float32)
     q3 = refactor(q_proj).astype(jnp.bfloat16)
     c1w_p = jnp.pad(c1w, ((0, o_pad - o), (0, 0))).astype(jnp.bfloat16)
