@@ -76,6 +76,55 @@ def test_combined_kernel_matches_composed_interpret():
     assert np.quantile(err, 0.95) < 0.1
 
 
+def test_kernels_shard_over_batch_on_a_mesh():
+    """Under a batch-sharded jit the kernels must partition over 'data'
+    (each device runs its shard) rather than being replicated by the SPMD
+    partitioner — the DP-serving configuration."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from vqa_attention_networks_tpu.ops.pallas_wq_fusion import (
+        _stage1_coatt_tpu,
+        _wq_grid_fuse_tpu,
+    )
+
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    img, w, b, q = _data(5)
+    n = img.shape[0]  # 3 -> pad to a shardable batch
+    reps = -(-8 // n) * n
+    img = np.tile(img, (reps // n, 1, 1))[:8]
+    q = np.tile(q, (reps // n, 1))[:8]
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    img_s = jax.device_put(jnp.asarray(img), NamedSharding(mesh, P("data")))
+    q_s = jax.device_put(jnp.asarray(q), NamedSharding(mesh, P("data")))
+
+    fn = jax.jit(lambda i, qq: _wq_grid_fuse_tpu(
+        i, jnp.asarray(w), jnp.asarray(b), qq, K
+    ))
+    out = fn(img_s, q_s)
+    assert out.sharding.spec == P("data")
+    ref = fn(jnp.asarray(img), jnp.asarray(q))
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=1e-2
+    )
+
+    rng = np.random.default_rng(6)
+    c1w = (rng.standard_normal((O, C)) * 0.1).astype(np.float32)
+    c1b = np.zeros(C, np.float32)
+    c2w = (rng.standard_normal((C, G)) * 0.1).astype(np.float32)
+    c2b = np.zeros(G, np.float32)
+    fn2 = jax.jit(lambda i, qq: _stage1_coatt_tpu(
+        i, jnp.asarray(w), jnp.asarray(b), qq, jnp.asarray(c1w),
+        jnp.asarray(c1b), jnp.asarray(c2w), jnp.asarray(c2b), K
+    ))
+    out2 = fn2(img_s, q_s)
+    assert out2.sharding.spec == P("data")
+    ref2 = fn2(jnp.asarray(img), jnp.asarray(q))
+    np.testing.assert_allclose(
+        np.asarray(out2, np.float32), np.asarray(ref2, np.float32), atol=1e-2
+    )
+
+
 def test_combined_kernel_backward_is_composed():
     # the custom VJP routes gradients through the composed twin
     img, w, b, q = _data(3)

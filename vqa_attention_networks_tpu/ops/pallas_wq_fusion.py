@@ -36,7 +36,9 @@ import os
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec
 
 from vqa_attention_networks_tpu.models.layers import l2_normalize, signed_sqrt
 from vqa_attention_networks_tpu.ops.fusion import mfb_sumpool
@@ -294,11 +296,11 @@ def _composed_reference(img, w, b, q_proj, k, eps=1e-12):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _wq_grid_fuse_tpu(img, w, b, q_proj, k):
-    return _wq_grid_fuse_pallas(img, w, b, q_proj, k)
+    return _wq_partitioned(k)(img, w, b, q_proj)
 
 
 def _fwd(img, w, b, q_proj, k):
-    return _wq_grid_fuse_pallas(img, w, b, q_proj, k), (img, w, b, q_proj)
+    return _wq_partitioned(k)(img, w, b, q_proj), (img, w, b, q_proj)
 
 
 def _bwd(k, res, g):
@@ -332,14 +334,110 @@ def _composed_stage1_coatt(img, w, b, q_proj, c1w, c1b, c2w, c2b, k,
     return two_glimpse_pool(logits, img, uniform_quirk=False)  # [N, G*D]
 
 
+# ---------------------------------------------------------------------------
+# SPMD partitioning: under a batch-sharded jit (DP serving/eval on a mesh),
+# a bare pallas_call is replicated by the partitioner — every chip would
+# compute the WHOLE batch (verified: output spec collapses to P()). The
+# custom_partitioning wrappers below declare the batch axis shardable (the
+# grid is per-sample and the weights replicate), so each chip runs the
+# kernel on its own batch shard. Weight-sharded (TP) serving should use the
+# composed XLA path (VQA_DISABLE_PALLAS=1) — the kernel needs whole rows.
+# ---------------------------------------------------------------------------
+
+
+def _batch_partition(n_args: int, batched: tuple, out_rank: int):
+    """partition/infer callbacks sharding dim 0 of the ``batched`` operand
+    indices by whatever the first operand's sharding says; everything else
+    replicated."""
+
+    def _specs(mesh, arg_shapes):
+        spec0 = arg_shapes[0].sharding.spec
+        batch = spec0[0] if len(spec0) else None
+        args = []
+        for idx in range(n_args):
+            rank = len(arg_shapes[idx].shape)
+            if idx in batched:
+                args.append(NamedSharding(
+                    mesh, PartitionSpec(batch, *([None] * (rank - 1)))
+                ))
+            else:
+                args.append(NamedSharding(
+                    mesh, PartitionSpec(*([None] * rank))
+                ))
+        out = NamedSharding(
+            mesh, PartitionSpec(batch, *([None] * (out_rank - 1)))
+        )
+        return tuple(args), out
+
+    return _specs
+
+
+@functools.lru_cache(maxsize=None)
+def _wq_partitioned(k: int):
+    def run(img, w, b, q_proj):
+        return _wq_grid_fuse_pallas(
+            img, w, b, q_proj, k,
+            interpret=jax.default_backend() != "tpu",
+        )
+
+    cp = custom_partitioning(run)
+    specs = _batch_partition(4, batched=(0, 3), out_rank=3)
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_sh, out_sh = specs(mesh, arg_shapes)
+        return mesh, run, out_sh, arg_sh
+
+    def infer(mesh, arg_shapes, result_shape):
+        _, out_sh = specs(mesh, arg_shapes)
+        return out_sh
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="n a b, e f, g, n h -> n i j",
+        need_replication_factors=("a", "b", "e", "f", "g", "h", "i", "j"),
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _stage1_coatt_partitioned(k: int):
+    def run(img, w, b, q_proj, c1w, c1b, c2w, c2b):
+        n, _, d = img.shape
+        g = c2w.shape[1]
+        out = fused_stage1_coattention_pallas(
+            img, w, b, q_proj, c1w, c1b, c2w, c2b, k,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return out.reshape(n, g * d)
+
+    cp = custom_partitioning(run)
+    specs = _batch_partition(8, batched=(0, 3), out_rank=2)
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_sh, out_sh = specs(mesh, arg_shapes)
+        return mesh, run, out_sh, arg_sh
+
+    def infer(mesh, arg_shapes, result_shape):
+        _, out_sh = specs(mesh, arg_shapes)
+        return out_sh
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="n a b, e f, g, n h, p r, s, t u, v -> n m",
+        need_replication_factors=(
+            "a", "b", "e", "f", "g", "h", "p", "r", "s", "t", "u", "v", "m"
+        ),
+    )
+    return cp
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
 def _stage1_coatt_tpu(img, w, b, q_proj, c1w, c1b, c2w, c2b, k):
-    n, _, d = img.shape
-    g = c2w.shape[1]
-    out = fused_stage1_coattention_pallas(
-        img, w, b, q_proj, c1w, c1b, c2w, c2b, k
+    return _stage1_coatt_partitioned(k)(
+        img, w, b, q_proj, c1w, c1b, c2w, c2b
     )
-    return out.reshape(n, g * d)
 
 
 def _s1c_fwd(img, w, b, q_proj, c1w, c1b, c2w, c2b, k):
