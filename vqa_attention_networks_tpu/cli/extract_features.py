@@ -44,7 +44,9 @@ def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="extract image features")
     parser.add_argument("--split", type=str, default="train", help="train|val")
     parser.add_argument("--output_dir", type=str, default="data")
-    parser.add_argument("--batch_size", type=int, default=64)
+    # measured sweet spot on v5e: 1269 img/s at 32 vs 1164 at 64 / 879 at 8
+    # (benchmarks/bench_extract.py)
+    parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--feature_type", type=str, default="resnet152")
     parser.add_argument("--image_dir", type=str, default=None,
                         help="defaults to data/vqa/{split}2014")
