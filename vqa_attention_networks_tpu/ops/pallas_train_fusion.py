@@ -101,9 +101,16 @@ def _bwd_img_kernel(seed_ref, g_ref, out_ref_res, w_ref, q_ref, dimg_ref,
     oi = pl.program_id(1)  # fast -> dimg block revisited consecutively
     pltpu.prng_seed(_seed_for(oi, ni, seed_ref))
 
-    # d pooled = g * 0.5 / |out|  (signed_sqrt'), |out| = sqrt(|pooled|)
+    # d pooled = g * 0.5 / |out| (signed_sqrt'), |out| = sqrt(|pooled|).
+    # At pooled == 0 the composed chain's gradient is exactly 0 (jax.nn.relu
+    # defines relu'(0) = 0) — and pooled IS exactly 0 wherever dropout
+    # removed all k factors (p = rate^k per element, ~1e3 events per batch
+    # at rate 0.1). A clamped 1/|out| would inject ~5e19-scaled spikes
+    # there (observed: upstream grad norms blew up 1e10x).
     out = out_ref_res[:]
-    g_pooled = g_ref[:] * (0.5 / jnp.maximum(jnp.abs(out), 1e-20))
+    g_pooled = g_ref[:] * jnp.where(
+        out == 0.0, 0.0, 0.5 / jnp.maximum(jnp.abs(out), 1e-20)
+    )
 
     @pl.when(oi == 0)
     def _():
@@ -141,7 +148,10 @@ def _bwd_w_kernel(seed_ref, g_ref, out_ref_res, img_ref, w_ref, b_ref, q_ref,
     pltpu.prng_seed(_seed_for(oi, ni, seed_ref))
 
     out = out_ref_res[:]
-    g_pooled = g_ref[:] * (0.5 / jnp.maximum(jnp.abs(out), 1e-20))
+    # zero where pooled == 0, matching relu'(0) = 0 (see _bwd_img_kernel)
+    g_pooled = g_ref[:] * jnp.where(
+        out == 0.0, 0.0, 0.5 / jnp.maximum(jnp.abs(out), 1e-20)
+    )
 
     @pl.when(ni == 0)
     def _():
