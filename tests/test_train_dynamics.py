@@ -124,6 +124,96 @@ def _to_torch_tree(params):
     return jax.tree_util.tree_map(conv, params), leaves
 
 
+def torch_mhb(p, img, ques, qlen, k):
+    """mhb_coAtt.py:174-217 (the plain MHB): mean-pooled grid, last-valid
+    LSTM state per sample, two cascaded stages where stage 2 re-multiplies
+    stage 1's pre-pool product (:205); typo at :214 fixed to mhb_12."""
+    n = ques.shape[0]
+    img_pooled = img.mean(dim=1)  # :178-180
+    emb = p["embedding"]["table"][ques]  # no tanh (:181)
+    h_all = _t_lstm(p["lstm"], emb)
+    h = h_all[torch.arange(n), qlen - 1]  # :185-186
+
+    z1 = _t_dense(p["linear_q_1"], h) * _t_dense(p["linear_i_1"], img_pooled)
+    m1 = _t_l2(_t_ssqrt(_t_kpool(z1, k)))
+    z2 = _t_dense(p["linear_q_2"], h) * _t_dense(p["linear_i_2"], img_pooled)
+    z2 = z2 * z1  # :205
+    m2 = _t_l2(_t_ssqrt(_t_kpool(z2, k)))
+    return _t_dense(p["linear_out"], torch.cat([m1, m2], dim=-1))
+
+
+def test_mhb_loss_trajectory_matches_torch():
+    from vqa_attention_networks_tpu.models.mhb_coatt import MHB
+
+    cfg = Config(
+        model_name="mhb", q_vocab_size=Q_VOCAB, a_vocab_size=A_VOCAB,
+        hidden_dim=HID, emb_dim=EMB, img_feature_channel=D,
+        max_question_length=T, mfb_factor=K, mfb_out=O,
+        dropout_lstm=0.0, dropout_fusion=0.0,
+    ).validate()
+    params = MHB.init(jax.random.PRNGKey(1), cfg)
+
+    rng = np.random.default_rng(1)
+    steps = 8
+    imgs = rng.standard_normal((steps, N, 196, D))
+    quess = rng.integers(0, Q_VOCAB, size=(steps, N, T)).astype(np.int32)
+    softs = rng.random((steps, N, A_VOCAB))
+    qlen = rng.integers(1, T + 1, size=(N,)).astype(np.int32)
+
+    tp, tleaves = _to_torch_tree(params)
+    opt = torch.optim.Adam(tleaves, lr=LR)
+    torch_losses = []
+    tql = torch.tensor(qlen.astype(np.int64))
+    for s in range(steps):
+        opt.zero_grad()
+        logits = torch_mhb(
+            tp, torch.tensor(imgs[s]),
+            torch.tensor(quess[s].astype(np.int64)), tql, K,
+        )
+        loss = torch.nn.functional.kl_div(
+            torch.log_softmax(logits, dim=-1),
+            torch.tensor(softs[s]), reduction="mean",
+        )
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss.detach()))
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg64 = cfg.replace(compute_dtype="float64")
+        p64 = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x), jnp.float64), params
+        )
+        tx = optax.adam(LR)
+        opt_state = tx.init(p64)
+        key = jax.random.PRNGKey(2)
+
+        @jax.jit
+        def step(p, o, img, ques, soft):
+            def loss_fn(p):
+                logits, _ = MHB.apply(
+                    p, cfg64, img, ques, ques_length=jnp.asarray(qlen),
+                    train=True, rng=key,
+                )
+                return soft_cross_entropy(logits, soft)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o = tx.update(grads, o, p)
+            return optax.apply_updates(p, updates), o, loss
+
+        jax_losses = []
+        for s in range(steps):
+            p64, opt_state, loss = step(
+                p64, opt_state, jnp.asarray(imgs[s]), jnp.asarray(quess[s]),
+                jnp.asarray(softs[s]),
+            )
+            jax_losses.append(float(loss))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=1e-6)
+
+
 def test_mhb_coatt_loss_trajectory_matches_torch():
     cfg = Config(
         model_name="mhb_coAtt", q_vocab_size=Q_VOCAB, a_vocab_size=A_VOCAB,
