@@ -66,6 +66,40 @@ def test_gather_rejects_noncontiguous_and_out_of_range(lib):
         native.gather_f16(src, np.array([-1], np.int64))
 
 
+@pytest.mark.parametrize("threads", [2, 5, 16])
+def test_threaded_gathers_match_single_thread(lib, monkeypatch, threads):
+    """The _mt kernels split rows across host threads; any thread count
+    (including more threads than rows) must reproduce the NumPy semantics
+    exactly."""
+    monkeypatch.setenv("VQA_NATIVE_THREADS", str(threads))
+    rng = np.random.default_rng(3)
+    src = rng.standard_normal((23, 6, 8)).astype(np.float16)
+    rows = rng.integers(0, 23, size=11).astype(np.int64)
+    np.testing.assert_array_equal(
+        native.gather_f16_to_f32(src, rows), src[rows].astype(np.float32)
+    )
+    np.testing.assert_array_equal(native.gather_f16(src, rows), src[rows])
+
+    idx = rng.integers(-1, 13, size=(11, 4)).astype(np.int32)
+    val = rng.random((11, 4)).astype(np.float32)
+    got = native.densify_soft(idx, val, 13)
+    want = np.zeros((11, 13), np.float32)
+    for i in range(11):
+        for j in range(4):
+            if idx[i, j] >= 0:
+                want[i, idx[i, j]] = val[i, j]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_num_threads_env_override(monkeypatch):
+    monkeypatch.setenv("VQA_NATIVE_THREADS", "3")
+    assert native.num_threads() == 3
+    monkeypatch.setenv("VQA_NATIVE_THREADS", "junk")
+    assert native.num_threads() >= 1
+    monkeypatch.delenv("VQA_NATIVE_THREADS")
+    assert 1 <= native.num_threads() <= 16
+
+
 def test_feature_store_uses_native(tmp_path, lib):
     from vqa_attention_networks_tpu.data.feature_store import (
         make_synthetic_feature_store,

@@ -48,22 +48,58 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return None
 
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-    lib.vqa_gather_f16_to_f32.argtypes = [
-        ctypes.c_void_p, i64p, ctypes.c_int64, ctypes.c_int64,
-        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
-    ]
-    lib.vqa_gather_rows_u16.argtypes = [
-        ctypes.c_void_p, i64p, ctypes.c_int64, ctypes.c_int64,
-        np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
-    ]
-    lib.vqa_densify_soft.argtypes = [
-        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
-        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
-    ]
+    try:
+        lib.vqa_gather_f16_to_f32_mt.argtypes = [
+            ctypes.c_void_p, i64p, ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int32,
+        ]
+        lib.vqa_gather_rows_u16_mt.argtypes = [
+            ctypes.c_void_p, i64p, ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+            ctypes.c_int32,
+        ]
+        lib.vqa_densify_soft_mt.argtypes = [
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int32,
+        ]
+    except AttributeError:
+        # stale pre-threading build on disk: rebuild once, then reload
+        try:
+            os.remove(_LIB_PATH)
+        except OSError:
+            return None
+        if not _build():
+            return None
+        return _reload()
     _lib = lib
     return _lib
+
+
+def _reload() -> Optional[ctypes.CDLL]:
+    global _tried
+    _tried = False
+    return get_lib()
+
+
+def num_threads() -> int:
+    """Host threads for the row-parallel native kernels.
+
+    ``VQA_NATIVE_THREADS`` overrides; default is the machine's core count
+    capped at 16 (the gathers are memory-bandwidth-bound — on TPU-VM hosts
+    a handful of threads saturates the channels, and more only adds
+    spawn/join latency to every batch).
+    """
+    env = os.environ.get("VQA_NATIVE_THREADS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return max(1, min(os.cpu_count() or 1, 16))
 
 
 def _check_gather_args(src: np.ndarray, rows: np.ndarray) -> np.ndarray:
@@ -93,9 +129,9 @@ def gather_f16_to_f32(
     rows = _check_gather_args(src, rows)
     row_elems = int(np.prod(src.shape[1:]))
     out = np.empty((len(rows), *src.shape[1:]), np.float32)
-    lib.vqa_gather_f16_to_f32(
+    lib.vqa_gather_f16_to_f32_mt(
         src.ctypes.data, rows, len(rows), row_elems,
-        out.reshape(len(rows), -1),
+        out.reshape(len(rows), -1), num_threads(),
     )
     return out
 
@@ -113,9 +149,9 @@ def gather_f16(
     rows = _check_gather_args(src, rows)
     row_elems = int(np.prod(src.shape[1:]))
     out = np.empty((len(rows), *src.shape[1:]), np.float16)
-    lib.vqa_gather_rows_u16(
+    lib.vqa_gather_rows_u16_mt(
         src.ctypes.data, rows, len(rows), row_elems,
-        out.reshape(len(rows), -1).view(np.uint16),
+        out.reshape(len(rows), -1).view(np.uint16), num_threads(),
     )
     return out
 
@@ -130,5 +166,6 @@ def densify_soft(
     val = np.ascontiguousarray(val, np.float32)
     n, width = idx.shape
     out = np.zeros((n, num_answers), np.float32)
-    lib.vqa_densify_soft(idx, val, n, width, num_answers, out)
+    lib.vqa_densify_soft_mt(idx, val, n, width, num_answers, out,
+                            num_threads())
     return out
