@@ -12,6 +12,7 @@ from vqa_attention_networks_tpu.config import Config
 from vqa_attention_networks_tpu.data.feature_store import open_feature_store
 from vqa_attention_networks_tpu.data.glove import load_glove_table
 from vqa_attention_networks_tpu.data.prepare import load_qa_data, qa_artifact_path
+from vqa_attention_networks_tpu.parallel.distributed import initialize_distributed
 from vqa_attention_networks_tpu.train.solver import Solver
 
 
@@ -87,6 +88,11 @@ def main(argv=None) -> None:
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest checkpoint")
     args = parser.parse_args(argv)
+
+    # multi-host entry: no-op single-process, initialises the cluster when
+    # JAX_COORDINATOR_ADDRESS / TPU pod discovery env is present. Must run
+    # before anything touches a device (parallel/distributed.py).
+    initialize_distributed()
 
     solver = build_solver(args)
 

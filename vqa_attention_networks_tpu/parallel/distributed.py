@@ -26,11 +26,20 @@ def initialize_distributed(
     explicit values (or JAX_COORDINATOR_ADDRESS etc.) override. Safe to call
     in single-process runs — it no-ops unless a multi-process environment is
     detected or configured.
+
+    NOTE: must run before anything touches a device. In particular this
+    function must NOT query jax.process_count()/jax.devices() up front —
+    those initialise the backend, after which jax.distributed.initialize
+    is a silent no-op for the already-created client (caught by
+    tests/test_multiprocess.py).
     """
-    if jax.process_count() > 1:
-        return  # already initialised
+    if jax.distributed.is_initialized():
+        return
     explicit = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    auto_tpu = os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get(
+    # a single-entry worker list (e.g. TPU_WORKER_HOSTNAMES=localhost on a
+    # one-host TPU VM) is a single-process run, not a pod
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    auto_tpu = ("," in workers) or os.environ.get(
         "MEGASCALE_COORDINATOR_ADDRESS"
     )
     if not explicit and not auto_tpu:
@@ -41,9 +50,10 @@ def initialize_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        # already initialised by the runtime
-        pass
+    except (ValueError, RuntimeError):
+        if explicit:
+            raise  # misconfigured explicit setup must be loud
+        # auto-detection found no usable cluster: stay single-process
 
 
 def is_primary() -> bool:

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vqa_attention_networks_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
@@ -65,8 +66,37 @@ def shard_params(
 
 
 def shard_batch(mesh: Mesh, batch: Pytree) -> Pytree:
-    """Place a host batch onto the mesh, leading axis over 'data'."""
+    """Place a host batch onto the mesh, leading axis over 'data'.
+
+    Single process: a plain device_put scatter. Multi-process (a mesh that
+    spans hosts): every host assembles the same global batch (the pipeline
+    is a deterministic function of (seed, epoch), data/dataset.py), and this
+    function feeds each process only its own slice via
+    ``jax.make_array_from_process_local_data`` — the multihost analog of the
+    scatter, with no cross-host data movement. Tested end-to-end across real
+    OS processes in tests/test_multiprocess.py.
+    """
     sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding) if x is not None else None, batch
-    )
+    nproc = jax.process_count()
+    if nproc == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding) if x is not None else None,
+            batch,
+        )
+    pid = jax.process_index()
+
+    def place(x):
+        if x is None:
+            return None
+        n = x.shape[0]
+        assert n % nproc == 0, (
+            f"global batch {n} not divisible by {nproc} processes"
+        )
+        local = x[pid * n // nproc:(pid + 1) * n // nproc]
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1)))),
+            np.ascontiguousarray(local),
+            x.shape,
+        )
+
+    return jax.tree_util.tree_map(place, batch)

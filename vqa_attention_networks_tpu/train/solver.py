@@ -56,7 +56,8 @@ from vqa_attention_networks_tpu.train.losses import (
     topk_correct_count,
 )
 from vqa_attention_networks_tpu.utils import checkpoint as ckpt
-from vqa_attention_networks_tpu.utils.logging import MetricWriter
+from vqa_attention_networks_tpu.parallel.distributed import is_primary
+from vqa_attention_networks_tpu.utils.logging import MetricWriter, NullMetricWriter
 from vqa_attention_networks_tpu.utils.timer import Timer
 
 
@@ -97,7 +98,12 @@ class Solver:
                 data -= 1
             mesh = make_mesh(data=data, model=cfg.model_parallel)
         self.mesh = mesh
-        self.writer = MetricWriter(log_dir, run_name=cfg.model_name)
+        # multi-process runs: only the primary host writes metrics/results
+        # (the scalars are replicated — every host computes the same values)
+        self.writer = (
+            MetricWriter(log_dir, run_name=cfg.model_name)
+            if is_primary() else NullMetricWriter()
+        )
         self.step = 0
 
         # params (xavier init, train_models.py:54-56) sharded onto the mesh
@@ -351,24 +357,27 @@ class Solver:
         # reference-compatible denominator counts pad rows (solver.py:177)
         acc_ref = total_correct / max(n_batches * cfg.batch_size, 1)
         top3 = total_top3 / max(total_valid, 1)
-        os.makedirs(cfg.results_dir, exist_ok=True)
-        with open(os.path.join(cfg.results_dir, cfg.model_name + ".txt"), "w") as f:
-            f.write("Evaluation accuracy: %.6f" % acc_ref)
-        with open(
-            os.path.join(cfg.results_dir, cfg.model_name + ".json"), "w"
-        ) as f:
-            json.dump(
-                {
-                    "accuracy": acc_exact,
-                    "accuracy_reference_denominator": acc_ref,
-                    "top3_accuracy": top3,
-                    "num_examples": total_valid,
-                    "time": time.time(),
-                },
-                f,
-            )
-        print(f"Evaluation accuracy: {acc_ref:.6f} (exact {acc_exact:.6f}, "
-              f"top-3 {top3:.6f})")
+        if is_primary():  # results artifacts are written once per run
+            os.makedirs(cfg.results_dir, exist_ok=True)
+            with open(
+                os.path.join(cfg.results_dir, cfg.model_name + ".txt"), "w"
+            ) as f:
+                f.write("Evaluation accuracy: %.6f" % acc_ref)
+            with open(
+                os.path.join(cfg.results_dir, cfg.model_name + ".json"), "w"
+            ) as f:
+                json.dump(
+                    {
+                        "accuracy": acc_exact,
+                        "accuracy_reference_denominator": acc_ref,
+                        "top3_accuracy": top3,
+                        "num_examples": total_valid,
+                        "time": time.time(),
+                    },
+                    f,
+                )
+            print(f"Evaluation accuracy: {acc_ref:.6f} (exact {acc_exact:.6f},"
+                  f" top-3 {top3:.6f})")
         return loss, acc_exact
 
     # ------------------------------------------------------------------

@@ -17,6 +17,19 @@ import time
 from typing import Dict, Optional
 
 
+class NullMetricWriter:
+    """Write-nothing twin for non-primary hosts in multi-process runs."""
+
+    def add_scalars(self, tag, values, step) -> None:
+        pass
+
+    def add_scalar(self, tag, value, step) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 class MetricWriter:
     def __init__(self, log_dir: str = "runs", run_name: Optional[str] = None):
         run_name = run_name or time.strftime("%Y%m%d-%H%M%S")
