@@ -108,3 +108,28 @@ def test_combined_feature_store_routes_by_image_id(tmp_path):
     opened = open_feature_store(str(tmp_path))
     assert isinstance(opened, CombinedFeatureStore)
     np.testing.assert_array_equal(opened.gather([3]), a.gather([3]))
+
+
+def test_writer_clamps_out_of_f16_range(tmp_path, capsys):
+    """The store writer must clamp (not overflow to inf) f32 features that
+    exceed the f16 range — infs become NaN losses downstream."""
+    from vqa_attention_networks_tpu.data.feature_store import (
+        FeatureStore,
+        FeatureStoreWriter,
+    )
+
+    feats = np.zeros((2, 4, 8), np.float32)
+    feats[0, 0, 0] = 1e6
+    feats[1, 1, 1] = -1e6
+    feats[0, 2, 2] = 123.5
+    with FeatureStoreWriter(
+        str(tmp_path / "s"), num_regions=4, channels=8
+    ) as w:
+        w.append_batch([7, 9], feats)
+        assert w.clamped == 2
+    assert "clamped" in capsys.readouterr().out
+    got = np.asarray(FeatureStore(str(tmp_path / "s")).features[:])
+    assert np.isfinite(got.astype(np.float32)).all()
+    lim = np.finfo(np.float16).max
+    assert got[0, 0, 0] == lim and got[1, 1, 1] == -lim
+    assert got[0, 2, 2] == np.float16(123.5)

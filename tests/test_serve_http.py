@@ -1,0 +1,144 @@
+"""HTTP serving CLI: endpoint contract + dynamic micro-batching.
+
+Starts the real ThreadingHTTPServer from cli/serve.py on a random port over
+tiny synthetic artifacts and drives it with urllib — health check, single
+predict, batched predict, error paths, and concurrent requests (which the
+Batcher must coalesce into shared engine calls without mixing results up).
+"""
+
+import argparse
+import json
+import threading
+import urllib.error
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+from http.server import ThreadingHTTPServer
+
+import jax
+import numpy as np
+import pytest
+
+from vqa_attention_networks_tpu.cli import serve as serve_cli
+from vqa_attention_networks_tpu.config import Config
+from vqa_attention_networks_tpu.data.feature_store import (
+    make_synthetic_feature_store,
+)
+from vqa_attention_networks_tpu.models import get_model
+from vqa_attention_networks_tpu.utils import checkpoint as ckpt
+
+MODEL = "iBOWIMG"
+IMAGE_IDS = [3, 7, 11, 19]
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    data_dir = tmp_path_factory.mktemp("serve_data")
+    words = ["what", "color", "is", "the", "cat", "dog", "sky"]
+    q_vocab = {w: i + 1 for i, w in enumerate(words)}
+    q_vocab["UNK"] = len(words) + 1
+    answers = ["black", "white", "blue", "red", "yes"]
+    vocab = {
+        "question_vocab": q_vocab,
+        "answer_vocab": {a: i for i, a in enumerate(answers)},
+        "max_question_length": 6,
+    }
+    with open(data_dir / "qa_v2_5answers_all.vocab.json", "w") as f:
+        json.dump(vocab, f)
+    make_synthetic_feature_store(
+        str(data_dir / "resnet152_all"), IMAGE_IDS, num_regions=4, channels=8
+    )
+
+    cfg = Config(
+        model_name=MODEL,
+        q_vocab_size=q_vocab["UNK"] + 1,
+        a_vocab_size=len(answers),
+        max_question_length=6,
+        img_feature_channel=8,
+        compute_dtype="bfloat16",
+    ).validate()
+    params = get_model(MODEL).init(jax.random.PRNGKey(0), cfg)
+    ckpt.save_weights(str(data_dir / "models" / MODEL), params)
+
+    args = argparse.Namespace(
+        model_name=MODEL, model_dir=str(data_dir / "models"),
+        data_dir=str(data_dir), vocab=None, feature_type="resnet152",
+        version=2, num_answer=5, batch_size=4, topk=3, max_wait_ms=30.0,
+    )
+    service = serve_cli.build_service(args)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve_cli.make_handler(service, MODEL)
+    )
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/predict", json.dumps(payload).encode(),
+        {"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return json.loads(resp.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as resp:
+        got = json.loads(resp.read())
+    assert got["status"] == "ok" and got["model"] == MODEL
+
+
+def test_single_predict(server):
+    got = _post(server, {"question": "what color is the cat", "image_id": 3})
+    assert got["answer"] in {"black", "white", "blue", "red", "yes"}
+    assert len(got["top"]) == 3
+    probs = [t["prob"] for t in got["top"]]
+    assert probs == sorted(probs, reverse=True)
+
+
+def test_batched_predict_and_determinism(server):
+    reqs = [
+        {"question": "what color is the sky", "image_id": i}
+        for i in IMAGE_IDS
+    ]
+    got = _post(server, {"requests": reqs})
+    assert len(got["results"]) == len(IMAGE_IDS)
+    again = _post(server, {"requests": reqs})
+    assert [r["answer"] for r in got["results"]] == [
+        r["answer"] for r in again["results"]
+    ]
+
+
+def test_concurrent_requests_are_microbatched_correctly(server):
+    """Fire many concurrent requests: the Batcher coalesces them into
+    fixed-batch engine calls; every caller must get the same answer it gets
+    when asking alone."""
+    solo = {
+        i: _post(server, {"question": "is the dog black", "image_id": i})
+        for i in IMAGE_IDS
+    }
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futures = [
+            pool.submit(
+                _post, server,
+                {"question": "is the dog black", "image_id": i},
+            )
+            for i in IMAGE_IDS * 4
+        ]
+        results = [f.result() for f in futures]
+    for i, got in zip(IMAGE_IDS * 4, results):
+        assert got["answer"] == solo[i]["answer"], i
+
+
+def test_error_paths(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"question": "hi", "image_id": 99999})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"image_id": 3})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        req = urllib.request.Request(server + "/nope", b"{}")
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 404

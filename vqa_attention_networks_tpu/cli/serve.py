@@ -1,0 +1,244 @@
+"""HTTP serving CLI: dynamic-batching JSON endpoint over InferenceEngine.
+
+The reference has no serving story (its predict script is a broken one-shot
+CLI, predict_pytorch.py:3,11). This serves trained checkpoints for
+production use on one chip:
+
+- stdlib only (ThreadingHTTPServer) — no framework dependency to gate;
+- requests are micro-batched: a dispatcher thread collects up to the
+  engine's batch size within ``--max_wait_ms`` and runs ONE compiled
+  program (serve.py's fixed-batch pad+mask contract: no recompiles);
+- features come from the packed store by image_id (the offline extraction
+  artifact), questions are tokenized server-side with the training vocab.
+
+Endpoints:
+  GET  /healthz            -> {"status": "ok", ...}
+  POST /predict            -> {"question": str, "image_id": int}
+                              or {"requests": [...]}; returns answers+top-k.
+
+Drive:
+  python -m vqa_attention_networks_tpu.cli.serve --data_dir data \
+      --model_name mhb_coAtt --port 8741
+"""
+
+import argparse
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+import numpy as np
+
+from vqa_attention_networks_tpu.config import Config
+from vqa_attention_networks_tpu.data.feature_store import open_feature_store
+from vqa_attention_networks_tpu.data.text import encode_question
+from vqa_attention_networks_tpu.models import get_model
+from vqa_attention_networks_tpu.serve import InferenceEngine
+from vqa_attention_networks_tpu.utils import checkpoint as ckpt
+
+
+class _Request:
+    __slots__ = ("features", "ids", "qlen", "event", "result", "error")
+
+    def __init__(self, features, ids, qlen):
+        self.features = features
+        self.ids = ids
+        self.qlen = qlen
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class Batcher:
+    """Collects concurrent requests into one fixed-batch engine call."""
+
+    def __init__(self, engine: InferenceEngine, max_wait_s: float = 0.005):
+        self.engine = engine
+        self.max_wait_s = max_wait_s
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, features, ids, qlen):
+        req = _Request(features, ids, qlen)
+        self._q.put(req)
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def _loop(self):
+        while True:
+            first = self._q.get()
+            batch = [first]
+            deadline = (
+                threading.TIMEOUT_MAX if self.max_wait_s <= 0
+                else self.max_wait_s
+            )
+            t_end = time.monotonic() + deadline
+            while len(batch) < self.engine.batch_size:
+                remaining = t_end - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                feats = np.stack([r.features for r in batch])
+                ids = np.stack([r.ids for r in batch])
+                qlen = np.asarray([r.qlen for r in batch], np.int32)
+                preds = self.engine.predict_batch(feats, ids, qlen)
+                for r, p in zip(batch, preds):
+                    r.result = p
+            except Exception as e:  # surface engine errors to every waiter
+                for r in batch:
+                    r.error = e
+            for r in batch:
+                r.event.set()
+
+
+class VqaService:
+    """Request decode (vocab/features) + the batcher, HTTP-agnostic."""
+
+    def __init__(self, cfg: Config, vocab: dict, params, store,
+                 batch_size: int, topk: int, max_wait_s: float):
+        self.cfg = cfg
+        self.q_vocab = vocab["question_vocab"]
+        self.max_len = vocab["max_question_length"]
+        self.ans_of = {i: a for a, i in vocab["answer_vocab"].items()}
+        self.store = store
+        self.engine = InferenceEngine(
+            cfg, params, batch_size=batch_size, topk=topk
+        )
+        self.batcher = Batcher(self.engine, max_wait_s)
+
+    def predict_one(self, item: dict) -> dict:
+        question = item["question"]
+        image_id = int(item["image_id"])
+        try:
+            feats = self.store.gather([image_id], dtype=np.float16)[0]
+        except KeyError:
+            raise ValueError(f"unknown image_id {image_id}") from None
+        ids = np.asarray(
+            encode_question(question, self.q_vocab, self.max_len,
+                            right_align=True),
+            np.int32,
+        )
+        qlen = max(int((ids != 0).sum()), 1)
+        pred = self.batcher.submit(feats, ids, qlen)
+        return {
+            "answer": self.ans_of[pred.answer_id],
+            "top": [
+                {"answer": self.ans_of[int(i)], "prob": float(p)}
+                for i, p in zip(pred.top_ids, pred.top_probs)
+            ],
+        }
+
+
+def make_handler(service: VqaService, model_name: str):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # quiet by default
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {
+                    "status": "ok",
+                    "model": model_name,
+                    "batch_size": service.engine.batch_size,
+                    "backend": jax.default_backend(),
+                })
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._reply(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                if "requests" in req:
+                    out = {"results": [
+                        service.predict_one(r) for r in req["requests"]
+                    ]}
+                else:
+                    out = service.predict_one(req)
+                self._reply(200, out)
+            except KeyError as e:
+                self._reply(400, {"error": f"missing field {e}"})
+            except ValueError as e:
+                self._reply(400, {"error": str(e)})
+            except Exception as e:
+                self._reply(500, {"error": str(e)})
+
+    return Handler
+
+
+def build_service(args) -> VqaService:
+    vocab_path = args.vocab or (
+        f"{args.data_dir}/qa_v{args.version}_{args.num_answer}answers_all"
+        ".vocab.json"
+    )
+    with open(vocab_path) as f:
+        vocab = json.load(f)
+    store = open_feature_store(args.data_dir, args.feature_type)
+    channels = store.channels
+
+    cfg = Config(
+        model_name=args.model_name,
+        q_vocab_size=vocab["question_vocab"]["UNK"] + 1,
+        a_vocab_size=len(vocab["answer_vocab"]),
+        max_question_length=vocab["max_question_length"],
+        img_feature_channel=channels,
+        compute_dtype="bfloat16",
+    ).validate()
+    model = get_model(cfg.model_name)
+    template = model.init(jax.random.PRNGKey(0), cfg)
+    params = ckpt.load_weights(f"{args.model_dir}/{cfg.model_name}", template)
+    return VqaService(cfg, vocab, params, store, args.batch_size, args.topk,
+                      args.max_wait_ms / 1000.0)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_name", type=str, default="mhb_coAtt")
+    parser.add_argument("--model_dir", type=str, default="./models")
+    parser.add_argument("--data_dir", type=str, default="data")
+    parser.add_argument("--vocab", type=str, default=None)
+    parser.add_argument("--feature_type", type=str, default="resnet152")
+    parser.add_argument("--version", type=int, default=2)
+    parser.add_argument("--num_answer", type=int, default=1000)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8741)
+    parser.add_argument("--batch_size", type=int, default=64,
+                        help="engine batch (ONE compiled program; larger = "
+                             "more throughput, more latency under load)")
+    parser.add_argument("--topk", type=int, default=5)
+    parser.add_argument("--max_wait_ms", type=float, default=5.0,
+                        help="micro-batching window")
+    args = parser.parse_args(argv)
+
+    service = build_service(args)
+    server = ThreadingHTTPServer(
+        (args.host, args.port), make_handler(service, args.model_name)
+    )
+    print(f"serving {args.model_name} on http://{args.host}:{args.port} "
+          f"(batch {args.batch_size}, wait {args.max_wait_ms}ms, "
+          f"backend {jax.default_backend()})", flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

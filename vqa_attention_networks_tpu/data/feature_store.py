@@ -44,22 +44,46 @@ class FeatureStoreWriter:
         os.makedirs(directory, exist_ok=True)
         self._file = open(join(directory, FEATURES_FILE), "wb")
         self._image_ids: list = []
+        self.clamped = 0  # elements saturated into the store dtype's range
+
+    def _narrow(self, features: np.ndarray) -> np.ndarray:
+        """Cast to the store dtype, clamping instead of overflowing to inf.
+
+        Pretrained ResNet-152 activations sit far inside the f16 range, but
+        an out-of-range value (random-trunk pipelines, corrupted inputs)
+        must not silently become inf — downstream bf16/f32 math would turn
+        it into NaN losses. Clamp and count instead."""
+        features = np.asarray(features)
+        if (self.dtype == np.float16
+                and features.dtype.itemsize > self.dtype.itemsize):
+            lim = float(np.finfo(np.float16).max)
+            over = np.abs(features) > lim
+            n = int(over.sum())
+            if n:
+                self.clamped += n
+                features = np.clip(features, -lim, lim)
+        return np.ascontiguousarray(features, dtype=self.dtype)
 
     def append(self, image_id: int, features: np.ndarray) -> None:
         """Append one image's [num_regions, channels] feature grid."""
-        features = np.ascontiguousarray(features, dtype=self.dtype)
+        features = self._narrow(features)
         assert features.shape == (self.num_regions, self.channels), features.shape
         self._file.write(features.tobytes())
         self._image_ids.append(int(image_id))
 
     def append_batch(self, image_ids: Sequence[int], features: np.ndarray) -> None:
-        features = np.ascontiguousarray(features, dtype=self.dtype)
+        features = self._narrow(features)
         assert features.shape[1:] == (self.num_regions, self.channels)
         self._file.write(features.tobytes())
         self._image_ids.extend(int(i) for i in image_ids)
 
     def close(self) -> None:
         self._file.close()
+        if self.clamped:
+            print(f"WARNING: {self.clamped} feature elements exceeded the "
+                  f"{self.dtype.name} range and were clamped "
+                  f"(pretrained trunks never produce these — check the "
+                  f"weights/inputs)")
         with open(join(self.directory, INDEX_FILE), "w") as f:
             json.dump(
                 {
