@@ -192,3 +192,31 @@ def test_glove_training_path(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(solver.params["glove_table"]), table
     )
+
+
+def test_checkpoint_retention_keeps_newest_n(tmp_path):
+    solver, _ = _setup(
+        tmp_path, "iBOWIMG", num_epoch=3, checkpoint_every_steps=2,
+        keep_checkpoints=2,
+    )
+    solver.train()
+    solver.save()
+    from vqa_attention_networks_tpu.utils import checkpoint as ckpt
+
+    steps = ckpt.all_steps(str(tmp_path / "models" / "iBOWIMG"))
+    assert len(steps) == 2, steps
+    assert steps[-1] == solver.step  # the final save is the newest
+    # the retained latest checkpoint still restores
+    solver.restore()
+
+
+def test_nan_loss_aborts_with_diagnostic(tmp_path):
+    solver, _ = _setup(tmp_path, "iBOWIMG", num_epoch=1)
+    # poison the params: training from NaN weights yields a NaN loss
+    import jax
+
+    solver.params = jax.tree_util.tree_map(
+        lambda x: x * float("nan"), solver.params
+    )
+    with pytest.raises(FloatingPointError, match="non-finite train loss"):
+        solver.train()

@@ -141,6 +141,10 @@ class Config:
     # checkpointing cadence (capability upgrade over the reference's
     # save-at-end-only, solver.py:184-190)
     checkpoint_every_steps: int = 2000
+    # retain only the newest N resume checkpoints (0 = keep all); the final
+    # save is always the newest so it survives, and the weights-only export
+    # lives outside the step_* retention scheme entirely
+    keep_checkpoints: int = 3
 
     @property
     def soft_answer(self) -> bool:

@@ -276,6 +276,17 @@ class Solver:
             # sync once per epoch for metrics
             loss = float(loss_d)
             acc = float(correct_d) / max(int(batch.valid.sum()), 1)
+            if not np.isfinite(loss):
+                # failure detection (SURVEY §5): a non-finite loss means
+                # every step since it appeared was wasted — abort with the
+                # debugging recipe instead of silently training garbage.
+                raise FloatingPointError(
+                    f"non-finite train loss at epoch {epoch} step "
+                    f"{self.step}. Recipe: rerun with Config.debug_nans=1 "
+                    f"(traps the originating op), check the feature store "
+                    f"for clamp warnings (data/feature_store.py), or drop "
+                    f"to --compute_dtype float32 to rule out bf16 overflow."
+                )
             elapsed = timer.toc(average=False)
             qps = seen / max(elapsed, 1e-9)
 
@@ -411,6 +422,7 @@ class Solver:
         path = ckpt.save_checkpoint(
             os.path.join(self.cfg.out_dir, self.cfg.model_name),
             self._state(), self.step,
+            keep=self.cfg.keep_checkpoints or None,
         )
         return path
 

@@ -11,7 +11,8 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Any, Optional
+import shutil
+from typing import Any, List, Optional
 
 import jax
 import orbax.checkpoint as ocp
@@ -23,21 +24,39 @@ def _step_dir(directory: str, step: int) -> str:
     return os.path.join(os.path.abspath(directory), f"step_{step}")
 
 
-def save_checkpoint(directory: str, state: Any, step: int) -> str:
-    """Write one checkpoint; returns its path."""
+def save_checkpoint(
+    directory: str, state: Any, step: int, keep: Optional[int] = None
+) -> str:
+    """Write one checkpoint; returns its path.
+
+    ``keep`` bounds retention: older ``step_*`` directories beyond the
+    newest ``keep`` are deleted after a successful write (an 18-epoch
+    reference run at the default 2000-step cadence would otherwise
+    accumulate ~90 full {params, opt_state} snapshots). ``None`` keeps all.
+    """
     path = _step_dir(directory, step)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, state, force=True)
+    if keep is not None and keep > 0:
+        for old in all_steps(directory)[:-keep]:
+            shutil.rmtree(_step_dir(directory, old), ignore_errors=True)
     return path
 
 
-def latest_step(directory: str) -> Optional[int]:
+def all_steps(directory: str) -> List[int]:
+    """Ascending step numbers of every checkpoint under ``directory``."""
     try:
         entries = os.listdir(directory)
     except FileNotFoundError:
-        return None
-    steps = [int(m.group(1)) for e in entries if (m := _STEP_RE.match(e))]
-    return max(steps) if steps else None
+        return []
+    return sorted(
+        int(m.group(1)) for e in entries if (m := _STEP_RE.match(e))
+    )
+
+
+def latest_step(directory: str) -> Optional[int]:
+    steps = all_steps(directory)
+    return steps[-1] if steps else None
 
 
 def restore_checkpoint(
