@@ -16,11 +16,15 @@ import jax.numpy as jnp
 
 from vqa_attention_networks_tpu.config import Config
 from vqa_attention_networks_tpu.models import get_model
+from vqa_attention_networks_tpu.utils.compilation_cache import (
+    enable_persistent_cache,
+)
 
 BASELINE_QPS = 10_000.0
 
 
 def main() -> None:
+    enable_persistent_cache()
     batch = 1024
     cfg = Config(
         model_name="mhb_coAtt",

@@ -11,6 +11,8 @@ from vqa_attention_networks_tpu.cli.train import main as _train_main
 
 
 def main(argv=None) -> None:
+    from vqa_attention_networks_tpu.utils.runtime import setup as _rt_setup
+    _rt_setup()
     argv = list(argv) if argv is not None else None
     if argv is None:
         import sys

@@ -41,6 +41,8 @@ def _load_image(path: str, size: int) -> np.ndarray:
 
 
 def main(argv=None) -> None:
+    from vqa_attention_networks_tpu.utils.runtime import setup as _rt_setup
+    _rt_setup()
     parser = argparse.ArgumentParser(description="extract image features")
     parser.add_argument("--split", type=str, default="train", help="train|val")
     parser.add_argument("--output_dir", type=str, default="data")

@@ -24,6 +24,8 @@ from vqa_attention_networks_tpu.utils import checkpoint as ckpt
 
 
 def main(argv=None) -> None:
+    from vqa_attention_networks_tpu.utils.runtime import setup as _rt_setup
+    _rt_setup()
     parser = argparse.ArgumentParser()
     parser.add_argument("--image_path", type=str, default="data/cat.jpg")
     parser.add_argument("--model_name", type=str, default="mhb_coAtt")

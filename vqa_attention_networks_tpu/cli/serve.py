@@ -212,6 +212,8 @@ def build_service(args) -> VqaService:
 
 
 def main(argv=None) -> None:
+    from vqa_attention_networks_tpu.utils.runtime import setup as _rt_setup
+    _rt_setup()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_name", type=str, default="mhb_coAtt")
     parser.add_argument("--model_dir", type=str, default="./models")

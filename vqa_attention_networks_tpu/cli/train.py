@@ -56,6 +56,8 @@ def build_solver(args) -> Solver:
 
 
 def main(argv=None) -> None:
+    from vqa_attention_networks_tpu.utils.runtime import setup as _rt_setup
+    _rt_setup()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_name", type=str, default="mhb",
                         help="mfb|mfb-multilayer|mhb|mhb_coAtt|hieCoAtten|"
