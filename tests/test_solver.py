@@ -220,3 +220,31 @@ def test_nan_loss_aborts_with_diagnostic(tmp_path):
     )
     with pytest.raises(FloatingPointError, match="non-finite train loss"):
         solver.train()
+
+
+def test_remat_gradients_match(tmp_path):
+    # jax.checkpoint must change memory usage only: one train step with and
+    # without remat from identical init yields identical params (flagship:
+    # LSTM scan + fusion + dropout — the rng path must thread through remat)
+    import jax
+
+    results = []
+    for remat in (False, True):
+        solver, _ = _setup(
+            tmp_path / ("remat" if remat else "base"), "mhb_coAtt",
+            num_epoch=1, remat=remat,
+        )
+        batch = next(solver.batches["train"].epoch())
+        dev = solver._device_batch(batch)
+        key = jax.random.fold_in(solver._rng_base, 0)
+        params, _, loss, _ = solver._train_step(
+            solver.params, solver.opt_state, *dev, key
+        )
+        results.append((jax.device_get(params), float(loss)))
+
+    (p0, l0), (p1, l1) = results
+    assert l0 == l1
+    flat0 = jax.tree_util.tree_leaves(p0)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_array_equal(a, b)

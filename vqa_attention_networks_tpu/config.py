@@ -88,6 +88,12 @@ class Config:
     # the forward path (bf16 keeps the MXU fed at full rate on TPU).
     compute_dtype: str = "float32"
 
+    # Rematerialise the forward pass during backward (jax.checkpoint): trades
+    # one extra forward's FLOPs for dropping every intermediate activation
+    # from HBM — the standard lever when a bigger train batch OOMs. Gradients
+    # are bit-identical (tests/test_solver.py::test_remat_gradients_match).
+    remat: bool = False
+
     # PRNG implementation for training randomness (dropout). "threefry" is
     # JAX's reproducible default; "rbg" is hardware-accelerated on TPU —
     # the fusion-site dropout draws ~1M bits/sample, ~30% of the train step

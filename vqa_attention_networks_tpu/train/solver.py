@@ -176,10 +176,18 @@ class Solver:
 
     def _train_step_fn(self, params, opt_state, img, ques, answers, qlen,
                        valid, soft, rng):
-        def loss_fn(p):
-            logits, aux = self.model.apply(
+        def apply(p, img, ques, qlen, rng):
+            return self.model.apply(
                 p, self.cfg, img, ques, ques_length=qlen, train=True, rng=rng
             )
+
+        if self.cfg.remat:
+            # recompute the forward during backward instead of keeping every
+            # intermediate in HBM; same gradients, smaller peak memory
+            apply = jax.checkpoint(apply)
+
+        def loss_fn(p):
+            logits, aux = apply(p, img, ques, qlen, rng)
             return self._loss(logits, answers, soft, valid), (logits, aux)
 
         (loss, (logits, aux)), grads = jax.value_and_grad(
