@@ -1,0 +1,101 @@
+"""AOT serving artifacts (aot.py): export -> save -> load -> run parity.
+
+The exported StableHLO graph must reproduce the engine's jitted forward
+exactly (same program, different packaging), and the load-time metadata
+check must reject mismatched artifacts.
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from vqa_attention_networks_tpu.aot import (
+    load_serving_artifact,
+    save_serving_artifact,
+)
+from vqa_attention_networks_tpu.config import Config
+from vqa_attention_networks_tpu.models import get_model
+from vqa_attention_networks_tpu.serve import InferenceEngine
+
+
+def _tiny_cfg(**kw):
+    base = dict(
+        model_name="mhb_coAtt",
+        q_vocab_size=50,
+        a_vocab_size=8,
+        hidden_dim=16,
+        emb_dim=8,
+        img_feature_channel=32,
+        max_question_length=5,
+        mfb_factor=5,
+        mfb_out=8,
+        compute_dtype="bfloat16",
+    )
+    base.update(kw)
+    return Config(**base).validate()
+
+
+def _inputs(cfg, n):
+    rng = np.random.default_rng(0)
+    feats = np.maximum(
+        rng.standard_normal((n, 196, cfg.img_feature_channel)), 0
+    ).astype(np.float16)
+    ques = rng.integers(0, cfg.q_vocab_size, (n, 5), dtype=np.int32)
+    qlen = rng.integers(1, 6, (n,), dtype=np.int32)
+    return feats, ques, qlen
+
+
+def test_artifact_roundtrip_matches_engine(tmp_path):
+    cfg = _tiny_cfg()
+    model = get_model(cfg.model_name)
+    params = model.init(jax.random.PRNGKey(0), cfg)
+    batch = 8
+
+    save_serving_artifact(str(tmp_path / "aot"), cfg, params, batch, topk=3)
+    fwd, meta = load_serving_artifact(str(tmp_path / "aot"))
+    assert meta["model_name"] == "mhb_coAtt"
+    assert meta["batch_size"] == batch
+
+    feats, ques, qlen = _inputs(cfg, batch)
+    top_i, top_p = fwd(params, feats, ques, qlen)
+
+    engine = InferenceEngine(cfg, params, batch_size=batch, topk=3)
+    preds = engine.predict_batch(feats, ques, qlen)
+    for i, pred in enumerate(preds):
+        np.testing.assert_array_equal(np.asarray(top_i)[i], pred.top_ids)
+        np.testing.assert_allclose(
+            np.asarray(top_p)[i], pred.top_probs, rtol=1e-6
+        )
+
+
+def test_engine_from_artifact(tmp_path):
+    cfg = _tiny_cfg()
+    model = get_model(cfg.model_name)
+    params = model.init(jax.random.PRNGKey(0), cfg)
+    batch = 8
+    save_serving_artifact(str(tmp_path / "aot"), cfg, params, batch, topk=5)
+
+    aot_engine = InferenceEngine(
+        cfg, params, batch_size=batch, topk=5,
+        artifact_dir=str(tmp_path / "aot"),
+    )
+    jit_engine = InferenceEngine(cfg, params, batch_size=batch, topk=5)
+
+    feats, ques, qlen = _inputs(cfg, 5)  # smaller than batch: pad path
+    a = aot_engine.predict_batch(feats, ques, qlen)
+    b = jit_engine.predict_batch(feats, ques, qlen)
+    assert len(a) == len(b) == 5
+    for x, y in zip(a, b):
+        assert x.answer_id == y.answer_id
+        np.testing.assert_array_equal(x.top_ids, y.top_ids)
+
+
+def test_engine_rejects_mismatched_artifact(tmp_path):
+    cfg = _tiny_cfg()
+    model = get_model(cfg.model_name)
+    params = model.init(jax.random.PRNGKey(0), cfg)
+    save_serving_artifact(str(tmp_path / "aot"), cfg, params, 8, topk=5)
+
+    with pytest.raises(ValueError, match="batch_size"):
+        InferenceEngine(cfg, params, batch_size=16, topk=5,
+                        artifact_dir=str(tmp_path / "aot"))

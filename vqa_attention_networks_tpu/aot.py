@@ -1,0 +1,128 @@
+"""Ahead-of-time serving artifacts (jax.export).
+
+The serving forward is a pure function of (params, img, ques, qlen) at ONE
+fixed batch size (serve.py's pad+mask contract). ``jax.export`` lowers it
+once and serialises the StableHLO — a versioned, self-contained deployment
+artifact:
+
+- a build box exports for a target platform (``platforms=["tpu"]``) without
+  ever holding serving traffic;
+- the serving box deserialises + compiles, skipping Python-side tracing of
+  the whole model zoo, and — combined with the persistent compilation cache
+  (utils/compilation_cache.py) — skips XLA compilation after its first boot;
+- the artifact pins the exact serving graph: a library upgrade cannot
+  silently change the deployed numerics.
+
+Weights stay OUT of the artifact (they ship via the Orbax checkpoint the
+train CLI already exports); the artifact carries only the graph plus a
+metadata sidecar used to validate checkpoint/vocab compatibility at load.
+
+The reference has no analog — its deploy story is re-running the Python
+model definition (predict_pytorch.py:70-83).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqa_attention_networks_tpu.config import Config
+from vqa_attention_networks_tpu.models import get_model
+
+_GRAPH = "serving.stablehlo"
+_META = "serving.json"
+
+
+def _serving_fn(cfg: Config, topk: int):
+    model = get_model(cfg.model_name)
+
+    def fwd(params, img, ques, qlen):
+        logits, _ = model.apply(
+            params, cfg, img, ques, ques_length=qlen, train=False
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+        top_p, top_i = jax.lax.top_k(probs, topk)
+        return top_i, top_p
+
+    return fwd
+
+
+def export_serving(
+    cfg: Config,
+    params,
+    batch_size: int,
+    topk: int = 5,
+    platforms: Optional[Tuple[str, ...]] = None,
+):
+    """Lower the fixed-batch serving forward to a jax.export.Exported."""
+    from jax import export as jex
+
+    fwd = _serving_fn(cfg, topk)
+    img = jax.ShapeDtypeStruct(
+        (batch_size, cfg.img_feature_dim, cfg.img_feature_channel),
+        jnp.float16,
+    )
+    ques = jax.ShapeDtypeStruct(
+        (batch_size, cfg.max_question_length), jnp.int32
+    )
+    qlen = jax.ShapeDtypeStruct((batch_size,), jnp.int32)
+    p_spec = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        params,
+    )
+    kw = {}
+    if platforms is not None:
+        kw["platforms"] = list(platforms)
+    return jex.export(jax.jit(fwd), **kw)(p_spec, img, ques, qlen)
+
+
+def save_serving_artifact(
+    out_dir: str,
+    cfg: Config,
+    params,
+    batch_size: int,
+    topk: int = 5,
+    platforms: Optional[Tuple[str, ...]] = None,
+) -> str:
+    """Export + write ``serving.stablehlo`` and its metadata sidecar."""
+    exported = export_serving(cfg, params, batch_size, topk, platforms)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, _GRAPH), "wb") as f:
+        f.write(exported.serialize())
+    meta = {
+        "model_name": cfg.model_name,
+        "batch_size": batch_size,
+        "topk": topk,
+        "q_vocab_size": cfg.q_vocab_size,
+        "a_vocab_size": cfg.a_vocab_size,
+        "max_question_length": cfg.max_question_length,
+        "img_feature_dim": cfg.img_feature_dim,
+        "img_feature_channel": cfg.img_feature_channel,
+        "compute_dtype": cfg.compute_dtype,
+        "platforms": list(exported.platforms),
+        "config": dataclasses.asdict(cfg),
+    }
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return out_dir
+
+
+def load_serving_artifact(artifact_dir: str):
+    """Deserialize -> (jitted callable over (params, img, ques, qlen), meta).
+
+    The callable recompiles nothing at the Python level: the graph comes
+    from the artifact, not from re-tracing the model code.
+    """
+    from jax import export as jex
+
+    with open(os.path.join(artifact_dir, _GRAPH), "rb") as f:
+        exported = jex.deserialize(f.read())
+    with open(os.path.join(artifact_dir, _META)) as f:
+        meta = json.load(f)
+    return jax.jit(exported.call), meta

@@ -104,14 +104,16 @@ class VqaService:
     """Request decode (vocab/features) + the batcher, HTTP-agnostic."""
 
     def __init__(self, cfg: Config, vocab: dict, params, store,
-                 batch_size: int, topk: int, max_wait_s: float):
+                 batch_size: int, topk: int, max_wait_s: float,
+                 artifact_dir=None):
         self.cfg = cfg
         self.q_vocab = vocab["question_vocab"]
         self.max_len = vocab["max_question_length"]
         self.ans_of = {i: a for a, i in vocab["answer_vocab"].items()}
         self.store = store
         self.engine = InferenceEngine(
-            cfg, params, batch_size=batch_size, topk=topk
+            cfg, params, batch_size=batch_size, topk=topk,
+            artifact_dir=artifact_dir,
         )
         self.batcher = Batcher(self.engine, max_wait_s)
 
@@ -208,7 +210,8 @@ def build_service(args) -> VqaService:
     template = model.init(jax.random.PRNGKey(0), cfg)
     params = ckpt.load_weights(f"{args.model_dir}/{cfg.model_name}", template)
     return VqaService(cfg, vocab, params, store, args.batch_size, args.topk,
-                      args.max_wait_ms / 1000.0)
+                      args.max_wait_ms / 1000.0,
+                      artifact_dir=getattr(args, "aot_artifact", None))
 
 
 def main(argv=None) -> None:
@@ -230,6 +233,10 @@ def main(argv=None) -> None:
     parser.add_argument("--topk", type=int, default=5)
     parser.add_argument("--max_wait_ms", type=float, default=5.0,
                         help="micro-batching window")
+    parser.add_argument("--aot_artifact", type=str, default=None,
+                        help="directory written by cli.export_serving: use "
+                             "the exported StableHLO graph instead of "
+                             "re-tracing the model")
     args = parser.parse_args(argv)
 
     service = build_service(args)

@@ -38,12 +38,33 @@ class InferenceEngine:
         params,
         batch_size: int = 256,
         topk: int = 5,
+        artifact_dir: Optional[str] = None,
     ):
         self.cfg = cfg.replace(compute_dtype="bfloat16")
         self.model = get_model(cfg.model_name)
         self.params = jax.device_put(params)
         self.batch_size = batch_size
         self.topk = topk
+
+        if artifact_dir is not None:
+            # AOT path (aot.py): the serving graph comes from the exported
+            # artifact, not from re-tracing the model code
+            from vqa_attention_networks_tpu.aot import load_serving_artifact
+
+            self._fwd, meta = load_serving_artifact(artifact_dir)
+            for key, got in (
+                ("model_name", cfg.model_name),
+                ("batch_size", batch_size),
+                ("topk", topk),
+                ("q_vocab_size", cfg.q_vocab_size),
+                ("a_vocab_size", cfg.a_vocab_size),
+            ):
+                if meta[key] != got:
+                    raise ValueError(
+                        f"serving artifact {key}={meta[key]!r} does not "
+                        f"match engine {key}={got!r} ({artifact_dir})"
+                    )
+            return
 
         def fwd(params, img, ques, qlen):
             logits, _ = self.model.apply(
