@@ -248,3 +248,61 @@ def test_remat_gradients_match(tmp_path):
     flat1 = jax.tree_util.tree_leaves(p1)
     for a, b in zip(flat0, flat1):
         np.testing.assert_array_equal(a, b)
+
+
+def test_grad_accum_matches_manual_average(tmp_path):
+    # accumulation spec: one step with grad_accum_steps=2 accumulates the
+    # average of the two half-batch gradients (dropout keys fold_in(rng, i)).
+    # Compare the GRADIENTS, not post-Adam params: swapping the transform
+    # for sgd(1.0) makes (params - params_new) == the accumulated grads.
+    # (Adam would turn f32 noise on a near-zero gradient into a full-lr
+    # sign-flipped update, making param comparison meaningless.)
+    import jax
+    import optax
+
+    solver, _ = _setup(tmp_path / "accum", "mhb_coAtt", num_epoch=1,
+                       grad_accum_steps=2)
+    solver.tx = optax.sgd(1.0)  # before the first _train_step call = traced
+    solver.opt_state = solver.tx.init(solver.params)
+    batch = next(solver.batches["train"].epoch())
+    dev = solver._device_batch(batch)
+    key = jax.random.fold_in(solver._rng_base, 0)
+    init_params = jax.device_get(solver.params)
+    params_new, _, loss_accum, _ = solver._train_step(
+        solver.params, solver.opt_state, *dev, key
+    )
+    grads_accum = jax.tree_util.tree_map(
+        lambda a, b: np.asarray(a) - np.asarray(b), init_params,
+        jax.device_get(params_new),
+    )
+
+    # manual twin from the same init (fresh solver, same seed => same params)
+    ref, _ = _setup(tmp_path / "ref", "mhb_coAtt", num_epoch=1)
+    img, ques, answers, qlen, valid, soft = [np.asarray(x) for x in dev]
+    n = img.shape[0] // 2
+
+    def half_grads(i):
+        sl = slice(i * n, (i + 1) * n)
+
+        def loss_fn(p):
+            logits, _ = ref.model.apply(
+                p, ref.cfg, img[sl], ques[sl], ques_length=qlen[sl],
+                train=True, rng=jax.random.fold_in(key, i),
+            )
+            return ref._loss(logits, answers[sl], soft[sl], valid[sl])
+
+        return jax.value_and_grad(loss_fn)(ref.params)
+
+    (l0, g0), (l1, g1) = half_grads(0), half_grads(1)
+    grads_manual = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, g0, g1)
+
+    np.testing.assert_allclose(
+        float(loss_accum), (float(l0) + float(l1)) / 2, rtol=1e-6
+    )
+    flat_a, tree_a = jax.tree_util.tree_flatten(grads_accum)
+    flat_m, tree_m = jax.tree_util.tree_flatten(jax.device_get(grads_manual))
+    assert tree_a == tree_m
+    for a, b in zip(flat_a, flat_m):
+        # atol ~ param_magnitude * f32 eps: the params-subtraction recovery
+        # of the accumulated grads quantises at the PARAM's magnitude
+        np.testing.assert_allclose(a, b, rtol=1e-2, atol=2e-6)

@@ -42,6 +42,7 @@ def build_solver(args) -> Solver:
         model_parallel=args.model_parallel,
         rng_impl=args.rng_impl,
         remat=bool(args.remat),
+        grad_accum_steps=args.grad_accum_steps,
     ).validate()
     print(f"q_vocab_size {cfg.q_vocab_size}")
     print(f"a_vocab_size {cfg.a_vocab_size}")
@@ -85,6 +86,10 @@ def main(argv=None) -> None:
                         help="mid-training checkpoint cadence; 0 disables "
                              "(final save always writes one)")
     parser.add_argument("--model_parallel", type=int, default=1)
+    parser.add_argument("--grad_accum_steps", type=int, default=1,
+                        help="split each optimizer step into N sequential "
+                             "microbatches (peak memory of one microbatch; "
+                             "must divide batch_size)")
     parser.add_argument("--remat", type=int, default=0,
                         help="1 = rematerialise the forward during backward "
                              "(jax.checkpoint): identical gradients, lower "

@@ -88,6 +88,12 @@ class Config:
     # the forward path (bf16 keeps the MXU fed at full rate on TPU).
     compute_dtype: str = "float32"
 
+    # Split each optimizer step into this many sequential microbatches
+    # (lax.scan): peak activation memory is one microbatch's; gradients
+    # average uniformly across microbatches. Composes with remat. Must
+    # divide batch_size.
+    grad_accum_steps: int = 1
+
     # Rematerialise the forward pass during backward (jax.checkpoint): trades
     # one extra forward's FLOPs for dropping every intermediate activation
     # from HBM — the standard lever when a bigger train batch OOMs. Gradients
@@ -179,6 +185,13 @@ class Config:
             pass
         if self.img_feature_dim != 196:
             raise ValueError("img_feature_dim must be 196 (14x14 ResNet grid)")
+        if self.grad_accum_steps < 1 or (
+            self.batch_size % self.grad_accum_steps
+        ):
+            raise ValueError(
+                f"grad_accum_steps={self.grad_accum_steps} must be >=1 and "
+                f"divide batch_size={self.batch_size}"
+            )
         for field, value, allowed in (
             ("early_stop_metric", self.early_stop_metric, ("loss", "acc")),
             ("mode", self.mode, ("training", "testing")),

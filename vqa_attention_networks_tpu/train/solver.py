@@ -186,17 +186,63 @@ class Solver:
             # intermediate in HBM; same gradients, smaller peak memory
             apply = jax.checkpoint(apply)
 
-        def loss_fn(p):
-            logits, aux = apply(p, img, ques, qlen, rng)
-            return self._loss(logits, answers, soft, valid), (logits, aux)
+        def grad_one(mimg, mques, mans, mqlen, mvalid, msoft, mrng):
+            def loss_fn(p):
+                logits, aux = apply(p, mimg, mques, mqlen, mrng)
+                return (
+                    self._loss(logits, mans, msoft, mvalid), (logits, aux)
+                )
 
-        (loss, (logits, aux)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params)
+            (loss, (logits, aux)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            correct = correct_count(logits, self._labels(mans, msoft), mvalid)
+            return loss, grads, aux, correct
+
+        a = self.cfg.grad_accum_steps
+        if a > 1:
+            # microbatch accumulation (lax.scan): peak activation memory is
+            # one microbatch's; grads/losses average uniformly over the a
+            # microbatches (exact whenever their valid counts are equal —
+            # i.e. every batch except a padded final one), dropout keys are
+            # fold_in(rng, i). Batch-stat aux comes from the LAST microbatch
+            # (BN normalises per microbatch under accumulation by design).
+            n_micro = img.shape[0] // a
+
+            def re(x):
+                return x.reshape(a, n_micro, *x.shape[1:])
+
+            xs = tuple(re(x) for x in (img, ques, answers, qlen, valid, soft))
+
+            def body(carry, x):
+                i, loss_s, grads_s, correct_s = carry
+                loss, grads, aux, correct = grad_one(
+                    *x, jax.random.fold_in(rng, i)
+                )
+                grads_s = jax.tree_util.tree_map(
+                    jnp.add, grads_s, grads
+                )
+                return (i + 1, loss_s + loss, grads_s, correct_s + correct), aux
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+            init = (
+                jnp.zeros((), jnp.int32),
+                jnp.zeros((), jnp.float32),
+                zero_grads,
+                jnp.zeros((), jnp.float32),
+            )
+            (_, loss, grads, correct), auxes = jax.lax.scan(body, init, xs)
+            loss = loss / a
+            grads = jax.tree_util.tree_map(lambda g: g / a, grads)
+            aux = jax.tree_util.tree_map(lambda s: s[-1], auxes)
+        else:
+            loss, grads, aux, correct = grad_one(
+                img, ques, answers, qlen, valid, soft, rng
+            )
+
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         params = _merge_batch_stats(params, aux)
-        correct = correct_count(logits, self._labels(answers, soft), valid)
         return params, opt_state, loss, correct
 
     def _eval_step_fn(self, params, img, ques, answers, qlen, valid, soft):
