@@ -142,3 +142,55 @@ def test_error_paths(server):
         req = urllib.request.Request(server + "/nope", b"{}")
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 404
+
+
+def test_service_with_aot_artifact_matches_jit(tmp_path):
+    # the AOT-loaded service must answer identically to the jit service
+    from vqa_attention_networks_tpu.aot import save_serving_artifact
+
+    data_dir = tmp_path
+    words = ["what", "color", "is", "the", "cat"]
+    q_vocab = {w: i + 1 for i, w in enumerate(words)}
+    q_vocab["UNK"] = len(words) + 1
+    answers = ["black", "white", "blue"]
+    vocab = {
+        "question_vocab": q_vocab,
+        "answer_vocab": {a: i for i, a in enumerate(answers)},
+        "max_question_length": 6,
+    }
+    with open(data_dir / "qa_v2_3answers_all.vocab.json", "w") as f:
+        json.dump(vocab, f)
+    # the AOT artifact pins the full input contract, including the
+    # 196-region grid (jit would silently trace whatever region count
+    # arrives; the exported graph will not)
+    make_synthetic_feature_store(
+        str(data_dir / "resnet152_all"), IMAGE_IDS, num_regions=196,
+        channels=8,
+    )
+    cfg = Config(
+        model_name=MODEL,
+        q_vocab_size=q_vocab["UNK"] + 1,
+        a_vocab_size=len(answers),
+        max_question_length=6,
+        img_feature_channel=8,
+        compute_dtype="bfloat16",
+    ).validate()
+    params = get_model(MODEL).init(jax.random.PRNGKey(0), cfg)
+    ckpt.save_weights(str(data_dir / "models" / MODEL), params)
+    save_serving_artifact(str(data_dir / "aot"), cfg, params, 4, topk=3)
+
+    def make_args(aot):
+        return argparse.Namespace(
+            model_name=MODEL, model_dir=str(data_dir / "models"),
+            data_dir=str(data_dir), vocab=None, feature_type="resnet152",
+            version=2, num_answer=3, batch_size=4, topk=3, max_wait_ms=1.0,
+            aot_artifact=aot,
+        )
+
+    svc_jit = serve_cli.build_service(make_args(None))
+    svc_aot = serve_cli.build_service(make_args(str(data_dir / "aot")))
+    item = {"question": "what color is the cat", "image_id": IMAGE_IDS[0]}
+    a = svc_jit.predict_one(dict(item))
+    b = svc_aot.predict_one(dict(item))
+    assert a["answer"] == b["answer"]
+    assert [t["answer"] for t in a["top"]] == [t["answer"] for t in b["top"]]
