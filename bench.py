@@ -23,7 +23,39 @@ from vqa_attention_networks_tpu.utils.compilation_cache import (
 BASELINE_QPS = 10_000.0
 
 
+def _require_devices(timeout_s: float = 600.0) -> None:
+    """Fail fast (one JSON error line) if backend init hangs.
+
+    A healthy backend initialises in seconds; a wedged TPU relay blocks
+    ``jax.devices()`` forever (observed: the axon tunnel dropping
+    mid-session), which would hang the whole benchmark harness. The probe
+    runs in a daemon thread so a hung init cannot keep the process alive.
+    """
+    import threading
+
+    out: list = []
+    t = threading.Thread(target=lambda: out.append(jax.devices()),
+                         daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not out:
+        print(
+            json.dumps(
+                {
+                    "metric": "mhb_coAtt batched inference throughput (1 chip)",
+                    "value": 0.0,
+                    "unit": "qa_pairs_per_sec",
+                    "vs_baseline": 0.0,
+                    "error": f"backend init exceeded {timeout_s:.0f}s "
+                             "(device relay unreachable)",
+                }
+            )
+        )
+        raise SystemExit(2)
+
+
 def main() -> None:
+    _require_devices()
     enable_persistent_cache()
     batch = 1024
     cfg = Config(
