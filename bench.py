@@ -34,11 +34,22 @@ def _require_devices(timeout_s: float = 600.0) -> None:
     import threading
 
     out: list = []
-    t = threading.Thread(target=lambda: out.append(jax.devices()),
-                         daemon=True)
+    err: list = []
+
+    def probe():
+        try:
+            out.append(jax.devices())
+        except Exception as e:  # init failed outright — report the cause
+            err.append(f"{type(e).__name__}: {e}")
+
+    t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
     if not out:
+        reason = err[0] if err else (
+            f"backend init exceeded {timeout_s:.0f}s "
+            "(device relay unreachable)"
+        )
         print(
             json.dumps(
                 {
@@ -46,8 +57,7 @@ def _require_devices(timeout_s: float = 600.0) -> None:
                     "value": 0.0,
                     "unit": "qa_pairs_per_sec",
                     "vs_baseline": 0.0,
-                    "error": f"backend init exceeded {timeout_s:.0f}s "
-                             "(device relay unreachable)",
+                    "error": reason,
                 }
             )
         )

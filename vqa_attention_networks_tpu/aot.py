@@ -39,7 +39,13 @@ _GRAPH = "serving.stablehlo"
 _META = "serving.json"
 
 
-def _serving_fn(cfg: Config, topk: int):
+def serving_forward(cfg: Config, topk: int):
+    """THE serving forward: apply -> softmax -> top-k over one fixed batch.
+
+    Single source of truth for both serving paths — InferenceEngine jits
+    this same function, and export_serving lowers it, so the AOT artifact
+    and the jit engine can never drift apart.
+    """
     model = get_model(cfg.model_name)
 
     def fwd(params, img, ques, qlen):
@@ -63,7 +69,7 @@ def export_serving(
     """Lower the fixed-batch serving forward to a jax.export.Exported."""
     from jax import export as jex
 
-    fwd = _serving_fn(cfg, topk)
+    fwd = serving_forward(cfg, topk)
     img = jax.ShapeDtypeStruct(
         (batch_size, cfg.img_feature_dim, cfg.img_feature_channel),
         jnp.float16,
@@ -72,9 +78,10 @@ def export_serving(
         (batch_size, cfg.max_question_length), jnp.int32
     )
     qlen = jax.ShapeDtypeStruct((batch_size,), jnp.int32)
+    # shape/dtype only — never np.asarray (that would fetch every device
+    # weight to host just to read its dtype)
     p_spec = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
-        params,
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), params
     )
     kw = {}
     if platforms is not None:

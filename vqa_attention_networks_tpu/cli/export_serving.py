@@ -63,7 +63,8 @@ def main(argv=None) -> None:
     params = ckpt.load_weights(f"{args.model_dir}/{cfg.model_name}", template)
 
     platforms = (
-        tuple(args.platforms.split(",")) if args.platforms else None
+        tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+        if args.platforms else None
     )
     out = save_serving_artifact(
         args.out, cfg, params, args.batch_size, args.topk, platforms

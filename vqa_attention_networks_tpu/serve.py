@@ -46,18 +46,22 @@ class InferenceEngine:
         self.batch_size = batch_size
         self.topk = topk
 
+        from vqa_attention_networks_tpu import aot
+
         if artifact_dir is not None:
             # AOT path (aot.py): the serving graph comes from the exported
             # artifact, not from re-tracing the model code
-            from vqa_attention_networks_tpu.aot import load_serving_artifact
-
-            self._fwd, meta = load_serving_artifact(artifact_dir)
+            self._fwd, meta = aot.load_serving_artifact(artifact_dir)
             for key, got in (
                 ("model_name", cfg.model_name),
                 ("batch_size", batch_size),
                 ("topk", topk),
                 ("q_vocab_size", cfg.q_vocab_size),
                 ("a_vocab_size", cfg.a_vocab_size),
+                ("max_question_length", cfg.max_question_length),
+                ("img_feature_dim", cfg.img_feature_dim),
+                ("img_feature_channel", cfg.img_feature_channel),
+                ("compute_dtype", self.cfg.compute_dtype),
             ):
                 if meta[key] != got:
                     raise ValueError(
@@ -66,15 +70,9 @@ class InferenceEngine:
                     )
             return
 
-        def fwd(params, img, ques, qlen):
-            logits, _ = self.model.apply(
-                params, self.cfg, img, ques, ques_length=qlen, train=False
-            )
-            probs = jax.nn.softmax(logits, axis=-1)
-            top_p, top_i = jax.lax.top_k(probs, topk)
-            return top_i, top_p
-
-        self._fwd = jax.jit(fwd)
+        # the same forward the AOT artifact lowers (aot.serving_forward):
+        # one source of truth, so the two serving paths cannot drift
+        self._fwd = jax.jit(aot.serving_forward(self.cfg, topk))
 
     def _pad(self, arr: np.ndarray, fill=0) -> Tuple[np.ndarray, int]:
         n = arr.shape[0]

@@ -10,11 +10,15 @@ CLI, the serving CLIs, and bench.py all share one warm cache.
 Opt-out with VQA_NO_COMPILATION_CACHE=1; redirect with
 JAX_COMPILATION_CACHE_DIR (the standard JAX variable, which always wins).
 
-TPU-only by design: XLA:CPU executables are AOT-compiled against the build
-host's exact CPU features, and reloading them on a host whose feature
-detection disagrees logs "could lead to SIGILL" warnings (observed on this
-environment's CPU) — CPU runs recompile in well under a second anyway, so
-caching buys nothing there.
+Not enabled for CPU-first platform configs: XLA:CPU executables are
+AOT-compiled against the build host's exact CPU features, and reloading
+them on a host whose feature detection disagrees logs "could lead to
+SIGILL" warnings (observed on this environment's CPU) — CPU compiles are
+sub-second anyway. The platform check reads only *configuration*
+(jax.config / env), never an initialized backend: entry points must be able
+to call this BEFORE jax.distributed.initialize(), and touching the device
+or backend query APIs first would turn distributed init into a silent
+no-op (see parallel/distributed.py).
 """
 
 from __future__ import annotations
@@ -25,33 +29,48 @@ _DEFAULT_DIR = os.path.join(
     os.path.expanduser("~"), ".cache", "vqa_attention_networks_tpu", "xla"
 )
 
-_enabled = False
+_enabled_dir: str | None = None
+
+
+def _configured_platforms() -> str:
+    """The platform priority list from config/env, WITHOUT backend init."""
+    import jax
+
+    try:
+        value = jax.config.jax_platforms  # set by site hooks / VQA_PLATFORM
+    except AttributeError:
+        value = None
+    return value or os.environ.get("JAX_PLATFORMS", "")
+
+
+def _resolve_dir(cache_dir: str | None) -> str:
+    """Precedence: JAX_COMPILATION_CACHE_DIR > explicit arg > default."""
+    return (
+        os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or cache_dir
+        or _DEFAULT_DIR
+    )
 
 
 def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
     """Idempotently enable JAX's persistent compilation cache.
 
     Returns the cache directory in use, or None when disabled/unavailable.
+    Never initializes a backend (safe before jax.distributed.initialize).
     """
-    global _enabled
+    global _enabled_dir
     if os.environ.get("VQA_NO_COMPILATION_CACHE"):
         return None
+    if _enabled_dir is not None:
+        return _enabled_dir
+
+    first = _configured_platforms().split(",")[0].strip().lower()
+    if first == "cpu":
+        return None
+
     import jax
 
-    try:
-        backend = jax.default_backend()
-    except Exception:
-        return None
-    if backend not in ("tpu", "axon"):
-        return None
-
-    path = (
-        os.environ.get("JAX_COMPILATION_CACHE_DIR")
-        or cache_dir
-        or _DEFAULT_DIR
-    )
-    if _enabled:
-        return path
+    path = _resolve_dir(cache_dir)
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
@@ -61,5 +80,5 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # unknown option on an old/odd jax — run uncached
         return None
-    _enabled = True
+    _enabled_dir = path
     return path
