@@ -116,3 +116,66 @@ def test_tp_sharding_places_fusion_axis():
     # small layers stay replicated
     spec2 = sharded["lstm"]["w_hh"].sharding.spec
     assert all(s is None for s in spec2)
+
+
+def test_remat_and_grad_accum_compose_with_spmd(tmp_path):
+    # --remat and --grad_accum_steps must not change results under SPMD:
+    # one solver train step on a (4,2) mesh with both enabled matches the
+    # same step on a (1,1) mesh (same seed/data), up to collective
+    # reduction-order noise
+    from vqa_attention_networks_tpu.data.feature_store import (
+        make_synthetic_feature_store,
+    )
+    from vqa_attention_networks_tpu.data.prepare import make_synthetic_qa_data
+    from vqa_attention_networks_tpu.train.solver import Solver
+
+    def build(sub, mesh_shape):
+        rng = np.random.default_rng(0)
+        qa = make_synthetic_qa_data(rng, n_train=96, n_val=24, num_images=6)
+        store = make_synthetic_feature_store(
+            str(tmp_path / sub),
+            image_ids=sorted(set(qa.train.image_ids) | set(qa.val.image_ids)),
+            num_regions=196, channels=32,
+        )
+        cfg = Config(
+            model_name="mhb_coAtt", q_vocab_size=qa.q_vocab_size,
+            a_vocab_size=qa.a_vocab_size, hidden_dim=16, emb_dim=8,
+            img_feature_channel=32,
+            max_question_length=qa.max_question_length, mfb_factor=5,
+            mfb_out=8, batch_size=16, num_epoch=1, checkpoint_every_steps=0,
+            remat=True, grad_accum_steps=2,
+            data_parallel=mesh_shape[0], model_parallel=mesh_shape[1],
+        ).validate()
+        mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1])
+        return Solver(cfg, qa, store, mesh=mesh,
+                      log_dir=str(tmp_path / sub / "runs"))
+
+    import optax
+
+    results = []
+    for sub, shape in (("single", (1, 1)), ("mesh", (4, 2))):
+        solver = build(sub, shape)
+        # sgd(1.0) makes (init - new) == the accumulated gradients: Adam
+        # would amplify f32 noise on near-zero-gradient leaves into
+        # full-lr sign flips, hiding the SPMD property under test
+        solver.tx = optax.sgd(1.0)
+        solver.opt_state = solver.tx.init(solver.params)
+        batch = next(solver.batches["train"].epoch())
+        dev = solver._device_batch(batch)
+        key = jax.random.fold_in(solver._rng_base, 0)
+        init = jax.device_get(solver.params)
+        params, _, loss, correct = solver._train_step(
+            solver.params, solver.opt_state, *dev, key
+        )
+        grads = jax.tree_util.tree_map(
+            lambda a, b: np.asarray(a) - np.asarray(b), init,
+            jax.device_get(params),
+        )
+        results.append((grads, float(loss), float(correct)))
+
+    (g1, l1, c1), (g8, l8, c8) = results
+    assert c1 == c8
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g8)):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-6)
