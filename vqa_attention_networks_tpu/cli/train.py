@@ -43,6 +43,7 @@ def build_solver(args) -> Solver:
         rng_impl=args.rng_impl,
         remat=bool(args.remat),
         grad_accum_steps=args.grad_accum_steps,
+        seed=args.seed,
     ).validate()
     print(f"q_vocab_size {cfg.q_vocab_size}")
     print(f"a_vocab_size {cfg.a_vocab_size}")
@@ -86,6 +87,9 @@ def main(argv=None) -> None:
                         help="mid-training checkpoint cadence; 0 disables "
                              "(final save always writes one)")
     parser.add_argument("--model_parallel", type=int, default=1)
+    parser.add_argument("--seed", type=int, default=0,
+                        help="controls init, shuffle order and dropout; two "
+                             "runs with the same seed are bit-identical")
     parser.add_argument("--grad_accum_steps", type=int, default=1,
                         help="split each optimizer step into N sequential "
                              "microbatches (peak memory of one microbatch; "
