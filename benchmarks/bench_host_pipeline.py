@@ -33,6 +33,8 @@ def _assemble_rate(batches, n_batches: int, trials: int = 3) -> float:
 
 
 def main(argv=None) -> None:
+    from vqa_attention_networks_tpu.utils.runtime import setup as _rt_setup
+    _rt_setup()
     parser = argparse.ArgumentParser()
     parser.add_argument("--images", type=int, default=2000)
     parser.add_argument("--batch", type=int, default=256)

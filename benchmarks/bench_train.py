@@ -17,6 +17,8 @@ from vqa_attention_networks_tpu.train.losses import soft_cross_entropy
 
 
 def main(argv=None) -> None:
+    from vqa_attention_networks_tpu.utils.runtime import setup as _rt_setup
+    _rt_setup()
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--model_name", type=str, default="mhb_coAtt")

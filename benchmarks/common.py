@@ -13,6 +13,12 @@ from typing import Callable
 
 import numpy as np
 
+from vqa_attention_networks_tpu.utils.runtime import setup as _rt_setup
+
+# same preamble as the CLIs: VQA_PLATFORM override + persistent compile
+# cache, so repeated benchmark runs skip the (relayed) TPU compile
+_rt_setup()
+
 
 def timeit_last(fn: Callable, *args, iters: int = 16, trials: int = 3) -> float:
     """Best-of-``trials`` seconds per iteration (compile excluded)."""
