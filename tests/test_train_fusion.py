@@ -158,3 +158,21 @@ def test_dispatch_gating(monkeypatch):
     monkeypatch.delenv("VQA_DISABLE_PALLAS")
     monkeypatch.setenv("VQA_COMPOSED_TRAIN_FUSION", "1")
     assert not supported(8, 0.1)
+
+
+def test_gate_rejects_misaligned_tile_factors(monkeypatch):
+    # _prep's BlockSpecs need a lane-aligned O tile (_TF//k % 128 == 0) and
+    # an even k-split of F; the gate must reject what the kernel cannot
+    # compile (k=4 -> to=320, k=3 -> _TF%3 != 0, f%k != 0)
+    from vqa_attention_networks_tpu.ops.pallas_train_fusion import supported
+
+    assert not supported(8, 0.1, f=5000, k=4)
+    assert not supported(8, 0.1, f=5001, k=3)
+    assert not supported(8, 0.1, f=5000, k=3)
+    # the production factorisations remain shape-eligible (backend gate
+    # still applies, so assert via the shape logic only on TPU)
+    import jax
+
+    if jax.default_backend() == "tpu":
+        assert supported(8, 0.1, f=5000, k=5)
+        assert supported(8, 0.1, f=5120, k=10)

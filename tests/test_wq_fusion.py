@@ -145,3 +145,33 @@ def test_combined_kernel_backward_is_composed():
     g = jax.grad(loss_composed)(jnp.asarray(w))
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_supported_sizes_resident_weight_at_f32():
+    # the combined co-attention kernel keeps the resident weight in f32;
+    # the gate must size at 4 bytes/element so it never approves a config
+    # whose kernel exhausts VMEM at compile time. d=2048, k=5, F=40960
+    # (o_pad=8192): f32 weight = 2048*5*8192*4 = 320 MB -> reject even
+    # though the bf16 sizing (160 MB) would also reject; the discriminating
+    # case is F=10240 (o_pad=2048): bf16 = 80 MB > 64 rejects both ways,
+    # so use F=7680 (o_pad=1536): f32 = 2048*5*1536*4 = 60 MB accepts,
+    # while F=10240 must reject (f32 = 80 MB).
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vqa_attention_networks_tpu.ops import pallas_wq_fusion as wqf
+
+    img = jnp.zeros((2, 196, 2048), jnp.bfloat16)
+
+    def gate(f):
+        w = np.zeros((2048, f), np.float32)
+        # bypass the backend check to test the sizing logic in isolation
+        import unittest.mock as mock
+
+        with mock.patch.object(wqf.jax, "default_backend",
+                               return_value="tpu"):
+            return wqf.supported(img, w, 5)
+
+    assert gate(5000)      # production shape: 2048*5*1280*4 = 50 MB
+    assert gate(7680)      # 60 MB f32: fits
+    assert not gate(10240)  # 80 MB f32: must reject (bf16 sizing would pass)

@@ -29,6 +29,21 @@ import jax.numpy as jnp
 from vqa_attention_networks_tpu.models.layers import dropout, signed_sqrt
 
 
+def refactor_output_major(x: jnp.ndarray, o: int, k: int,
+                          o_pad: int) -> jnp.ndarray:
+    """[..., F=o*k] -> [..., k, o_pad]: split the output-major fusion axis
+    (channel c = o_idx*k + j, mfb.py:100-101) onto its own k axis and
+    zero-pad O to the lane width.
+
+    THE layout contract shared by every Pallas fusion kernel (wq, combined
+    co-attention, train fusion) and their mask-replay/backward paths — keep
+    exactly one implementation so the kernels cannot desynchronize.
+    """
+    x3 = x.reshape(*x.shape[:-1], o, k)
+    x3 = jnp.swapaxes(x3, -1, -2)
+    return jnp.pad(x3, [(0, 0)] * (x3.ndim - 1) + [(0, o_pad - o)])
+
+
 def mfb_sumpool(z: jnp.ndarray, k: int) -> jnp.ndarray:
     """[..., o*k] -> [..., o]: sum over the k bilinear factors."""
     *lead, d = z.shape

@@ -50,6 +50,7 @@ from vqa_attention_networks_tpu.models.layers import (
 from vqa_attention_networks_tpu.ops.fusion import (
     grid_fuse_weight_contracted,
     mfb_sumpool,
+    refactor_output_major,
 )
 
 # default tiles: NB*196 rows x TF fusion columns per instance.
@@ -100,16 +101,9 @@ def _grid_fuse_pallas(
     # outputs pool to signed_sqrt(0) = 0 and are sliced off below.
     o_pad = -(-o // to) * to
 
-    def refactor(x):  # [..., F] -> [..., k, O_pad]
-        x3 = x.reshape(*x.shape[:-1], o, k)
-        x3 = jnp.swapaxes(x3, -1, -2)  # [..., k, o]
-        return jnp.pad(
-            x3, [(0, 0)] * (x3.ndim - 1) + [(0, o_pad - o)]
-        )
-
-    w3 = refactor(w.astype(img.dtype))  # [D, k, O_pad]
-    b3 = refactor(b.reshape(1, -1))  # [1, k, O_pad]
-    q3 = refactor(q_proj)  # [N, k, O_pad]
+    w3 = refactor_output_major(w.astype(img.dtype), o, k, o_pad)
+    b3 = refactor_output_major(b.reshape(1, -1), o, k, o_pad)
+    q3 = refactor_output_major(q_proj, o, k, o_pad)  # [N, k, O_pad]
 
     grid = (o_pad // to, n // nb)  # N fastest => W block resident across batch
 
@@ -211,7 +205,9 @@ def grid_fuse(
         # dropout residual, the enabler for batch >=1024 on one chip
         from vqa_attention_networks_tpu.ops import pallas_train_fusion as ptf
 
-        if dropout_rate > 0 and ptf.supported(img.shape[0], dropout_rate):
+        if dropout_rate > 0 and ptf.supported(
+            img.shape[0], dropout_rate, w.shape[1], k
+        ):
             seed = jax.random.randint(
                 rng, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32
             )

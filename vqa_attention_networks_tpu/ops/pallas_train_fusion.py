@@ -33,7 +33,7 @@ also makes ``jax.test_util.check_grads``-style finite differences valid.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,10 +44,9 @@ _NB = 4
 _TF = 1280
 
 
-def _refactor(x, o, k, o_pad):
-    x3 = x.reshape(*x.shape[:-1], o, k)
-    x3 = jnp.swapaxes(x3, -1, -2)
-    return jnp.pad(x3, [(0, 0)] * (x3.ndim - 1) + [(0, o_pad - o)])
+from vqa_attention_networks_tpu.ops.fusion import (
+    refactor_output_major as _refactor,
+)
 
 
 def _mask(shape, thr_keep: int):
@@ -341,7 +340,8 @@ train_grid_fuse.defvjp(
 )
 
 
-def supported(n: int, rate: float, nb: int = _NB) -> bool:
+def supported(n: int, rate: float, f: Optional[int] = None,
+              k: Optional[int] = None, nb: int = _NB) -> bool:
     """Default-on for TPU training (burned in round 2): speed parity with
     the composed chain at batch 512 (92.0 vs 92.8 ms/step) and, because it
     eliminates the [N, 196, 5000] f32 pre-pool dropout residual, it is the
@@ -355,6 +355,13 @@ def supported(n: int, rate: float, nb: int = _NB) -> bool:
         return False
     if os.environ.get("VQA_COMPOSED_TRAIN_FUSION"):
         return False
+    if f is not None and k is not None:
+        # layout contract of _prep/BlockSpecs: the in-kernel O tile is
+        # _TF//k and must be lane-aligned, and F must split evenly into
+        # k factors — otherwise Mosaic rejects the kernel at compile time
+        # where the composed fallback would have worked
+        if f % k or _TF % k or (_TF // k) % 128:
+            return False
     return (
         jax.default_backend() == "tpu" and n % nb == 0 and 0.0 < rate < 1.0
     )

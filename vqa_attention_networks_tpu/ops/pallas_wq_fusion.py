@@ -41,7 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import NamedSharding, PartitionSpec
 
 from vqa_attention_networks_tpu.models.layers import l2_normalize, signed_sqrt
-from vqa_attention_networks_tpu.ops.fusion import mfb_sumpool
+from vqa_attention_networks_tpu.ops.fusion import (
+    mfb_sumpool,
+    refactor_output_major,
+)
 
 _LANE = 128
 
@@ -95,15 +98,11 @@ def _wq_grid_fuse_pallas(
     o = f // k
     o_pad = -(-o // _LANE) * _LANE
 
-    # refactor channel c = o_idx*k + j (output-major, mfb.py:100-101) into
-    # [..., k, O_pad] with k on its own axis (Mosaic cannot relayout a
-    # lanes->sublanes reshape in-kernel) and O zero-padded to the lane width
+    # output-major k-refactor (shared contract: ops/fusion.py); k goes
+    # MAJOR for w/b (contiguous [D, O] per factor inside the kernel)
     def refactor(x):
-        x3 = x.reshape(*x.shape[:-1], o, k)
-        x3 = jnp.swapaxes(x3, -1, -2)
-        return jnp.pad(x3, [(0, 0)] * (x3.ndim - 1) + [(0, o_pad - o)])
+        return refactor_output_major(x, o, k, o_pad)
 
-    # k goes MAJOR for w/b (contiguous [D, O] per factor inside the kernel)
     w3 = jnp.moveaxis(refactor(w), 1, 0).astype(jnp.bfloat16)  # [k, D, O_pad]
     b3 = jnp.moveaxis(
         refactor(b.reshape(1, -1)), 1, 0
@@ -225,9 +224,7 @@ def fused_stage1_coattention_pallas(
     g_pad = _LANE
 
     def refactor(x):
-        x3 = x.reshape(*x.shape[:-1], o, k)
-        x3 = jnp.swapaxes(x3, -1, -2)
-        return jnp.pad(x3, [(0, 0)] * (x3.ndim - 1) + [(0, o_pad - o)])
+        return refactor_output_major(x, o, k, o_pad)
 
     # w stays f32 in VMEM (42 MB): the per-tile bf16->f32 convert of w was
     # as many VPU element ops as the FMAs themselves
@@ -284,8 +281,11 @@ def fused_stage1_coattention_pallas(
 
 def _composed_reference(img, w, b, q_proj, k, eps=1e-12):
     """XLA-composed twin: fuse chain + grid-flat L2 (differentiable)."""
+    from vqa_attention_networks_tpu.models.layers import matmul_precision
+
     acc = jnp.promote_types(img.dtype, jnp.float32)
-    z = jnp.dot(img, w.astype(img.dtype), preferred_element_type=acc)
+    z = jnp.dot(img, w.astype(img.dtype), preferred_element_type=acc,
+                precision=matmul_precision(img.dtype))
     z = (z + b.astype(acc)) * q_proj[:, None, :].astype(acc)
     z = signed_sqrt(mfb_sumpool(z, k))
     n = img.shape[0]
@@ -319,16 +319,19 @@ def _composed_stage1_coatt(img, w, b, q_proj, c1w, c1b, c2w, c2b, k,
                            eps=1e-12):
     """XLA-composed twin of the combined kernel: fuse + L2 + 2-glimpse
     co-attention pool (differentiable)."""
+    from vqa_attention_networks_tpu.models.layers import matmul_precision
     from vqa_attention_networks_tpu.ops.fusion import two_glimpse_pool
 
+    prec = matmul_precision(img.dtype)
     z = _composed_reference(img, w, b, q_proj, k, eps)  # [N, L, O]
     h = jax.nn.relu(
-        jnp.dot(z, c1w.astype(z.dtype),
-                preferred_element_type=jnp.float32).astype(z.dtype)
+        jnp.dot(z, c1w.astype(z.dtype), preferred_element_type=jnp.float32,
+                precision=prec).astype(z.dtype)
         + c1b.astype(z.dtype)
     )
     logits = (
-        jnp.dot(h, c2w.astype(z.dtype), preferred_element_type=jnp.float32)
+        jnp.dot(h, c2w.astype(z.dtype), preferred_element_type=jnp.float32,
+                precision=prec)
         + c2b.astype(jnp.float32)
     )  # [N, L, G] f32
     return two_glimpse_pool(logits, img, uniform_quirk=False)  # [N, G*D]
@@ -486,24 +489,18 @@ def supported(img: jnp.ndarray, w: jnp.ndarray, k: int) -> bool:
     if jax.default_backend() != "tpu":
         return False
     d, f = w.shape
-    # resident weight must fit comfortably in VMEM next to the working set
-    if d * k * (-(-(f // k) // _LANE) * _LANE) * 2 > 64 * 1024 * 1024:
+    if f % k:
         return False
-    return img.dtype == jnp.bfloat16 and d % _LANE == 0 and f % k == 0
+    # resident weight must fit comfortably in VMEM next to the working set:
+    # the combined co-attention kernel (the gated default) keeps it in
+    # FLOAT32 (4 bytes/element — see the w3 cast in
+    # fused_stage1_coattention_pallas), so size at 4, not bf16's 2
+    if d * k * (-(-(f // k) // _LANE) * _LANE) * 4 > 64 * 1024 * 1024:
+        return False
+    return img.dtype == jnp.bfloat16 and d % _LANE == 0
 
 
-def fused_grid_fuse_l2(
-    img: jnp.ndarray,
-    proj_params: dict,
-    q_proj: jnp.ndarray,
-    k: int,
-) -> jnp.ndarray:
-    """Dispatching entry for the eval-path stage-1 fusion INCLUDING the
-    grid-flat L2 normalisation. Pallas on TPU at bf16; composed XLA twin
-    otherwise."""
-    w, b = proj_params["w"], proj_params.get("b")
-    if b is None:
-        b = jnp.zeros((w.shape[1],), w.dtype)
-    if supported(img, w, k):
-        return _wq_grid_fuse_tpu(img, w, b, q_proj, k)
-    return _composed_reference(img, w, b, q_proj, k)
+# NOTE: the standalone wq kernel's public entry was removed — every model
+# caller dispatches through stage1_coattention (the combined kernel), and
+# _wq_grid_fuse_tpu remains exercised directly by tests/test_wq_fusion.py
+# and benchmarks/bench_wq_kernel.py.

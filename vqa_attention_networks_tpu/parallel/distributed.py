@@ -35,7 +35,15 @@ def initialize_distributed(
     """
     if jax.distributed.is_initialized():
         return
-    explicit = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    explicit = (
+        coordinator_address
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        # partial explicit config (num_processes/process_id without an
+        # address) must ALSO surface jax's own error rather than silently
+        # running single-process with the caller believing otherwise
+        or num_processes is not None
+        or process_id is not None
+    )
     # a single-entry worker list (e.g. TPU_WORKER_HOSTNAMES=localhost on a
     # one-host TPU VM) is a single-process run, not a pod
     workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
@@ -44,16 +52,16 @@ def initialize_distributed(
     )
     if not explicit and not auto_tpu:
         return
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except (ValueError, RuntimeError):
-        if explicit:
-            raise  # misconfigured explicit setup must be loud
-        # auto-detection found no usable cluster: stay single-process
+    # Never swallow failures here: both branches mean a multi-process
+    # cluster WAS configured/detected, and proceeding single-process after
+    # a failed initialize is split-brain — every host would see
+    # process_index()==0, write to the same checkpoint paths, and train
+    # independently on the full batch. Loud failure is the only safe mode.
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def is_primary() -> bool:
