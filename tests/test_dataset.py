@@ -133,3 +133,28 @@ def test_writer_clamps_out_of_f16_range(tmp_path, capsys):
     lim = np.finfo(np.float16).max
     assert got[0, 0, 0] == lim and got[1, 1, 1] == -lim
     assert got[0, 2, 2] == np.float16(123.5)
+
+
+def test_prefetch_producer_stops_when_consumer_abandons():
+    # breaking out of the consumer loop must release the producer thread
+    # (previously it blocked forever on q.put, pinning depth+1 batches)
+    import threading
+    import time
+
+    from vqa_attention_networks_tpu.data.dataset import prefetch
+
+    alive = {"n": 0}
+
+    def slow_source():
+        for i in range(1000):
+            alive["n"] = i
+            yield i
+
+    before = threading.active_count()
+    gen = prefetch(slow_source(), depth=2)
+    assert next(gen) == 0
+    gen.close()  # consumer abandons
+    deadline = time.monotonic() + 5
+    while threading.active_count() > before and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"

@@ -138,3 +138,28 @@ def test_batch_pipeline_densify_uses_native(lib):
             if idx[i, j] >= 0:
                 want[i, idx[i, j]] = val[i, j]
     np.testing.assert_array_equal(got, want)
+
+
+def test_feature_store_append_batch_rejects_id_mismatch(tmp_path):
+    from vqa_attention_networks_tpu.data.feature_store import (
+        FeatureStoreWriter,
+    )
+
+    w = FeatureStoreWriter(str(tmp_path / "s"), num_regions=4, channels=8)
+    feats = np.zeros((3, 4, 8), np.float32)
+    with pytest.raises(AssertionError, match="silently shifts"):
+        w.append_batch([1, 2], feats)
+
+
+def test_combined_store_rejects_geometry_mismatch(tmp_path):
+    from vqa_attention_networks_tpu.data.feature_store import (
+        CombinedFeatureStore,
+        make_synthetic_feature_store,
+    )
+
+    a = make_synthetic_feature_store(str(tmp_path / "a"), [1, 2],
+                                     num_regions=4, channels=8)
+    b = make_synthetic_feature_store(str(tmp_path / "b"), [3, 4],
+                                     num_regions=8, channels=8)
+    with pytest.raises(ValueError, match="different geometry"):
+        CombinedFeatureStore([a, b])

@@ -194,3 +194,52 @@ def test_service_with_aot_artifact_matches_jit(tmp_path):
     b = svc_aot.predict_one(dict(item))
     assert a["answer"] == b["answer"]
     assert [t["answer"] for t in a["top"]] == [t["answer"] for t in b["top"]]
+
+
+def test_serving_encode_matches_training_alignment(server):
+    # the serving encode must be the TRAINING encode (left-aligned): a
+    # right-aligned layout would point the models' last-valid-timestep
+    # gather (h_seq[qlen-1]) into the leading pad run
+    out = _post(server,
+                {"question": "what color", "image_id": IMAGE_IDS[0]})
+    assert "answer" in out  # served fine
+    from vqa_attention_networks_tpu.data.text import encode_question
+
+    ids = encode_question("what color", {"what": 1, "color": 2, "UNK": 3}, 6)
+    assert ids[:2] == [1, 2] and ids[2:] == [0, 0, 0, 0]
+
+
+def test_bulk_requests_single_engine_call(server):
+    items = [
+        {"question": "what color is the cat", "image_id": IMAGE_IDS[i % 4]}
+        for i in range(6)
+    ]
+    bulk = _post(server, {"requests": items})["results"]
+    single = [_post(server, it) for it in items]
+    assert len(bulk) == 6
+    for a, b in zip(bulk, single):
+        assert a["answer"] == b["answer"]
+
+
+def test_zero_wait_dispatches_immediately(tmp_path):
+    # --max_wait_ms 0 must mean "no batching delay", not "wait forever for
+    # a full batch"
+    import time as _time
+
+    from vqa_attention_networks_tpu.cli.serve import Batcher
+    from vqa_attention_networks_tpu.serve import InferenceEngine
+
+    cfg = Config(
+        model_name=MODEL, q_vocab_size=9, a_vocab_size=5,
+        max_question_length=6, img_feature_channel=8,
+        compute_dtype="bfloat16",
+    ).validate()
+    params = get_model(MODEL).init(jax.random.PRNGKey(0), cfg)
+    engine = InferenceEngine(cfg, params, batch_size=64, topk=3)
+    batcher = Batcher(engine, max_wait_s=0.0)
+    feats = np.zeros((4, 8), np.float16)
+    ids = np.zeros((6,), np.int32)
+    t0 = _time.monotonic()
+    pred = batcher.submit(feats, ids, 1)
+    assert pred is not None
+    assert _time.monotonic() - t0 < 30  # compiles + runs; never hangs

@@ -79,12 +79,16 @@ def main(argv=None) -> None:
         feats = np.asarray(vgg.grid_features(bp, arr))  # [1, 196, 512]
         channels = feats.shape[-1]
 
-    # ---- question -> right-aligned ids (predict_pytorch.py:58-66) --------
+    # ---- question -> LEFT-aligned ids, the TRAINING encode (prepare.py) --
+    # Documented deviation: the reference's predict script right-aligns
+    # (predict_pytorch.py:61-66) while its training prep left-aligns — a
+    # skew in its (import-broken) predict path, not a behavior to keep.
+    # Models gather the last-valid LSTM state at ques_length-1; a
+    # right-aligned encode would point that into the leading pad run.
     ids = np.asarray(
-        [encode_question(args.question, q_vocab, max_len, right_align=True)],
-        np.int32,
+        [encode_question(args.question, q_vocab, max_len)], np.int32
     )
-    qlen = np.asarray([int((ids != 0).sum())], np.int32)
+    qlen = np.asarray([max(int((ids != 0).sum()), 1)], np.int32)
 
     # ---- model ------------------------------------------------------------
     cfg = Config(

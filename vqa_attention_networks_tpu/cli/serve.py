@@ -73,19 +73,25 @@ class Batcher:
         while True:
             first = self._q.get()
             batch = [first]
-            deadline = (
-                threading.TIMEOUT_MAX if self.max_wait_s <= 0
-                else self.max_wait_s
-            )
-            t_end = time.monotonic() + deadline
-            while len(batch) < self.engine.batch_size:
-                remaining = t_end - time.monotonic()
-                if remaining <= 0:
-                    break
-                try:
-                    batch.append(self._q.get(timeout=remaining))
-                except queue.Empty:
-                    break
+            if self.max_wait_s <= 0:
+                # no batching window: dispatch immediately with whatever is
+                # already queued (blocking here would strand the request
+                # until batch_size-1 others happened to arrive)
+                while len(batch) < self.engine.batch_size:
+                    try:
+                        batch.append(self._q.get_nowait())
+                    except queue.Empty:
+                        break
+            else:
+                t_end = time.monotonic() + self.max_wait_s
+                while len(batch) < self.engine.batch_size:
+                    remaining = t_end - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    try:
+                        batch.append(self._q.get(timeout=remaining))
+                    except queue.Empty:
+                        break
             try:
                 feats = np.stack([r.features for r in batch])
                 ids = np.stack([r.ids for r in batch])
@@ -117,20 +123,25 @@ class VqaService:
         )
         self.batcher = Batcher(self.engine, max_wait_s)
 
-    def predict_one(self, item: dict) -> dict:
+    def _encode(self, item: dict):
         question = item["question"]
         image_id = int(item["image_id"])
         try:
             feats = self.store.gather([image_id], dtype=np.float16)[0]
         except KeyError:
             raise ValueError(f"unknown image_id {image_id}") from None
+        # LEFT-aligned, exactly as training encodes (prepare.py): models
+        # gather the last-valid LSTM state at ques_length-1, which with a
+        # right-aligned layout would index into the leading pad run —
+        # served answers must come from the same input contract the
+        # checkpoint was trained and evaluated with
         ids = np.asarray(
-            encode_question(question, self.q_vocab, self.max_len,
-                            right_align=True),
-            np.int32,
+            encode_question(question, self.q_vocab, self.max_len), np.int32
         )
         qlen = max(int((ids != 0).sum()), 1)
-        pred = self.batcher.submit(feats, ids, qlen)
+        return feats, ids, qlen
+
+    def _to_dict(self, pred) -> dict:
         return {
             "answer": self.ans_of[pred.answer_id],
             "top": [
@@ -138,6 +149,27 @@ class VqaService:
                 for i, p in zip(pred.top_ids, pred.top_probs)
             ],
         }
+
+    def predict_one(self, item: dict) -> dict:
+        feats, ids, qlen = self._encode(item)
+        pred = self.batcher.submit(feats, ids, qlen)
+        return self._to_dict(pred)
+
+    def predict_many(self, items: list) -> list:
+        """Bulk endpoint path: ONE padded engine call per engine-batch of
+        requests (routing each item through the micro-batcher would pay a
+        full batching window and a device call per item)."""
+        encoded = [self._encode(item) for item in items]
+        out = []
+        bs = self.engine.batch_size
+        for start in range(0, len(encoded), bs):
+            chunk = encoded[start:start + bs]
+            feats = np.stack([c[0] for c in chunk])
+            ids = np.stack([c[1] for c in chunk])
+            qlen = np.asarray([c[2] for c in chunk], np.int32)
+            preds = self.engine.predict_batch(feats, ids, qlen)
+            out.extend(self._to_dict(pr) for pr in preds)
+        return out
 
 
 def make_handler(service: VqaService, model_name: str):
@@ -172,9 +204,7 @@ def make_handler(service: VqaService, model_name: str):
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 if "requests" in req:
-                    out = {"results": [
-                        service.predict_one(r) for r in req["requests"]
-                    ]}
+                    out = {"results": service.predict_many(req["requests"])}
                 else:
                     out = service.predict_one(req)
                 self._reply(200, out)

@@ -147,22 +147,45 @@ def prefetch(iterator: Iterator[Batch], depth: int = 2) -> Iterator[Batch]:
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _SENTINEL = object()
     err: list = []
+    stop = threading.Event()
 
     def producer() -> None:
         try:
             for item in iterator:
-                q.put(item)
+                # bounded-put with a stop check: if the consumer abandons
+                # the generator (exception in the train step, early break),
+                # a plain q.put would block forever and pin depth+1
+                # assembled batches plus this thread
+                while True:
+                    if stop.is_set():
+                        return
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            # the sentinel must actually ARRIVE when the consumer is still
+            # listening (a dropped sentinel deadlocks the consumer's q.get);
+            # the stop check covers the abandoned-consumer case
+            while not stop.is_set():
+                try:
+                    q.put(_SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()

@@ -74,6 +74,10 @@ class FeatureStoreWriter:
     def append_batch(self, image_ids: Sequence[int], features: np.ndarray) -> None:
         features = self._narrow(features)
         assert features.shape[1:] == (self.num_regions, self.channels)
+        assert len(image_ids) == features.shape[0], (
+            f"{len(image_ids)} ids for {features.shape[0]} feature rows — a "
+            "mismatch here silently shifts every later row of the store"
+        )
         self._file.write(features.tobytes())
         self._image_ids.extend(int(i) for i in image_ids)
 
@@ -159,6 +163,16 @@ class CombinedFeatureStore:
         self.stores = list(stores)
         self.num_regions = stores[0].num_regions
         self.channels = stores[0].channels
+        for s_ in self.stores[1:]:
+            if (s_.num_regions, s_.channels) != (
+                self.num_regions, self.channels
+            ):
+                raise ValueError(
+                    "cannot combine stores with different geometry: "
+                    f"{(self.num_regions, self.channels)} vs "
+                    f"{(s_.num_regions, s_.channels)} — re-extract with "
+                    "matching settings"
+                )
         self._owner: Dict[int, tuple] = {}
         for si, store in enumerate(self.stores):
             for img_id, row in store.row_of.items():

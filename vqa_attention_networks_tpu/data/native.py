@@ -10,6 +10,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional
 
 import numpy as np
@@ -19,6 +20,10 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libvqa_dataplane.so")
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+# first-call build/load must be serialized: concurrent callers (e.g. the
+# threading HTTP server's first requests) would otherwise race two `make`
+# processes onto the same .so and load a partially-written file
+_lock = threading.Lock()
 
 
 def _build() -> bool:
@@ -34,55 +39,71 @@ def _build() -> bool:
         return False
 
 
+def _set_argtypes(lib: ctypes.CDLL) -> None:
+    """Bind prototypes; raises AttributeError for a stale (pre-threading)
+    build that lacks the _mt symbols."""
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.vqa_gather_f16_to_f32_mt.argtypes = [
+        ctypes.c_void_p, i64p, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_int32,
+    ]
+    lib.vqa_gather_rows_u16_mt.argtypes = [
+        ctypes.c_void_p, i64p, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+        ctypes.c_int32,
+    ]
+    lib.vqa_densify_soft_mt.argtypes = [
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_int32,
+    ]
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     """Load (building if needed) the native library, or None."""
     global _lib, _tried
-    if _lib is not None or _tried:
-        return _lib
-    _tried = True
-    if not os.path.exists(_LIB_PATH) and not _build():
-        return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
-        return None
-
-    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-    try:
-        lib.vqa_gather_f16_to_f32_mt.argtypes = [
-            ctypes.c_void_p, i64p, ctypes.c_int64, ctypes.c_int64,
-            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
-            ctypes.c_int32,
-        ]
-        lib.vqa_gather_rows_u16_mt.argtypes = [
-            ctypes.c_void_p, i64p, ctypes.c_int64, ctypes.c_int64,
-            np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
-            ctypes.c_int32,
-        ]
-        lib.vqa_densify_soft_mt.argtypes = [
-            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
-            ctypes.c_int32,
-        ]
-    except AttributeError:
-        # stale pre-threading build on disk: rebuild once, then reload
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
         try:
-            os.remove(_LIB_PATH)
+            lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             return None
-        if not _build():
-            return None
-        return _reload()
-    _lib = lib
-    return _lib
+        try:
+            _set_argtypes(lib)
+        except AttributeError:
+            # Stale pre-threading build on disk. Rebuild, but load the fresh
+            # binary under a UNIQUE path: dlopen caches by pathname and
+            # ctypes never dlcloses, so re-loading _LIB_PATH would hand back
+            # the stale in-process handle forever (and previously recursed
+            # remove/make/reload until RecursionError).
+            import shutil
+            import tempfile
 
-
-def _reload() -> Optional[ctypes.CDLL]:
-    global _tried
-    _tried = False
-    return get_lib()
+            try:
+                os.remove(_LIB_PATH)
+            except OSError:
+                return None
+            if not _build():
+                return None
+            tmp = tempfile.NamedTemporaryFile(
+                prefix="vqa_dataplane_", suffix=".so", delete=False
+            )
+            tmp.close()
+            try:
+                shutil.copy2(_LIB_PATH, tmp.name)
+                lib = ctypes.CDLL(tmp.name)
+                _set_argtypes(lib)
+            except (OSError, AttributeError):
+                return None
+        _lib = lib
+        return _lib
 
 
 def num_threads() -> int:
