@@ -86,3 +86,17 @@ def test_vgg_taps_shapes():
     assert f36.shape == (1, 2, 2, 512)
     grid = vgg.grid_features(params, imgs, tap=27, dtype=jnp.float32)
     assert grid.shape == (1, 16, 512)
+
+
+def test_resnet_apply_handles_arbitrary_stage_counts():
+    # apply() derives the stage COUNT from the params: a 2-stage test trunk
+    # must run (previously a hardcoded range(4) raised KeyError 'layer3')
+    import jax
+    import jax.numpy as jnp
+
+    from vqa_attention_networks_tpu.models import resnet
+
+    params = resnet.random_init(jax.random.PRNGKey(0), stages=(1, 1))
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    out = resnet.apply(params, x)
+    assert out.ndim == 3  # [N, regions, C]

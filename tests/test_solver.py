@@ -306,3 +306,49 @@ def test_grad_accum_matches_manual_average(tmp_path):
         # atol ~ param_magnitude * f32 eps: the params-subtraction recovery
         # of the accumulated grads quantises at the PARAM's magnitude
         np.testing.assert_allclose(a, b, rtol=1e-2, atol=2e-6)
+
+
+def test_soft_bce_override_gets_real_soft_targets(tmp_path):
+    # loss_override=soft_bce forces soft answers for ANY model — without
+    # this the loss trains against the [B,1] zero placeholder
+    cfg = Config(model_name="iBOWIMG", loss_override="soft_bce").validate()
+    assert cfg.soft_answer
+    solver, _ = _setup(tmp_path, "iBOWIMG", num_epoch=1,
+                       loss_override="soft_bce")
+    batch = next(solver.batches["train"].epoch())
+    assert batch.soft_answers is not None
+    assert batch.soft_answers.shape[1] == solver.cfg.a_vocab_size
+    metrics = solver.train()
+    assert np.isfinite(metrics["train_loss"])
+
+
+def test_explicit_data_parallel_is_honoured(tmp_path):
+    # Config.data_parallel must shape the DEFAULT mesh (mesh=None); an
+    # explicitly passed mesh (as _setup does) rightly wins otherwise
+    base, qa = _setup(tmp_path, "iBOWIMG", num_epoch=1)
+    store = base.batches["train"].store
+
+    solver = Solver(base.cfg.replace(data_parallel=4), qa, store,
+                    log_dir=str(tmp_path / "runs_dp"))
+    assert solver.mesh.shape["data"] == 4
+
+    with pytest.raises(ValueError, match="not divisible"):
+        Solver(base.cfg.replace(data_parallel=3), qa, store,
+               log_dir=str(tmp_path / "runs_dp_bad"))
+
+
+def test_empty_train_split_raises_cleanly(tmp_path):
+    solver, _ = _setup(tmp_path, "iBOWIMG", num_epoch=1)
+    import dataclasses as _dc
+
+    split = solver.batches["train"].split
+    empty = _dc.replace(
+        split,
+        questions=split.questions[:0], answers=split.answers[:0],
+        ques_length=split.ques_length[:0], image_ids=split.image_ids[:0],
+        soft_idx=split.soft_idx[:0], soft_val=split.soft_val[:0],
+    )
+    solver.batches["train"].split = empty
+    solver.batches["train"]._rows = solver.batches["train"]._rows[:0]
+    with pytest.raises(ValueError, match="empty"):
+        solver.train()

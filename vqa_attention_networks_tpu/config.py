@@ -160,7 +160,13 @@ class Config:
 
     @property
     def soft_answer(self) -> bool:
-        return self.model_name in SOFT_ANSWER_MODELS
+        # soft_bce (the legacy trainer's loss, train_hfd.py:69-72) consumes
+        # soft targets regardless of model — without this the pipeline would
+        # feed it the [B,1] zero placeholder and train a nonsense objective
+        return (
+            self.model_name in SOFT_ANSWER_MODELS
+            or self.loss_override == "soft_bce"
+        )
 
     @property
     def fusion_dim(self) -> int:

@@ -24,7 +24,7 @@ from typing import Iterator, Optional
 import numpy as np
 
 from vqa_attention_networks_tpu.data.feature_store import FeatureStore
-from vqa_attention_networks_tpu.data.prepare import QASplit, SOFT_WIDTH
+from vqa_attention_networks_tpu.data.prepare import QASplit
 
 
 @dataclass
@@ -87,14 +87,9 @@ class VqaBatches:
         dense = native.densify_soft(sidx, sval, self.num_answers)
         if dense is not None:
             return dense
-        b = len(idx)
-        dense = np.zeros((b, self.num_answers), dtype=np.float32)
-        rows = np.repeat(np.arange(b), SOFT_WIDTH)
-        sidx = sidx.reshape(-1)
-        sval = sval.reshape(-1)
-        keep = sidx >= 0
-        dense[rows[keep], sidx[keep]] = sval[keep]
-        return dense
+        from vqa_attention_networks_tpu.data.prepare import densify_soft_np
+
+        return densify_soft_np(sidx, sval, self.num_answers)
 
     def _assemble(self, idx: np.ndarray) -> Batch:
         b = len(idx)

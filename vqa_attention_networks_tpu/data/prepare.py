@@ -81,19 +81,46 @@ def build_answer_vocab(annotations: List[dict], num_ans: int) -> Dict[str, int]:
     return vocab
 
 
+def _check_pairing(q: dict, a: dict) -> None:
+    """Questions and annotations are paired by list position (the official
+    VQA files are index-aligned); a re-sorted or truncated download would
+    silently mislabel the whole dataset without this check."""
+    if q.get("question_id") != a.get("question_id"):
+        raise ValueError(
+            "questions/annotations JSON are not index-aligned: question_id "
+            f"{q.get('question_id')} paired with annotation "
+            f"{a.get('question_id')} — re-download the official files"
+        )
+
+
+def densify_soft_np(
+    soft_idx: np.ndarray, soft_val: np.ndarray, num_answers: int
+) -> np.ndarray:
+    """Scatter [N, W] sparse (idx, val) soft answers to [N, num_answers]
+    (data_loader.py:39-42). THE densification: the batch path's NumPy
+    fallback (dataset.py) and the artifact-level helper both call this, so
+    the semantics cannot diverge."""
+    n = soft_idx.shape[0]
+    dense = np.zeros((n, num_answers), dtype=np.float32)
+    rows = np.repeat(np.arange(n), soft_idx.shape[1])
+    idx = soft_idx.reshape(-1)
+    val = soft_val.reshape(-1)
+    keep = idx >= 0
+    dense[rows[keep], idx[keep]] = val[keep]
+    return dense
+
+
 def build_soft_answers(
     answer_vocab: Dict[str, int], annotations: List[dict]
 ) -> Dict[int, Dict[int, float]]:
-    """question_id -> {answer_index: fraction of the 10 annotators}
-    (utils.py:250-265). Out-of-vocab annotator answers are dropped and the
-    fractions renormalised over the in-vocab subset, as in the reference."""
+    """question_id -> {answer_index: fraction of the IN-VOCAB annotator
+    answers} (utils.py:250-265: the reference divides by len(a_list), the
+    in-vocab subset — NOT by the raw 10 — so vectors sum to 1 whenever any
+    annotator answer is in vocab). Out-of-vocab answers are dropped."""
     out: Dict[int, Dict[int, float]] = {}
     for a in annotations:
-        in_vocab = [
-            normalize_answer(an["answer"])
-            for an in a["answers"]
-            if normalize_answer(an["answer"]) in answer_vocab
-        ]
+        normalized = (normalize_answer(an["answer"]) for an in a["answers"])
+        in_vocab = [w for w in normalized if w in answer_vocab]
         dist: Dict[int, float] = {}
         if in_vocab:
             counts = collections.Counter(in_vocab)
@@ -117,6 +144,7 @@ def build_question_vocab(
     vocab: Dict[str, int] = {}
     max_len = 0
     for q, a in zip(questions, annotations):
+        _check_pairing(q, a)
         if normalize_answer(a["multiple_choice_answer"]) not in answer_vocab:
             continue
         words = normalize_words(_WORD_RE.findall(q["question"]))
@@ -144,14 +172,7 @@ class QASplit:
 
     def soft_dense(self, num_answers: int) -> np.ndarray:
         """Densify soft answers to [N, num_answers] (data_loader.py:39-42)."""
-        n = len(self)
-        dense = np.zeros((n, num_answers), dtype=np.float32)
-        rows = np.repeat(np.arange(n), SOFT_WIDTH)
-        idx = self.soft_idx.reshape(-1)
-        val = self.soft_val.reshape(-1)
-        keep = idx >= 0
-        dense[rows[keep], idx[keep]] = val[keep]
-        return dense
+        return densify_soft_np(self.soft_idx, self.soft_val, num_answers)
 
 
 @dataclass
@@ -187,6 +208,7 @@ def _encode_split(
     rows_q, rows_len, rows_a, rows_img = [], [], [], []
     rows_sidx, rows_sval = [], []
     for q, a in zip(questions, annotations):
+        _check_pairing(q, a)
         ans = normalize_answer(a["multiple_choice_answer"])
         if ans not in answer_vocab:
             continue

@@ -93,12 +93,15 @@ def apply(params: Dict, images: jnp.ndarray,
         window_strides=(1, 2, 2, 1),
         padding=((0, 0), (1, 1), (1, 1), (0, 0)),
     )
-    # stage depth is derived from the params, so converted torchvision
-    # weights (3,8,36,3) and tiny test trunks run through the same code
-    for s in range(4):
+    # stage COUNT and depth both derive from the params, so converted
+    # torchvision weights (3,8,36,3) and tiny test trunks of any number of
+    # stages run through the same code
+    s = 0
+    while f"layer{s + 1}" in params:
         for b, block in enumerate(params[f"layer{s + 1}"]):
             stride = 2 if (b == 0 and s > 0) else 1
             x = _bottleneck(x, block, stride)
+        s += 1
     n, h, w, c = x.shape
     return x.reshape(n, h * w, c).astype(jnp.float32)
 

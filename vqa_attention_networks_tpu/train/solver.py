@@ -91,11 +91,20 @@ class Solver:
             jax.config.update("jax_debug_nans", True)
         self.model = get_model(cfg.model_name)
         if mesh is None:
-            # default mesh: all devices, shrinking the data axis until it
-            # divides the (static) batch size
-            data = len(jax.devices()) // cfg.model_parallel
-            while data > 1 and cfg.batch_size % data != 0:
-                data -= 1
+            if cfg.data_parallel > 1:
+                # honour an explicitly requested layout (config.py:126)
+                if cfg.batch_size % cfg.data_parallel:
+                    raise ValueError(
+                        f"batch_size={cfg.batch_size} not divisible by "
+                        f"data_parallel={cfg.data_parallel}"
+                    )
+                data = cfg.data_parallel
+            else:
+                # default mesh: all devices, shrinking the data axis until
+                # it divides the (static) batch size
+                data = len(jax.devices()) // cfg.model_parallel
+                while data > 1 and cfg.batch_size % data != 0:
+                    data -= 1
             mesh = make_mesh(data=data, model=cfg.model_parallel)
         self.mesh = mesh
         # multi-process runs: only the primary host writes metrics/results
@@ -285,6 +294,11 @@ class Solver:
     def train(self) -> Dict[str, float]:
         cfg = self.cfg
         iters_per_epoch = len(self.batches["train"])
+        if iters_per_epoch == 0:
+            raise ValueError(
+                "training split is empty — nothing to train on (check "
+                "--data_dir / the prepared artifact)"
+            )
         print(f"Model: {cfg.model_name}")
         print(f"total training iterations: {cfg.num_epoch * iters_per_epoch}")
 
@@ -403,14 +417,18 @@ class Solver:
         total_correct = total_top3 = 0.0
         total_valid = 0
         n_batches = 0
-        loss = 0.0
+        loss = loss_sum = 0.0
         for batch in self.batches["val"].epoch():
             dev = self._device_batch(batch)
             loss_d, correct_d, top3_d = self._eval_step(self.params, *dev)
+            n_valid = int(batch.valid.sum())
             loss = float(loss_d)
+            # valid-weighted so the full sweep reports the SPLIT mean, not
+            # the last (padded, possibly 1-valid-row) batch's loss
+            loss_sum += loss * n_valid
             total_correct += float(correct_d)
             total_top3 += float(top3_d)
-            total_valid += int(batch.valid.sum())
+            total_valid += n_valid
             n_batches += 1
             if not full:
                 break
@@ -418,6 +436,7 @@ class Solver:
         acc_exact = total_correct / max(total_valid, 1)
         if not full:
             return loss, acc_exact
+        loss = loss_sum / max(total_valid, 1)
 
         # reference-compatible denominator counts pad rows (solver.py:177)
         acc_ref = total_correct / max(n_batches * cfg.batch_size, 1)

@@ -37,7 +37,13 @@ def save_checkpoint(
     path = _step_dir(directory, step)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, state, force=True)
-    if keep is not None and keep > 0:
+    # the SAVE is collective (all hosts participate); the DELETION is not —
+    # on a shared filesystem every host racing the same rmtree can leave a
+    # partially-deleted step dir that later fails restore, so only the
+    # primary host prunes
+    from vqa_attention_networks_tpu.parallel.distributed import is_primary
+
+    if keep is not None and keep > 0 and is_primary():
         for old in all_steps(directory)[:-keep]:
             shutil.rmtree(_step_dir(directory, old), ignore_errors=True)
     return path
