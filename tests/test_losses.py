@@ -69,3 +69,21 @@ def test_topk_counts():
     labels = np.array([2, 3], np.int32)
     assert float(topk_correct_count(logits, labels, k=3)) == 1.0  # row 0 only
     assert float(topk_correct_count(logits, labels, k=4)) == 2.0
+
+
+def test_soft_bce_finite_at_full_confidence():
+    # a fully-confident model (log_p == 0 for one class) must yield a
+    # finite loss: log1p(-exp(log_p)) returned -inf whenever exp() rounded
+    # to 1.0 (1 ulp of f32 exp error, or any bf16 log_p in (-2^-8, 0])
+    import jax.numpy as jnp
+
+    from vqa_attention_networks_tpu.train.losses import soft_bce
+
+    logits = jnp.asarray([[50.0, -50.0, -50.0]], jnp.float32)  # p ~ [1,0,0]
+    soft = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+    loss = soft_bce(logits, soft)
+    assert bool(jnp.isfinite(loss))
+
+    logits16 = jnp.asarray([[8.0, -8.0, -8.0]], jnp.bfloat16)
+    loss16 = soft_bce(logits16, soft.astype(jnp.bfloat16))
+    assert bool(jnp.isfinite(loss16))

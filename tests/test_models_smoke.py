@@ -94,3 +94,31 @@ def test_glove_concat_path():
     img, ques, qlen = _batch(np.random.default_rng(4))
     logits, _ = model.apply(params, cfg, img, ques, ques_length=qlen)
     assert logits.shape == (N, A_VOCAB)
+
+
+def test_batchnorm_valid_mask_ignores_pad_rows():
+    # train-mode BN stats over a padded batch (pad rows duplicate the last
+    # sample, dataset.py) must equal the unpadded batch's stats
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vqa_attention_networks_tpu.models import layers as L
+
+    rng = np.random.default_rng(0)
+    real = rng.standard_normal((3, 8)).astype(np.float32)
+    padded = np.concatenate([real, np.repeat(real[-1:], 5, axis=0)])
+    valid = np.asarray([True] * 3 + [False] * 5)
+
+    p = L.batchnorm_init(8)
+    y_real, stats_real = L.batchnorm(p, jnp.asarray(real), train=True)
+    y_pad, stats_pad = L.batchnorm(
+        p, jnp.asarray(padded), train=True, valid=jnp.asarray(valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_pad)[:3], np.asarray(y_real), rtol=1e-5, atol=1e-6
+    )
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(stats_pad[k]), np.asarray(stats_real[k]),
+            rtol=1e-5, atol=1e-6,
+        )

@@ -2,9 +2,11 @@
 
 Batches COCO ``{split}2014`` images through the jit-compiled ResNet-152
 trunk on TPU and writes ONE packed feature store per split (not 123k tiny
-``.npy`` files — see data/feature_store.py). Preprocessing (resize 448 +
-ImageNet normalise) runs inside the jitted graph; the host only decodes
-JPEGs and ships uint8.
+``.npy`` files — see data/feature_store.py). The host decodes JPEGs and
+resizes to the target resolution with BILINEAR (torchvision Resize's
+default, extract_image_features.py:56) on a thread pool, pipelined one
+batch ahead of the device; ImageNet normalisation runs inside the jitted
+graph on uint8 input.
 
 Pretrained weights: pass ``--weights`` pointing at a ``.npz`` produced by
 ``convert-weights`` below (torchvision resnet152 state_dict -> numpy). The
@@ -36,8 +38,38 @@ def load_resnet_params(weights_path=None):
 def _load_image(path: str, size: int) -> np.ndarray:
     from PIL import Image
 
-    img = Image.open(path).convert("RGB").resize((size, size))
+    # BILINEAR, matching torchvision Resize's default interpolation — the
+    # reference preprocesses with transforms.Resize((448, 448))
+    # (extract_image_features.py:56); Pillow's own default is BICUBIC,
+    # which would silently produce different features
+    img = Image.open(path).convert("RGB").resize(
+        (size, size), Image.BILINEAR
+    )
     return np.asarray(img, np.uint8)
+
+
+_IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
+
+
+def _image_id(name: str):
+    """COCO_{split}2014_{id:012d}.jpg -> id; None for unparseable names."""
+    try:
+        return int(os.path.splitext(name)[0].split("_")[-1])
+    except ValueError:
+        return None
+
+
+def _decode_chunk(pool, image_dir: str, chunk, size: int, bs: int):
+    batch = np.zeros((bs, size, size, 3), np.uint8)
+    futures = [
+        pool.submit(_load_image, join(image_dir, name), size)
+        for name in chunk
+    ]
+    ids = []
+    for i, (name, fut) in enumerate(zip(chunk, futures)):
+        batch[i] = fut.result()
+        ids.append(_image_id(name))
+    return batch, ids
 
 
 def main(argv=None) -> None:
@@ -54,33 +86,64 @@ def main(argv=None) -> None:
                         help="defaults to data/vqa/{split}2014")
     parser.add_argument("--weights", type=str, default=None,
                         help=".npz of torchvision resnet152 state_dict")
-    parser.add_argument("--size", type=int, default=448)
+    parser.add_argument("--size", type=int, default=448,
+                        help="input resolution (reference: 448; the grid is "
+                             "size/32 x size/32 regions)")
+    parser.add_argument("--dtype", type=str, default="bfloat16",
+                        help="trunk compute dtype: bfloat16 (fast) or "
+                             "float32 (reference-exact features)")
     args = parser.parse_args(argv)
 
+    import functools
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax.numpy as jnp
+
     image_dir = args.image_dir or f"data/vqa/{args.split}2014"
-    names = sorted(
+    all_names = sorted(
         x for x in os.listdir(image_dir) if not x.startswith(".")
     )
+    names = [
+        x for x in all_names
+        if x.lower().endswith(_IMAGE_EXTS) and _image_id(x) is not None
+    ]
+    skipped = len(all_names) - len(names)
+    if skipped:
+        print(f"WARNING: skipping {skipped} non-image / non-COCO-named "
+              f"files in {image_dir}")
     print(f"total image count: {len(names)}")
+    if args.size != 448:
+        print(f"WARNING: --size {args.size} != 448: features will have a "
+              f"{args.size // 32}x{args.size // 32} grid and will NOT match "
+              "the reference's 14x14 features")
 
     params = jax.device_put(load_resnet_params(args.weights))
-    extract = jax.jit(resnet.extract)
+    extract = jax.jit(functools.partial(
+        resnet.extract, dtype=jnp.dtype(args.dtype), size=args.size
+    ))
 
     out_dir = join(args.output_dir, f"{args.feature_type}_{args.split}")
     bs = args.batch_size
-    with FeatureStoreWriter(out_dir) as writer:
-        for start in range(0, len(names), bs):
-            chunk = names[start : start + bs]
-            batch = np.zeros((bs, args.size, args.size, 3), np.uint8)
-            ids = []
-            for i, name in enumerate(chunk):
-                batch[i] = _load_image(join(image_dir, name), args.size)
-                # COCO_{split}2014_{id:012d}.jpg -> image id
-                ids.append(int(os.path.splitext(name)[0].split("_")[-1]))
-            feats = np.asarray(extract(params, batch))[: len(chunk)]
-            writer.append_batch(ids, feats)
-            if (start // bs) % 50 == 0:
-                print(f"{start + len(chunk)}/{len(names)}")
+    grid = (args.size // 32) ** 2  # ResNet downsamples 32x: 448 -> 14x14
+    chunks = [names[s : s + bs] for s in range(0, len(names), bs)]
+    with FeatureStoreWriter(out_dir, num_regions=grid) as writer, \
+            ThreadPoolExecutor(max_workers=8) as pool:
+        # software pipeline: decode chunk t+1 on host threads while the
+        # device runs chunk t (jax dispatch is async; the np.asarray fetch
+        # is the only sync point)
+        pending = None  # (device output, ids, n)
+        for ci, chunk in enumerate(chunks):
+            batch, ids = _decode_chunk(pool, image_dir, chunk, args.size, bs)
+            dev = extract(params, batch)
+            if pending is not None:
+                p_dev, p_ids, p_n = pending
+                writer.append_batch(p_ids, np.asarray(p_dev)[:p_n])
+            pending = (dev, ids, len(chunk))
+            if ci % 50 == 0:
+                print(f"{ci * bs + len(chunk)}/{len(names)}", flush=True)
+        if pending is not None:
+            p_dev, p_ids, p_n = pending
+            writer.append_batch(p_ids, np.asarray(p_dev)[:p_n])
     print(f"wrote packed feature store to {out_dir}")
 
 

@@ -143,6 +143,7 @@ def _ibow_apply(
     ques_length: Optional[jnp.ndarray] = None,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, dict]:
     del ques_length
     dtype = jnp.dtype(cfg.compute_dtype)
@@ -157,7 +158,7 @@ def _ibow_apply(
         k_i = k_q = None
 
     img = L.dense(params["img_emb"], img_features)
-    img, bn_stats = L.batchnorm(params["img_bn"], img, train)
+    img, bn_stats = L.batchnorm(params["img_bn"], img, train, valid=valid)
     img = L.dropout(k_i, jax.nn.relu(img), cfg.dropout_default, train)
 
     que = L.embed(params["que_emb"], questions, dtype)
@@ -204,6 +205,7 @@ def _attnet_apply(
     ques_length: Optional[jnp.ndarray] = None,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, dict]:
     del ques_length
     dtype = jnp.dtype(cfg.compute_dtype)
@@ -232,7 +234,7 @@ def _attnet_apply(
         [que_att, jnp.swapaxes(img_att, 1, 2)], axis=1
     ).reshape(n, -1)
     x = L.dense(params["fc"], x).astype(jnp.float32)
-    x, bn_stats = L.batchnorm(params["batchnorm"], x, train)
+    x, bn_stats = L.batchnorm(params["batchnorm"], x, train, valid=valid)
     return x, {
         "que_att": que_att,
         "img_att": img_att,

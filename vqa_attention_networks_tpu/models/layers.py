@@ -199,14 +199,28 @@ def batchnorm_init(dim: int) -> Params:
 
 def batchnorm(
     p: Params, x: jnp.ndarray, train: bool, momentum: float = 0.1,
-    eps: float = 1e-5,
+    eps: float = 1e-5, valid=None,
 ) -> Tuple[jnp.ndarray, Params]:
-    """BatchNorm over axis 0. Returns (y, refreshed running stats)."""
+    """BatchNorm over axis 0. Returns (y, refreshed running stats).
+
+    ``valid`` masks pad rows out of the TRAIN-mode statistics: the final
+    batch of an epoch is padded by duplicating its last sample
+    (dataset.py), and unmasked stats would let one sample carry most of
+    the weight — skewing the normalisation of the real rows and leaking
+    into the running stats every epoch."""
     if train:
-        mean = jnp.mean(x, axis=0)
-        var = jnp.var(x, axis=0)
-        n = x.shape[0]
-        unbiased = var * (n / max(n - 1, 1))
+        if valid is not None:
+            w = valid.astype(x.dtype)
+            n = jnp.maximum(jnp.sum(w), 1.0)
+            wn = (w / n)[:, None]
+            mean = jnp.sum(x * wn, axis=0)
+            var = jnp.sum(jnp.square(x - mean) * wn, axis=0)
+            unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+        else:
+            mean = jnp.mean(x, axis=0)
+            var = jnp.var(x, axis=0)
+            n = x.shape[0]
+            unbiased = var * (n / max(n - 1, 1))
         new_stats = {
             "mean": (1 - momentum) * p["mean"] + momentum * mean,
             "var": (1 - momentum) * p["var"] + momentum * unbiased,

@@ -86,7 +86,9 @@ def apply(
     ques_length: Optional[jnp.ndarray] = None,  # unused by this model
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, dict]:
+    del valid  # no batch-statistic layers in this model
     del ques_length
     multilayer = _is_multilayer(cfg)
     quirk = cfg.keep_reference_quirks

@@ -103,7 +103,9 @@ def apply(
     ques_length: Optional[jnp.ndarray] = None,  # unused
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, dict]:
+    del valid  # no batch-statistic layers in this model
     del ques_length
     n = questions.shape[0]
     dtype = jnp.dtype(cfg.compute_dtype)
@@ -213,7 +215,9 @@ def _mhb_apply(
     ques_length: Optional[jnp.ndarray] = None,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, dict]:
+    del valid  # no batch-statistic layers in this model
     assert ques_length is not None, "MHB gathers the last valid LSTM step"
     n = questions.shape[0]
     dtype = jnp.dtype(cfg.compute_dtype)

@@ -78,7 +78,8 @@ def preprocess(images_uint8: jnp.ndarray, size: int = 448) -> jnp.ndarray:
     (extract_image_features.py:55-60)."""
     x = images_uint8.astype(jnp.float32) / 255.0
     n = x.shape[0]
-    x = jax.image.resize(x, (n, size, size, 3), method="bilinear")
+    if x.shape[1:3] != (size, size):  # already host-resized: skip the no-op
+        x = jax.image.resize(x, (n, size, size, 3), method="bilinear")
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
@@ -107,9 +108,9 @@ def apply(params: Dict, images: jnp.ndarray,
 
 
 def extract(params: Dict, images_uint8: jnp.ndarray,
-            dtype=jnp.bfloat16) -> jnp.ndarray:
+            dtype=jnp.bfloat16, size: int = 448) -> jnp.ndarray:
     """uint8 images -> feature grid, fully jittable."""
-    return apply(params, preprocess(images_uint8), dtype)
+    return apply(params, preprocess(images_uint8, size), dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -58,7 +58,9 @@ def apply(
     ques_length: Optional[jnp.ndarray] = None,  # unused
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, dict]:
+    del valid  # no batch-statistic layers in this model
     del ques_length
     dtype = jnp.dtype(cfg.compute_dtype)
     n, t = questions.shape

@@ -40,7 +40,14 @@ def _leaf_spec(path: str, leaf: jax.Array, fusion_dim: Optional[int]) -> P:
     """
     if fusion_dim is None:
         return P()
-    if leaf.ndim >= 1 and leaf.shape[-1] == fusion_dim:
+    # scope by NAME, not just width: with a non-default factorisation the
+    # fusion width can collide with other layer widths (e.g. fusion_dim
+    # 4096 == 4*hidden for the LSTM gates), and column-sharding the LSTM
+    # would put collectives inside every scan step
+    fusion_names = ("ques_proj", "img_proj", "img_conv1d",
+                    "linear_q_", "linear_i_")
+    is_fusion = any(n in path for n in fusion_names)
+    if is_fusion and leaf.ndim >= 1 and leaf.shape[-1] == fusion_dim:
         return P(*([None] * (leaf.ndim - 1) + [MODEL_AXIS]))
     return P()
 

@@ -68,8 +68,13 @@ def soft_bce(
     and the log terms are computed stably (documented deviation)."""
     s = jax.nn.softmax(soft_labels, axis=-1)
     log_p = jax.nn.log_softmax(logits, axis=-1)
-    # log(1-p) = log1p(-exp(log_p)), clamped away from log_p == 0
-    log_1mp = jnp.log1p(-jnp.exp(jnp.minimum(log_p, -1e-7)))
+    # log(1-p) = log(-expm1(log_p)). expm1 keeps full precision near
+    # log_p == 0 where exp() rounds to exactly 1.0 (log1p(-exp(log_p))
+    # returned -inf there: one ulp of exp error, or any bf16 log_p in
+    # (-2^-8, 0], aborted the run with an inf loss). The clamp bounds the
+    # term for a fully-confident class; eps is dtype-aware.
+    eps = jnp.asarray(jnp.finfo(log_p.dtype).tiny, log_p.dtype)
+    log_1mp = jnp.log(-jnp.expm1(jnp.minimum(log_p, -eps)))
     elem = -s * log_p - (1.0 - s) * log_1mp
     per_row = jnp.sum(elem, axis=-1)
     if valid is not None:

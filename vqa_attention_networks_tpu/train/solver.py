@@ -185,9 +185,10 @@ class Solver:
 
     def _train_step_fn(self, params, opt_state, img, ques, answers, qlen,
                        valid, soft, rng):
-        def apply(p, img, ques, qlen, rng):
+        def apply(p, img, ques, qlen, rng, valid):
             return self.model.apply(
-                p, self.cfg, img, ques, ques_length=qlen, train=True, rng=rng
+                p, self.cfg, img, ques, ques_length=qlen, train=True,
+                rng=rng, valid=valid,
             )
 
         if self.cfg.remat:
@@ -197,7 +198,7 @@ class Solver:
 
         def grad_one(mimg, mques, mans, mqlen, mvalid, msoft, mrng):
             def loss_fn(p):
-                logits, aux = apply(p, mimg, mques, mqlen, mrng)
+                logits, aux = apply(p, mimg, mques, mqlen, mrng, mvalid)
                 return (
                     self._loss(logits, mans, msoft, mvalid), (logits, aux)
                 )
@@ -256,7 +257,8 @@ class Solver:
 
     def _eval_step_fn(self, params, img, ques, answers, qlen, valid, soft):
         logits, _ = self.model.apply(
-            params, self.cfg, img, ques, ques_length=qlen, train=False
+            params, self.cfg, img, ques, ques_length=qlen, train=False,
+            valid=valid,
         )
         loss = self._loss(logits, answers, soft, valid)
         labels = self._labels(answers, soft)
