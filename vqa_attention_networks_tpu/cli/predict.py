@@ -1,8 +1,9 @@
 """Single-image prediction CLI (counterpart of predict_pytorch.py:15-94).
 
 Flow: image -> jit-compiled CNN feature grid -> tokenize question
-(right-aligned into max_len ids, predict_pytorch.py:61-66) -> model forward
--> print the argmax answer and the top-5 (predict_pytorch.py:85-91).
+(LEFT-aligned, the training encode — see the documented deviation at the
+encode site below) -> model forward -> print the argmax answer and the
+top-5 (predict_pytorch.py:85-91).
 
 The reference's predict path is stale (imports modules that don't exist,
 predict_pytorch.py:3,11); this one runs against checkpoints written by the
@@ -40,6 +41,12 @@ def main(argv=None) -> None:
     parser.add_argument("--weights", type=str, default=None,
                         help=".npz of torchvision backbone state_dict")
     parser.add_argument("--topk", type=int, default=5)
+    parser.add_argument("--image_first", type=int, default=0,
+                        help="MUST match the flag the checkpoint was "
+                             "trained with (visLstm token order)")
+    parser.add_argument("--glove", type=int, default=0,
+                        help="set 1 for checkpoints trained with --glove 1 "
+                             "(mhb_coAtt: doubled LSTM input + glove table)")
     args = parser.parse_args(argv)
 
     print(f"Image: {args.image_path}")
@@ -55,6 +62,12 @@ def main(argv=None) -> None:
     # ---- image -> feature grid -------------------------------------------
     from PIL import Image
 
+    if args.backbone not in ("resnet152", "vgg19"):
+        raise SystemExit(
+            f"unknown --backbone {args.backbone!r}: choose resnet152 "
+            "(training features) or vgg19 (the reference predict script's "
+            "tap, predict_pytorch.py:34-37)"
+        )
     if args.backbone == "resnet152":
         size = 448
         img = Image.open(args.image_path).convert("RGB").resize((size, size))
@@ -97,9 +110,16 @@ def main(argv=None) -> None:
         a_vocab_size=len(vocab["answer_vocab"]),
         max_question_length=max_len,
         img_feature_channel=channels,
+        image_first=bool(args.image_first),
+        glove=bool(args.glove),
     ).validate()
     model = get_model(cfg.model_name)
-    template = model.init(jax.random.PRNGKey(0), cfg)
+    if cfg.glove and cfg.model_name == "mhb_coAtt":
+        # template needs the glove_table leaf; the checkpoint supplies the
+        # real (frozen) vectors at restore
+        template = model.init(jax.random.PRNGKey(0), cfg, glove_table=None)
+    else:
+        template = model.init(jax.random.PRNGKey(0), cfg)
     try:
         params = ckpt.load_weights(
             f"{args.model_dir}/{cfg.model_name}", template

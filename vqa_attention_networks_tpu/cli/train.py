@@ -6,7 +6,6 @@ global easydict (cfg.py policy — see config.py)."""
 import argparse
 import sys
 
-import numpy as np
 
 from vqa_attention_networks_tpu.config import Config
 from vqa_attention_networks_tpu.data.feature_store import open_feature_store
@@ -28,6 +27,11 @@ def build_solver(args) -> Solver:
         q_vocab_size=qa_data.q_vocab_size,
         a_vocab_size=qa_data.a_vocab_size,
         max_question_length=qa_data.max_question_length,
+        # the opened store dictates the image-feature width (a VGG19 store
+        # is 512-channel; defaulting to 2048 would size every projection
+        # wrong and die with a raw shape error at the first batch)
+        img_feature_channel=store.channels,
+        feature_type=args.feature_type,
         glove=bool(args.glove),
         image_first=bool(args.image_first),
         mode=args.mode,

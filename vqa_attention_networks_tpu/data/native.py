@@ -185,6 +185,16 @@ def densify_soft(
         return None
     idx = np.ascontiguousarray(idx, np.int32)
     val = np.ascontiguousarray(val, np.float32)
+    # match the NumPy fallback's semantics exactly: it raises IndexError on
+    # idx >= num_answers (an artifact prepared against a larger vocab),
+    # while the C kernel would silently drop those entries — the two paths
+    # must fail the same way
+    if idx.size and idx.max() >= num_answers:
+        raise IndexError(
+            f"soft-answer index {int(idx.max())} out of range for "
+            f"num_answers={num_answers} — the QA artifact was prepared "
+            "against a larger answer vocabulary"
+        )
     n, width = idx.shape
     out = np.zeros((n, num_answers), np.float32)
     lib.vqa_densify_soft_mt(idx, val, n, width, num_answers, out,

@@ -234,8 +234,10 @@ def _mhb_apply(
     # no tanh on the embedding in MHB (mhb_coAtt.py:181)
     emb = L.embed(params["embedding"], questions, dtype)
     h_seq = L.lstm(params["lstm"], emb)  # [N, T, H]
-    # last valid timestep per sample (mhb_coAtt.py:185-186)
-    h_last = h_seq[jnp.arange(n), ques_length - 1]
+    # last valid timestep per sample (mhb_coAtt.py:185-186); clamped so a
+    # zero-token question (punctuation-only text) reads step 0, not the
+    # negative index -1 (== the final step of an all-pad scan)
+    h_last = h_seq[jnp.arange(n), jnp.maximum(ques_length, 1) - 1]
     h_last = L.dropout(k_l, h_last, cfg.dropout_lstm, train)
 
     # stage 1 (mhb_coAtt.py:190-199)

@@ -131,6 +131,9 @@ def lstm_attention_init(
         "embedding": L.embedding_init(next(ks), vocab_size, embed_dim),
         "lstm1": L.lstm_init(next(ks), embed_dim, hidden_dim),
         "lstm2": L.lstm_init(next(ks), 2 * hidden_dim, hidden_dim),
+        # defined-but-unused, MIRRORING the reference: visLstm.py:75
+        # creates output_layer yet forward() returns raw hidden states
+        # (visLstm.py:128) without ever applying it
         "output_layer": L.dense_init(next(ks), hidden_dim, vocab_size),
     }
 

@@ -56,9 +56,15 @@ class MetricWriter:
         return None
 
     def add_scalars(self, tag: str, values: Dict[str, float], step: int) -> None:
-        """Same call shape as the reference's writer (solver.py:116-117)."""
+        """Same call shape as the reference's writer (solver.py:116-117).
+
+        Metric keys that collide with the record's metadata fields
+        ("tag"/"step"/"time") are written with a "metric_" prefix instead
+        of silently clobbering the event's identity."""
         rec = {"tag": tag, "step": int(step), "time": time.time()}
-        rec.update({k: float(v) for k, v in values.items()})
+        for k, v in values.items():
+            key = f"metric_{k}" if k in ("tag", "step", "time") else k
+            rec[key] = float(v)
         self._jsonl.write(json.dumps(rec) + "\n")
         self._jsonl.flush()
         if self._tb is not None:
