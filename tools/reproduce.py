@@ -81,15 +81,34 @@ def main(argv=None):
         sys.exit(f"no published accuracy for {unknown}; "
                  f"choose from {sorted(PUBLISHED)}")
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
     # ---- preconditions --------------------------------------------------
+    # raw inputs are only needed by the steps that will actually run: a
+    # re-invocation with the QA artifact + feature stores already built
+    # (e.g. after deleting ~50 GB of raw COCO images) must not be blocked
+    from vqa_attention_networks_tpu.data.prepare import (
+        qa_artifact_path as _qap,
+    )
+
+    need_json = args.force or not os.path.exists(
+        _qap(d, args.version, args.num_answer) + ".npz"
+    )
     missing = []
     for split in ("train", "val"):
-        for f in (f"v{args.version}_OpenEnded_mscoco_{split}2014_"
-                  "questions.json",
-                  f"v{args.version}_mscoco_{split}2014_annotations.json"):
-            if not os.path.exists(os.path.join(d, "vqa", f)):
-                missing.append(f"vqa/{f}")
-        if not os.path.isdir(os.path.join(d, "vqa", f"{split}2014")):
+        if need_json:
+            for f in (f"v{args.version}_OpenEnded_mscoco_{split}2014_"
+                      "questions.json",
+                      f"v{args.version}_mscoco_{split}2014_annotations.json"):
+                if not os.path.exists(os.path.join(d, "vqa", f)):
+                    missing.append(f"vqa/{f}")
+        need_feats = args.force or not os.path.exists(
+            os.path.join(d, f"resnet152_{split}", "features.bin")
+        )
+        if need_feats and not os.path.isdir(
+            os.path.join(d, "vqa", f"{split}2014")
+        ):
             missing.append(f"vqa/{split}2014/ (COCO images)")
     if missing and not args.dry_run:
         sys.exit("missing inputs under --data_dir:\n  " +
@@ -99,8 +118,6 @@ def main(argv=None):
 
     py = [sys.executable, "-m"]
     pkg = "vqa_attention_networks_tpu.cli"
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
     from vqa_attention_networks_tpu.data.prepare import qa_artifact_path
 
     qa_base = qa_artifact_path(d, args.version, args.num_answer)
@@ -113,10 +130,13 @@ def main(argv=None):
         else:
             weights_npz = os.path.join(d, "resnet152_weights.npz")
             if args.force or not os.path.exists(weights_npz):
+                # paths go through argv, never spliced into source (a quote
+                # or backslash in a path would be a SyntaxError otherwise)
                 run([sys.executable, "-c",
+                     "import sys; "
                      f"from {pkg}.extract_features import convert_weights; "
-                     f"convert_weights(['{args.resnet_weights}', "
-                     f"'{weights_npz}'])"], args.dry_run)
+                     "convert_weights(sys.argv[1:])",
+                     args.resnet_weights, weights_npz], args.dry_run)
     else:
         print("WARNING: no --resnet_weights. Features will come from a "
               "RANDOM trunk and accuracies will NOT reproduce "
@@ -163,10 +183,16 @@ def main(argv=None):
                      "--compute_dtype", args.compute_dtype]
         if model == "mhb_coAtt" and use_glove:
             base += ["--glove", "1"]
-        run(base + ["--num_epoch", str(args.num_epoch)], args.dry_run)
-        run(base + ["--mode", "testing"], args.dry_run)
-
         res = os.path.join("results", f"{model}.json")
+        if args.force or not os.path.exists(res):
+            # --resume makes an interrupted 18-epoch run continue from its
+            # last checkpoint instead of restarting epoch 0
+            run(base + ["--num_epoch", str(args.num_epoch), "--resume"],
+                args.dry_run)
+            run(base + ["--mode", "testing"], args.dry_run)
+        else:
+            print(f"skipping {model}: {res} exists (use --force to redo)")
+
         if args.dry_run or not os.path.exists(res):
             continue
         with open(res) as f:

@@ -191,6 +191,12 @@ class Config:
             pass
         if self.img_feature_dim != 196:
             raise ValueError("img_feature_dim must be 196 (14x14 ResNet grid)")
+        if self.model_name == "attentionNet" and self.att_num < 2:
+            raise ValueError(
+                f"att_num={self.att_num}: attentionNet needs >= 2 "
+                "alternating layers (one per guiding direction, "
+                "networks.py:58-62)"
+            )
         if self.grad_accum_steps < 1 or (
             self.batch_size % self.grad_accum_steps
         ):

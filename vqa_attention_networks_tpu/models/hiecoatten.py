@@ -88,8 +88,11 @@ def apply(
 
     # fused Pallas co-attention core for bf16 inference (SURVEY 7.4):
     # affinity + both attention maps + both pools in one VMEM kernel
+    import os
+
     if (
         not train
+        and not os.environ.get("VQA_DISABLE_PALLAS")  # the global kill switch
         and dtype == jnp.bfloat16
         and jax.default_backend() == "tpu"
         and questions.shape[0] % 8 == 0

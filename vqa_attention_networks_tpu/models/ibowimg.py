@@ -54,8 +54,12 @@ def attention_1(
     """
     s1 = L.dense(p["fc"], feature_1)[..., 0]  # [N, L] — w.f1 + b
     s2 = jnp.einsum(
-        "ntd,d->nt", feature_2, p["fc"]["w"][:, 0].astype(feature_2.dtype)
-    )  # [N, T] — w.f2 (bias already counted once in s1)
+        "ntd,d->nt", feature_2, p["fc"]["w"][:, 0].astype(feature_2.dtype),
+        preferred_element_type=feature_2.dtype,
+        precision=L.matmul_precision(feature_2.dtype),
+    )  # [N, T] — w.f2 (bias already counted once in s1); full precision
+    # under f32 like its s1 twin (L.dense), or the decomposed score drifts
+    # ~1e-3 from the reference's single D->1 linear on the MXU
     att = jax.nn.softmax(s2[:, :, None] + s1[:, None, :], axis=2)  # [N, T, L]
     f_hat = jnp.einsum(
         "ntl,nld->ntd", att, feature_1, preferred_element_type=feature_1.dtype, precision=L.matmul_precision(feature_1.dtype)

@@ -21,7 +21,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from vqa_attention_networks_tpu.config import Config
-from vqa_attention_networks_tpu.models import get_model
 
 
 @dataclass
@@ -41,7 +40,6 @@ class InferenceEngine:
         artifact_dir: Optional[str] = None,
     ):
         self.cfg = cfg.replace(compute_dtype="bfloat16")
-        self.model = get_model(cfg.model_name)
         self.params = jax.device_put(params)
         self.batch_size = batch_size
         self.topk = topk
@@ -84,6 +82,16 @@ class InferenceEngine:
         )
         return np.concatenate([arr, pad]), n
 
+    @staticmethod
+    def _to_f16(feats: np.ndarray) -> np.ndarray:
+        """Overflow-safe f16 cast: a bare astype turns any |x| > 65504
+        (possible in caller-supplied f32 features) into inf, which rides
+        the forward into NaN logits and silently garbage top-k."""
+        if feats.dtype == np.float16:
+            return feats
+        lim = np.float32(np.finfo(np.float16).max)
+        return np.clip(feats, -lim, lim).astype(np.float16)
+
     def predict_batch(
         self,
         image_features: np.ndarray,  # [n, 196, D], n <= batch_size
@@ -92,7 +100,7 @@ class InferenceEngine:
     ) -> List[Prediction]:
         if ques_length is None:
             ques_length = (questions != 0).sum(axis=1).astype(np.int32)
-        img, n = self._pad(image_features.astype(np.float16))
+        img, n = self._pad(self._to_f16(image_features))
         ques, _ = self._pad(questions.astype(np.int32))
         qlen, _ = self._pad(np.maximum(ques_length.astype(np.int32), 1), fill=1)
         top_i, top_p = self._fwd(self.params, img, ques, qlen)
@@ -112,7 +120,7 @@ class InferenceEngine:
         for image_features, questions, ques_length in batches:
             if ques_length is None:
                 ques_length = (questions != 0).sum(axis=1).astype(np.int32)
-            img, n = self._pad(image_features.astype(np.float16))
+            img, n = self._pad(self._to_f16(image_features))
             ques, _ = self._pad(questions.astype(np.int32))
             qlen, _ = self._pad(
                 np.maximum(ques_length.astype(np.int32), 1), fill=1
