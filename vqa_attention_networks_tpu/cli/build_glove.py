@@ -44,10 +44,10 @@ def main(argv=None) -> None:
         print("WARNING: random GloVe table (--random); vectors carry no "
               "semantics")
     elif args.vectors:
-        table = build_glove_table_from_text(vocab, args.vectors)
-        hit = int((np.abs(table).sum(axis=1) > 0).sum())
-        print(f"matched {hit}/{table.shape[0]} vocabulary rows in "
-              f"{args.vectors}")
+        stats: dict = {}
+        table = build_glove_table_from_text(vocab, args.vectors, stats=stats)
+        print(f"matched {stats['matched']}/{stats['vocab_words']} vocabulary "
+              f"words in {args.vectors}")
     else:
         table = build_glove_table(vocab, spacy_model=args.spacy_model)
 

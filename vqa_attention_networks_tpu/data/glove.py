@@ -45,6 +45,7 @@ def build_glove_table_from_text(
     question_vocab: Dict[str, int],
     vectors_path: str,
     dim: int = GLOVE_DIM,
+    stats: Optional[dict] = None,
 ) -> np.ndarray:
     """Embed the question vocabulary from a standard GloVe text file
     (``glove.840B.300d.txt``-style: one ``word v1 ... vD`` line per word).
@@ -72,6 +73,12 @@ def build_glove_table_from_text(
             if word in remaining:
                 table[wanted[word]] = np.asarray(parts[1:], dtype=np.float32)
                 remaining.discard(word)
+    if stats is not None:
+        # exact accounting (a zero-sum heuristic over the table would
+        # miscount the pad row, UNK, and legitimately-zero vectors)
+        stats["matched"] = len(wanted) - len(remaining)
+        stats["vocab_words"] = len(wanted)
+        stats["unmatched_words"] = sorted(remaining)
     table[0] = 0.0
     return table
 

@@ -62,13 +62,11 @@ def sample_batch_soft(
     rows = np.asarray(
         [image_id_map[int(i)] for i in split.image_ids[idx]], np.int64
     )
-    n = len(idx)
-    soft = np.zeros((n, num_answers), np.float32)
-    flat_rows = np.repeat(np.arange(n), split.soft_idx.shape[1])
-    sidx = split.soft_idx[idx].reshape(-1)
-    sval = split.soft_val[idx].reshape(-1)
-    keep = sidx >= 0
-    soft[flat_rows[keep], sidx[keep]] = sval[keep]
+    from vqa_attention_networks_tpu.data.prepare import densify_soft_np
+
+    soft = densify_soft_np(
+        split.soft_idx[idx], split.soft_val[idx], num_answers
+    )
     return (
         np.asarray(feature_bank[rows]),
         split.questions[idx].copy(),

@@ -88,18 +88,10 @@ def apply(
 
     # fused Pallas co-attention core for bf16 inference (SURVEY 7.4):
     # affinity + both attention maps + both pools in one VMEM kernel
-    import os
+    from vqa_attention_networks_tpu.ops import pallas_coattention as pco
 
-    if (
-        not train
-        and not os.environ.get("VQA_DISABLE_PALLAS")  # the global kill switch
-        and dtype == jnp.bfloat16
-        and jax.default_backend() == "tpu"
-        and questions.shape[0] % 8 == 0
-    ):
-        from vqa_attention_networks_tpu.ops.pallas_coattention import (
-            coattention_core_pallas,
-        )
+    if pco.supported(questions.shape[0], dtype, train):
+        coattention_core_pallas = pco.coattention_core_pallas
 
         img_w = L.dense(params["fc_Wv"], img)
         que_w = L.dense(params["fc_Wq"], que)

@@ -79,6 +79,20 @@ def _kernel(img_ref, que_ref, cv_ref, cq_ref, imgw_ref, quew_ref,
         aq_ref[i, :, :] = aq
 
 
+def supported(n: int, dtype, train: bool) -> bool:
+    """Single dispatch gate (the caller must not re-derive _NB): bf16
+    inference on TPU, batch tiled by _NB, kill switch honoured."""
+    import os
+
+    import jax.numpy as jnp
+
+    if train or os.environ.get("VQA_DISABLE_PALLAS"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return jnp.dtype(dtype) == jnp.bfloat16 and n % _NB == 0
+
+
 def coattention_core_pallas(img, que, cv, cq, img_w, que_w, whv, whq,
                             nb: int = _NB):
     """All activations per-sample 3D ([N, L/T, E]); whv/whq [E, 1].

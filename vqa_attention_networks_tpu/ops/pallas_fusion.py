@@ -140,12 +140,21 @@ def _grid_fuse_pallas(
 def _grid_fuse_reference(
     img: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, q_proj: jnp.ndarray,
     k: int,
+    rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
+    train: bool = False,
 ) -> jnp.ndarray:
-    """XLA-composed oracle (identical semantics, differentiable)."""
+    """XLA-composed oracle (identical semantics, differentiable).
+
+    THE precision policy lives here once: the train dispatch path calls
+    this same function with its pre-pool dropout (mfb.py:99) rather than
+    repeating the cast/precision sequence."""
     acc = jnp.promote_types(img.dtype, jnp.float32)
     z = jnp.dot(img, w.astype(img.dtype), preferred_element_type=acc,
                 precision=matmul_precision(img.dtype))
     z = (z + b.astype(acc)) * q_proj[:, None, :].astype(acc)
+    if train and dropout_rate > 0:
+        z = dropout(rng, z, dropout_rate, True)
     return signed_sqrt(mfb_sumpool(z, k))
 
 
@@ -171,13 +180,18 @@ def _grid_fuse_bwd(k, res, g):
 _grid_fuse_tpu.defvjp(_grid_fuse_fwd, _grid_fuse_bwd)
 
 
-def pallas_supported(n: int, f: int, nb: int = _NB, tf: int = _TF) -> bool:
-    del f, tf  # the dispatcher pads the fusion axis to any TF multiple
+def pallas_supported(n: int, f: int, k: int = 5, nb: int = _NB,
+                     tf: int = _TF) -> bool:
     import os
 
     if os.environ.get("VQA_DISABLE_PALLAS"):  # A/B kill switch for benchmarks
         return False
     if jax.default_backend() != "tpu":
+        return False
+    # layout contract of the kernel's refactor/BlockSpecs (the assert at
+    # _grid_fuse_pallas): reject what cannot compile so the dispatcher
+    # falls back instead of crashing under VQA_FORCE_PALLAS
+    if f % k or tf % k:
         return False
     return n % nb == 0
 
@@ -205,8 +219,12 @@ def grid_fuse(
         # dropout residual, the enabler for batch >=1024 on one chip
         from vqa_attention_networks_tpu.ops import pallas_train_fusion as ptf
 
-        if dropout_rate > 0 and ptf.supported(
-            img.shape[0], dropout_rate, w.shape[1], k
+        if (
+            img.dtype == jnp.bfloat16  # f32 keeps the exact composed
+            # semantics in training too (the kernel's MXU passes round to
+            # bf16 internally, same policy as the inference branch below)
+            and dropout_rate > 0
+            and ptf.supported(img.shape[0], dropout_rate, w.shape[1], k)
         ):
             seed = jax.random.randint(
                 rng, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32
@@ -215,12 +233,10 @@ def grid_fuse(
                 img, w, b, q_proj, seed, k, dropout_rate
             )
         # composed: dropout lands on the pre-pool product (mfb.py:99)
-        acc = jnp.promote_types(img.dtype, jnp.float32)
-        z = jnp.dot(img, w.astype(img.dtype), preferred_element_type=acc,
-                    precision=matmul_precision(img.dtype))
-        z = (z + b.astype(acc)) * q_proj[:, None, :].astype(acc)
-        z = dropout(rng, z, dropout_rate, True)
-        return signed_sqrt(mfb_sumpool(z, k))
+        return _grid_fuse_reference(
+            img, w, b, q_proj, k, rng=rng, dropout_rate=dropout_rate,
+            train=True,
+        )
     if img.dtype == jnp.bfloat16:
         # bf16 speed paths only — float32/float64 compute always takes the
         # exact composed chain below (the kernel's MXU passes round to bf16
@@ -231,6 +247,6 @@ def grid_fuse(
             # weight-contracted formulation: 5x fewer FLOPs, 2x faster than
             # the Pallas kernel (see ops/fusion.py)
             return grid_fuse_weight_contracted(img, w, b, q_proj, k)
-        if pallas_supported(img.shape[0], w.shape[1]):
+        if pallas_supported(img.shape[0], w.shape[1], k):
             return _grid_fuse_tpu(img, w, b, q_proj, k)
     return _grid_fuse_reference(img, w, b, q_proj, k)

@@ -81,8 +81,13 @@ def _lstm_scan_pallas(
     hdim = four_h // 4
     if nb is None:
         nb = min(256, n)
-    while n % nb:
-        nb //= 2
+        while n % nb:
+            nb //= 2
+    elif n % nb:
+        raise ValueError(
+            f"explicit nb={nb} does not divide batch {n} — a silent "
+            "fallback would benchmark a different tile size"
+        )
 
     xp_t = jnp.swapaxes(x_proj, 0, 1).astype(jnp.bfloat16)  # [T, N, 4H]
     out = pl.pallas_call(

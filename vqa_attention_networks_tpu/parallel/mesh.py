@@ -30,6 +30,10 @@ def make_mesh(
         data = n // model
     need = data * model
     assert need <= n, f"mesh {data}x{model} needs {need} devices, have {n}"
+    if need < n:
+        print(f"WARNING: mesh {data}x{model} uses {need} of {n} available "
+              f"devices ({n - need} idle) — raise data_parallel/"
+              "model_parallel to use them all")
     arr = np.asarray(devices[:need]).reshape(data, model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
