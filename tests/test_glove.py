@@ -67,3 +67,21 @@ def test_build_glove_cli_vectors_path(tmp_path):
     np.testing.assert_allclose(table[1], 0.5)
     np.testing.assert_allclose(table[2], 1.5)
     np.testing.assert_array_equal(table[3], 0.0)
+
+
+def test_text_loader_reports_exact_match_stats(tmp_path):
+    vocab = {"cat": 1, "dog": 2, "zzz_missing": 3, "UNK": 4}
+    path = tmp_path / "vectors.txt"
+    path.write_text(
+        "cat " + " ".join(["0.0"] * 300) + "\n"  # zero vector still a MATCH
+        + "dog " + " ".join(["1.0"] * 300) + "\n"
+    )
+    stats = {}
+    from vqa_attention_networks_tpu.data.glove import (
+        build_glove_table_from_text,
+    )
+
+    build_glove_table_from_text(vocab, str(path), stats=stats)
+    assert stats["matched"] == 2  # cat (zero vector!) + dog
+    assert stats["vocab_words"] == 4
+    assert stats["unmatched_words"] == ["UNK", "zzz_missing"]

@@ -37,3 +37,17 @@ def test_lstm_kernel_carry_resets_between_batch_tiles():
     full = np.asarray(lstm_seq(p, x, interpret=True, nb=8), np.float32)
     half = np.asarray(lstm_seq(p, x[8:], interpret=True, nb=8), np.float32)
     np.testing.assert_allclose(full[8:], half, atol=1e-4, rtol=1e-3)
+
+
+def test_explicit_nondividing_nb_is_rejected():
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from vqa_attention_networks_tpu.models import layers as L
+    from vqa_attention_networks_tpu.ops.pallas_lstm import lstm_seq
+
+    p = L.lstm_init(jax.random.PRNGKey(0), 8, 16)
+    x = jnp.zeros((6, 4, 8))
+    with pytest.raises(ValueError, match="does not divide"):
+        lstm_seq(p, x, nb=4)
