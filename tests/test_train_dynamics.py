@@ -288,3 +288,96 @@ def test_mhb_coatt_loss_trajectory_matches_torch():
     np.testing.assert_allclose(jax_losses, torch_losses, rtol=1e-6)
     # and training must actually be moving
     assert jax_losses[-1] != jax_losses[0]
+
+
+def torch_mfb(p, img, ques, k):
+    """mfb.py:61-140 under the reference quirk (softmax over a singleton
+    axis, mfb.py:84,118): every attention weight is exactly 1.0, so each
+    glimpse is an unweighted position sum, the two glimpses of a pool are
+    identical, and — because the stage-1 fused grid only feeds the co-att
+    convs whose outputs are gradient-dead constants — the ENTIRE stage-1
+    fusion receives zero gradient. The twin therefore computes only the
+    live path; the frameworks must agree that the rest contributes nothing
+    (any spurious gradient in either would split the trajectories)."""
+    emb = torch.tanh(p["word_embedding"]["table"][ques])
+    h = _t_lstm(p["lstm"], emb)
+    g = h.sum(dim=1)
+    q_att = torch.cat([g, g], dim=-1)  # [N, 2H]
+
+    gi = img.sum(dim=1)
+    v_att = torch.cat([gi, gi], dim=-1)  # [N, 2D]
+
+    a = _t_dense(p["ques_proj2"], q_att)
+    b = _t_dense(p["img_proj2"], v_att)
+    final = _t_l2(_t_ssqrt(_t_kpool(a * b, k)))
+    return _t_dense(p["linear_pred"], final)
+
+
+def test_mfb_loss_trajectory_matches_torch():
+    from vqa_attention_networks_tpu.train.losses import cross_entropy
+
+    cfg = Config(
+        model_name="mfb", q_vocab_size=Q_VOCAB, a_vocab_size=A_VOCAB,
+        hidden_dim=HID, emb_dim=EMB, img_feature_channel=D,
+        max_question_length=T, mfb_factor=K, mfb_out=O,
+        dropout_lstm=0.0, dropout_fusion=0.0,
+    ).validate()
+    assert not cfg.soft_answer  # mfb trains with CE (solver.py:29)
+    model = get_model("mfb")
+    params = model.init(jax.random.PRNGKey(3), cfg)
+
+    rng = np.random.default_rng(3)
+    steps = 8
+    imgs = rng.standard_normal((steps, N, L, D))
+    quess = rng.integers(0, Q_VOCAB, size=(steps, N, T)).astype(np.int32)
+    labels = rng.integers(0, A_VOCAB, size=(steps, N)).astype(np.int32)
+
+    tp, tleaves = _to_torch_tree(params)
+    opt = torch.optim.Adam(tleaves, lr=LR)
+    torch_losses = []
+    for s in range(steps):
+        opt.zero_grad()
+        logits = torch_mfb(
+            tp, torch.tensor(imgs[s]),
+            torch.tensor(quess[s].astype(np.int64)), K,
+        )
+        loss = torch.nn.functional.cross_entropy(
+            logits, torch.tensor(labels[s].astype(np.int64))
+        )
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss.detach()))
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg64 = cfg.replace(compute_dtype="float64")
+        p64 = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x), jnp.float64), params
+        )
+        tx = optax.adam(LR)
+        opt_state = tx.init(p64)
+        key = jax.random.PRNGKey(4)
+
+        @jax.jit
+        def step(p, o, img, ques, lab):
+            def loss_fn(p):
+                logits, _ = model.apply(
+                    p, cfg64, img, ques, train=True, rng=key
+                )
+                return cross_entropy(logits, lab)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o = tx.update(grads, o, p)
+            return optax.apply_updates(p, updates), o, loss
+
+        jax_losses = []
+        for s in range(steps):
+            p64, opt_state, loss = step(
+                p64, opt_state, jnp.asarray(imgs[s]), jnp.asarray(quess[s]),
+                jnp.asarray(labels[s]),
+            )
+            jax_losses.append(float(loss))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=1e-6)
