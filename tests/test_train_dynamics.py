@@ -381,3 +381,118 @@ def test_mfb_loss_trajectory_matches_torch():
         jax.config.update("jax_enable_x64", False)
 
     np.testing.assert_allclose(jax_losses, torch_losses, rtol=1e-6)
+
+
+def test_ibowimg_loss_trajectory_matches_torch():
+    """iBOWIMG pins the BATCH-NORM training dynamics against torch's
+    functional batch_norm: biased variance for normalisation, unbiased for
+    the running stats, momentum 0.1 — and the running stats folded back
+    into the params every step exactly as the solver does."""
+    from vqa_attention_networks_tpu.train.losses import cross_entropy
+    from vqa_attention_networks_tpu.train.solver import _merge_batch_stats
+
+    E = 16
+    cfg = Config(
+        model_name="iBOWIMG", q_vocab_size=Q_VOCAB, a_vocab_size=A_VOCAB,
+        embed_size=E, img_feature_channel=D, max_question_length=T,
+        dropout_default=0.0,
+    ).validate()
+    model = get_model("iBOWIMG")
+    params = model.init(jax.random.PRNGKey(5), cfg)
+
+    rng = np.random.default_rng(5)
+    steps = 8
+    imgs = rng.standard_normal((steps, N, L, D))
+    quess = rng.integers(0, Q_VOCAB, size=(steps, N, T)).astype(np.int32)
+    labels = rng.integers(0, A_VOCAB, size=(steps, N)).astype(np.int32)
+
+    # ---- torch twin ------------------------------------------------------
+    def t(x, trainable=True):
+        return torch.tensor(np.asarray(x, np.float64),
+                            requires_grad=trainable)
+
+    tp = {
+        "img_emb": {k: t(v) for k, v in params["img_emb"].items()},
+        "que_emb": {"table": t(params["que_emb"]["table"])},
+        "fc": {k: t(v) for k, v in params["fc"].items()},
+        "img_bn": {
+            "scale": t(params["img_bn"]["scale"]),
+            "bias": t(params["img_bn"]["bias"]),
+            # running stats are buffers (F.batch_norm updates them
+            # in-place, which requires_grad tensors forbid)
+            "mean": t(params["img_bn"]["mean"], trainable=False),
+            "var": t(params["img_bn"]["var"], trainable=False),
+        },
+    }
+    leaves = [tp["img_emb"]["w"], tp["img_emb"]["b"],
+              tp["que_emb"]["table"], tp["fc"]["w"], tp["fc"]["b"],
+              tp["img_bn"]["scale"], tp["img_bn"]["bias"]]
+    opt = torch.optim.Adam(leaves, lr=LR)
+    torch_losses = []
+    for s in range(steps):
+        opt.zero_grad()
+        imgv = torch.tensor(imgs[s]).mean(dim=1)
+        x = _t_dense(tp["img_emb"], imgv)
+        x = torch.nn.functional.batch_norm(
+            x, tp["img_bn"]["mean"], tp["img_bn"]["var"],
+            tp["img_bn"]["scale"], tp["img_bn"]["bias"],
+            training=True, momentum=0.1, eps=1e-5,
+        )
+        x = torch.relu(x)
+        que = tp["que_emb"]["table"][
+            torch.tensor(quess[s].astype(np.int64))
+        ].sum(dim=1)
+        logits = _t_dense(tp["fc"], torch.cat([x, que], dim=-1))
+        loss = torch.nn.functional.cross_entropy(
+            logits, torch.tensor(labels[s].astype(np.int64))
+        )
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss.detach()))
+
+    # ---- jax side --------------------------------------------------------
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg64 = cfg.replace(compute_dtype="float64")
+        p64 = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x), jnp.float64), params
+        )
+        tx = optax.adam(LR)
+        opt_state = tx.init(p64)
+        key = jax.random.PRNGKey(6)
+
+        @jax.jit
+        def step(p, o, img, ques, lab):
+            def loss_fn(p):
+                logits, aux = model.apply(
+                    p, cfg64, img, ques, train=True, rng=key
+                )
+                return cross_entropy(logits, lab), aux
+
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(p)
+            updates, o = tx.update(grads, o, p)
+            p = optax.apply_updates(p, updates)
+            return _merge_batch_stats(p, aux), o, loss
+
+        jax_losses = []
+        for s in range(steps):
+            p64, opt_state, loss = step(
+                p64, opt_state, jnp.asarray(imgs[s]), jnp.asarray(quess[s]),
+                jnp.asarray(labels[s]),
+            )
+            jax_losses.append(float(loss))
+
+        np.testing.assert_allclose(jax_losses, torch_losses, rtol=1e-6)
+        # the running stats themselves must track torch's
+        np.testing.assert_allclose(
+            np.asarray(p64["img_bn"]["mean"]),
+            tp["img_bn"]["mean"].detach().numpy(), rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(p64["img_bn"]["var"]),
+            tp["img_bn"]["var"].detach().numpy(), rtol=1e-6,
+        )
+    finally:
+        jax.config.update("jax_enable_x64", False)
