@@ -496,3 +496,246 @@ def test_ibowimg_loss_trajectory_matches_torch():
         )
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def torch_hiecoatten(p, img_f, ques):
+    """hieCoAtten.py:18-55 with the two documented bugfixes (fc_Wbq on the
+    question branch, dim-1 concat); dropout disabled."""
+    img = torch.relu(_t_dense(p["img_emb"], img_f))  # [N, 196, E]
+    que = p["que_emb"]["table"][ques]  # [N, T, E]
+
+    cv = _t_dense(p["fc_Wbv"], img)
+    cq = _t_dense(p["fc_Wbq"], que)
+    c = torch.tanh(torch.einsum("nte,nle->ntl", cq, cv))
+
+    img_w = _t_dense(p["fc_Wv"], img)
+    que_w = _t_dense(p["fc_Wq"], que)
+
+    hv = torch.tanh(img_w + torch.einsum("nte,ntl->nle", que_w, c))
+    av = torch.softmax(_t_dense(p["fc_Whv"], hv), dim=1)  # [N, 196, 1]
+    v = torch.einsum("nl,nle->ne", av[..., 0], img)
+
+    hq = torch.tanh(que_w + torch.einsum("nle,ntl->nte", img_w, c))
+    aq = torch.softmax(_t_dense(p["fc_Whq"], hq), dim=1)  # [N, T, 1]
+    q = torch.einsum("nt,nte->ne", aq[..., 0], que)
+
+    return _t_dense(p["fc"], torch.cat([v, q], dim=-1))
+
+
+def torch_vis_lstm(p, img_f, ques, image_first):
+    """visLstm.py:30-60: image embedding as first (or last) token of a
+    2-layer LSTM over the question; final layer-2 state -> logits."""
+    emb_q = p["embedding_ques"]["table"][ques]
+    emb_i = torch.tanh(_t_dense(p["embedding_img"], img_f.mean(dim=1)))
+    if image_first:
+        seq = torch.cat([emb_i.unsqueeze(1), emb_q], dim=1)
+    else:
+        seq = torch.cat([emb_q, emb_i.unsqueeze(1)], dim=1)
+    h1 = _t_lstm(p["lstm1"], seq)
+    h2 = _t_lstm(p["lstm2"], h1)
+    return _t_dense(p["output_layer"], h2[:, -1])
+
+
+def _dynamics_harness(model_name, torch_fwd, seed, **cfg_kw):
+    """Shared CE-loss trajectory comparison (the soft-answer models have
+    their own tests above)."""
+    from vqa_attention_networks_tpu.train.losses import cross_entropy
+
+    cfg = Config(
+        model_name=model_name, q_vocab_size=Q_VOCAB, a_vocab_size=A_VOCAB,
+        hidden_dim=HID, emb_dim=EMB, img_feature_channel=D,
+        max_question_length=T, mfb_factor=K, mfb_out=O,
+        dropout_lstm=0.0, dropout_fusion=0.0, dropout_default=0.0,
+        **cfg_kw,
+    ).validate()
+    model = get_model(model_name)
+    params = model.init(jax.random.PRNGKey(seed), cfg)
+
+    rng = np.random.default_rng(seed)
+    steps = 8
+    imgs = rng.standard_normal((steps, N, L, D))
+    quess = rng.integers(0, Q_VOCAB, size=(steps, N, T)).astype(np.int32)
+    labels = rng.integers(0, A_VOCAB, size=(steps, N)).astype(np.int32)
+
+    tp, tleaves = _to_torch_tree(params)
+    opt = torch.optim.Adam(tleaves, lr=LR)
+    torch_losses = []
+    for s in range(steps):
+        opt.zero_grad()
+        logits = torch_fwd(
+            tp, torch.tensor(imgs[s]), torch.tensor(quess[s].astype(np.int64))
+        )
+        loss = torch.nn.functional.cross_entropy(
+            logits, torch.tensor(labels[s].astype(np.int64))
+        )
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss.detach()))
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg64 = cfg.replace(compute_dtype="float64")
+        p64 = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x), jnp.float64), params
+        )
+        tx = optax.adam(LR)
+        opt_state = tx.init(p64)
+        key = jax.random.PRNGKey(seed + 100)
+
+        @jax.jit
+        def step(p, o, img, ques, lab):
+            def loss_fn(p):
+                logits, _ = model.apply(
+                    p, cfg64, img, ques, train=True, rng=key
+                )
+                return cross_entropy(logits, lab)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o = tx.update(grads, o, p)
+            return optax.apply_updates(p, updates), o, loss
+
+        jax_losses = []
+        for s in range(steps):
+            p64, opt_state, loss = step(
+                p64, opt_state, jnp.asarray(imgs[s]), jnp.asarray(quess[s]),
+                jnp.asarray(labels[s]),
+            )
+            jax_losses.append(float(loss))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=1e-6)
+
+
+def test_hiecoatten_loss_trajectory_matches_torch():
+    _dynamics_harness("hieCoAtten", torch_hiecoatten, seed=7, embed_size=16)
+
+
+def test_vis_lstm_loss_trajectory_matches_torch():
+    _dynamics_harness(
+        "visLstm",
+        lambda p, img, ques: torch_vis_lstm(p, img, ques, image_first=True),
+        seed=8, image_first=True,
+    )
+
+
+def test_attentionnet_loss_trajectory_matches_torch():
+    """attentionNet: 6 alternating additive-attention layers + final BN.
+    The torch twin materialises the decomposed score as the reference's
+    single D->1 linear over the broadcast sum, plus torch BN as in the
+    iBOWIMG test."""
+    from vqa_attention_networks_tpu.train.losses import cross_entropy
+    from vqa_attention_networks_tpu.train.solver import _merge_batch_stats
+
+    E = 16
+    cfg = Config(
+        model_name="attentionNet", q_vocab_size=Q_VOCAB,
+        a_vocab_size=A_VOCAB, embed_size=E, img_feature_channel=D,
+        max_question_length=T, att_num=4, dropout_default=0.0,
+    ).validate()
+    model = get_model("attentionNet")
+    params = model.init(jax.random.PRNGKey(9), cfg)
+
+    def t_att1(p, f1, f2):
+        s1 = (f1 @ p["fc"]["w"] + p["fc"]["b"])[..., 0]  # [N, L]
+        s2 = (f2 @ p["fc"]["w"])[..., 0]  # [N, T] (bias counted once)
+        att = torch.softmax(s2.unsqueeze(2) + s1.unsqueeze(1), dim=2)
+        return torch.einsum("ntl,nld->ntd", att, f1), att
+
+    def t_layer(p, f1, f2):
+        f1 = torch.relu(f1)
+        f2 = torch.relu(f2)
+        f_hat, att = t_att1(p["att"], f1, f2)
+        return f1, torch.relu(f2 + f_hat), att
+
+    rng = np.random.default_rng(9)
+    steps = 8
+    imgs = rng.standard_normal((steps, N, L, D))
+    quess = rng.integers(0, Q_VOCAB, size=(steps, N, T)).astype(np.int32)
+    labels = rng.integers(0, A_VOCAB, size=(steps, N)).astype(np.int32)
+
+    def t(x, trainable=True):
+        return torch.tensor(np.asarray(x, np.float64),
+                            requires_grad=trainable)
+
+    tp = {}
+    leaves = []
+    for name in ("img_emb", "que_emb", "fc"):
+        tp[name] = {k: t(v) for k, v in params[name].items()}
+        leaves += list(tp[name].values())
+    for i in range(cfg.att_num):
+        tp[f"att{i}"] = {"att": {"fc": {
+            k: t(v) for k, v in params[f"att{i}"]["att"]["fc"].items()
+        }}}
+        leaves += list(tp[f"att{i}"]["att"]["fc"].values())
+    tp["batchnorm"] = {
+        "scale": t(params["batchnorm"]["scale"]),
+        "bias": t(params["batchnorm"]["bias"]),
+        "mean": t(params["batchnorm"]["mean"], trainable=False),
+        "var": t(params["batchnorm"]["var"], trainable=False),
+    }
+    leaves += [tp["batchnorm"]["scale"], tp["batchnorm"]["bias"]]
+
+    opt = torch.optim.Adam(leaves, lr=LR)
+    torch_losses = []
+    for s in range(steps):
+        opt.zero_grad()
+        img = torch.relu(_t_dense(tp["img_emb"], torch.tensor(imgs[s])))
+        que = tp["que_emb"]["table"][torch.tensor(quess[s].astype(np.int64))]
+        que_att = img_att = None
+        for i in range(cfg.att_num):
+            if i % 2 == 0:
+                img, que, que_att = t_layer(tp[f"att{i}"], img, que)
+            else:
+                que, img, img_att = t_layer(tp[f"att{i}"], que, img)
+        x = torch.cat(
+            [que_att, img_att.transpose(1, 2)], dim=1
+        ).reshape(N, -1)
+        x = _t_dense(tp["fc"], x)
+        x = torch.nn.functional.batch_norm(
+            x, tp["batchnorm"]["mean"], tp["batchnorm"]["var"],
+            tp["batchnorm"]["scale"], tp["batchnorm"]["bias"],
+            training=True, momentum=0.1, eps=1e-5,
+        )
+        loss = torch.nn.functional.cross_entropy(
+            x, torch.tensor(labels[s].astype(np.int64))
+        )
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss.detach()))
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg64 = cfg.replace(compute_dtype="float64")
+        p64 = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x), jnp.float64), params
+        )
+        tx = optax.adam(LR)
+        opt_state = tx.init(p64)
+        key = jax.random.PRNGKey(109)
+
+        @jax.jit
+        def step(p, o, img, ques, lab):
+            def loss_fn(p):
+                logits, aux = model.apply(
+                    p, cfg64, img, ques, train=True, rng=key
+                )
+                return cross_entropy(logits, lab), aux
+
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(p)
+            updates, o = tx.update(grads, o, p)
+            return _merge_batch_stats(optax.apply_updates(p, updates), aux), o, loss
+
+        jax_losses = []
+        for s in range(steps):
+            p64, opt_state, loss = step(
+                p64, opt_state, jnp.asarray(imgs[s]), jnp.asarray(quess[s]),
+                jnp.asarray(labels[s]),
+            )
+            jax_losses.append(float(loss))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=1e-6)
