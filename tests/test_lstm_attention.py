@@ -13,7 +13,7 @@ from tests.test_oracle_parity import np_sigmoid
 
 
 def _np_cell(p, x, h, c):
-    gates = x @ p["w_ih"] + h @ p["w_hh"] + p["b"]
+    gates = x @ p["w_ih"] + (p["b_ih"] + p["b_hh"]) + h @ p["w_hh"]
     i, f, g, o = np.split(gates, 4, axis=-1)
     i, f, o = np_sigmoid(i), np_sigmoid(f), np_sigmoid(o)
     g = np.tanh(g)

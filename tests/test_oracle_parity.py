@@ -69,7 +69,8 @@ def np_lstm(p, x):
     c = np.zeros_like(h)
     outs = []
     for step in range(t):
-        gates = x[:, step] @ p["w_ih"] + h @ p["w_hh"] + p["b"]
+        gates = (x[:, step] @ p["w_ih"] + (p["b_ih"] + p["b_hh"])
+                 + h @ p["w_hh"])
         i, f, g, o = np.split(gates, 4, axis=-1)
         i, f, o = np_sigmoid(i), np_sigmoid(f), np_sigmoid(o)
         g = np.tanh(g)
@@ -197,11 +198,13 @@ def np_lstm2_cells(p1, p2, seq):
     h2 = np.zeros((n, p2["w_hh"].shape[0]))
     c2 = np.zeros_like(h2)
     for step in range(t1):
-        gates = seq[:, step] @ p1["w_ih"] + h1 @ p1["w_hh"] + p1["b"]
+        gates = (seq[:, step] @ p1["w_ih"] + (p1["b_ih"] + p1["b_hh"])
+                 + h1 @ p1["w_hh"])
         i, f, g, o = np.split(gates, 4, axis=-1)
         c1 = np_sigmoid(f) * c1 + np_sigmoid(i) * np.tanh(g)
         h1 = np_sigmoid(o) * np.tanh(c1)
-        gates = h1 @ p2["w_ih"] + h2 @ p2["w_hh"] + p2["b"]
+        gates = (h1 @ p2["w_ih"] + (p2["b_ih"] + p2["b_hh"])
+                 + h2 @ p2["w_hh"])
         i, f, g, o = np.split(gates, 4, axis=-1)
         c2 = np_sigmoid(f) * c2 + np_sigmoid(i) * np.tanh(g)
         h2 = np_sigmoid(o) * np.tanh(c2)

@@ -87,8 +87,19 @@ def lstm_init(rng: jax.Array, d_in: int, hidden: int) -> Params:
         # PyTorch stores weight_ih as [4H, d_in]; fans are (d_in, 4H).
         "w_ih": xavier_uniform(k_ih, (d_in, 4 * hidden), d_in, 4 * hidden),
         "w_hh": xavier_uniform(k_hh, (hidden, 4 * hidden), hidden, 4 * hidden),
-        "b": jnp.zeros((4 * hidden,), jnp.float32),
+        # TWO bias vectors like torch nn.LSTM (b_ih + b_hh): they receive
+        # identical gradients but step INDEPENDENTLY under Adam, so the
+        # total gate bias moves 2x per step vs a single fused bias — a
+        # fused "b" would silently halve the reference's effective bias
+        # learning rate. Forward-wise only the sum matters.
+        "b_ih": jnp.zeros((4 * hidden,), jnp.float32),
+        "b_hh": jnp.zeros((4 * hidden,), jnp.float32),
     }
+
+
+def lstm_bias(p: Params) -> jnp.ndarray:
+    """The summed gate bias (b_ih + b_hh, torch semantics)."""
+    return p["b_ih"] + p["b_hh"]
 
 
 def lstm_cell(
@@ -127,7 +138,7 @@ def lstm(
     x_proj = (
         jnp.dot(x, p["w_ih"].astype(dtype), preferred_element_type=dtype,
                 precision=matmul_precision(dtype))
-        + p["b"].astype(dtype)
+        + lstm_bias(p).astype(dtype)
     )
     if h0 is None:
         h0 = jnp.zeros((n, hidden), dtype)

@@ -96,7 +96,7 @@ def apply(
     hidden = cfg.hidden_dim
     x1_proj = (
         jnp.dot(seq, p1["w_ih"].astype(dtype), preferred_element_type=dtype, precision=L.matmul_precision(dtype))
-        + p1["b"].astype(dtype)
+        + L.lstm_bias(p1).astype(dtype)
     )  # [N, T+1, 4H]
 
     def step(carry, xp):
@@ -104,7 +104,7 @@ def apply(
         h1, c1 = L.lstm_cell(p1, xp, h1, c1)
         x2 = (
             jnp.dot(h1, p2["w_ih"].astype(dtype), preferred_element_type=dtype, precision=L.matmul_precision(dtype))
-            + p2["b"].astype(dtype)
+            + L.lstm_bias(p2).astype(dtype)
         )
         h2, c2 = L.lstm_cell(p2, x2, h2, c2)
         return (h1, c1, h2, c2), None
@@ -152,7 +152,7 @@ def lstm_attention_apply(
     emb = L.embed(params["embedding"], inputs, dtype)  # [N, T, E]
     x1_proj = (
         jnp.dot(emb, p1["w_ih"].astype(dtype), preferred_element_type=dtype, precision=L.matmul_precision(dtype))
-        + p1["b"].astype(dtype)
+        + L.lstm_bias(p1).astype(dtype)
     )
 
     def step(carry, xp):
@@ -168,7 +168,7 @@ def lstm_attention_apply(
         x2 = jnp.concatenate([v_hat, h1], axis=-1)
         x2 = (
             jnp.dot(x2, p2["w_ih"].astype(dtype), preferred_element_type=dtype, precision=L.matmul_precision(dtype))
-            + p2["b"].astype(dtype)
+            + L.lstm_bias(p2).astype(dtype)
         )
         h2, c2 = L.lstm_cell(p2, x2, h2, c2)
         return (h1, c1, h2, c2), h2

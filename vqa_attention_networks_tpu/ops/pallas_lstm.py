@@ -135,6 +135,6 @@ def lstm_seq(p: dict, x: jnp.ndarray, interpret: bool = False,
     dtype = x.dtype
     x_proj = (
         jnp.dot(x, p["w_ih"].astype(dtype), preferred_element_type=dtype)
-        + p["b"].astype(dtype)
+        + (p["b_ih"] + p["b_hh"]).astype(dtype)
     )
     return _lstm_scan_pallas(x_proj, p["w_hh"], interpret=interpret, nb=nb)
