@@ -13,11 +13,11 @@ from vqa_attention_networks_tpu.ops.fusion import grid_fuse_weight_contracted
 
 def main() -> None:
     batch, k = 1024, 5
-    rng = jax.random.PRNGKey(1)
-    img = jax.random.normal(rng, (batch, 196, 2048), jnp.bfloat16)
-    w = jax.random.normal(rng, (2048, 5000), jnp.bfloat16) * 0.02
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(1), 3)
+    img = jax.random.normal(k0, (batch, 196, 2048), jnp.bfloat16)
+    w = jax.random.normal(k1, (2048, 5000), jnp.bfloat16) * 0.02
     b = jnp.zeros((5000,), jnp.float32)
-    qp = jax.random.normal(rng, (batch, 5000), jnp.bfloat16)
+    qp = jax.random.normal(k2, (batch, 5000), jnp.bfloat16)
 
     variants = {
         "composed XLA": lambda i, w, b, q: pf._grid_fuse_reference(

@@ -33,8 +33,7 @@ def _assemble_rate(batches, n_batches: int, trials: int = 3) -> float:
 
 
 def main(argv=None) -> None:
-    from vqa_attention_networks_tpu.utils.runtime import setup as _rt_setup
-    _rt_setup()
+    import benchmarks.common  # noqa: F401 — runtime preamble
     parser = argparse.ArgumentParser()
     parser.add_argument("--images", type=int, default=2000)
     parser.add_argument("--batch", type=int, default=256)
@@ -68,10 +67,15 @@ def main(argv=None) -> None:
         float(np.asarray(store.features[:, 0, 0], np.float32).sum())
         float(np.asarray(store.features[:, -1, -1], np.float32).sum())
         float(np.asarray(store.features, np.float16).view(np.uint16).sum())
+        import os
+
         have_native = native.get_lib() is not None
         for label, force_numpy in (("native", False), ("numpy ", True)):
             if force_numpy:
-                native._lib, native._tried = None, True
+                # the public kill switch (checked inside native.get_lib) —
+                # reaching into module privates would silently stop forcing
+                # the NumPy arm if the internals were ever renamed
+                os.environ["VQA_DISABLE_NATIVE"] = "1"
             elif not have_native:
                 print("native library unavailable — NumPy fallback only")
                 continue
@@ -89,8 +93,8 @@ def main(argv=None) -> None:
                     f" GB/s features)",
                     flush=True,
                 )
-            if force_numpy and have_native:
-                native._lib, native._tried = None, False  # restore
+            if force_numpy:
+                os.environ.pop("VQA_DISABLE_NATIVE", None)
 
 
 if __name__ == "__main__":

@@ -22,12 +22,10 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     batch = args.batch
-    rng = jax.random.PRNGKey(1)
-    img = jax.random.normal(rng, (batch, 196, 2048), jnp.bfloat16)
-    ques = jax.random.randint(rng, (batch, 22), 0, 15881, jnp.int32)
-    qlen = jnp.maximum(
-        jax.random.randint(rng, (batch,), 1, 23, jnp.int32), 1
-    )
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(1), 3)
+    img = jax.random.normal(k0, (batch, 196, 2048), jnp.bfloat16)
+    ques = jax.random.randint(k1, (batch, 22), 0, 15881, jnp.int32)
+    qlen = jax.random.randint(k2, (batch,), 1, 23, jnp.int32)
 
     for name in args.models.split(","):
         cfg = Config(

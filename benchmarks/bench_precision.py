@@ -68,8 +68,7 @@ _compare = jax.jit(_metrics)
 
 
 def main(argv=None) -> None:
-    from vqa_attention_networks_tpu.utils.runtime import setup as _rt_setup
-    _rt_setup()
+    import benchmarks.common  # noqa: F401 — runtime preamble
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=1024)
     parser.add_argument("--batches", type=int, default=8)
@@ -116,9 +115,7 @@ def main(argv=None) -> None:
         ques = jax.random.randint(
             k_q, (args.batch, 22), 0, cfg16.q_vocab_size, jnp.int32
         )
-        qlen = jnp.maximum(
-            jax.random.randint(k_l, (args.batch,), 1, 23, jnp.int32), 1
-        )
+        qlen = jax.random.randint(k_l, (args.batch,), 1, 23, jnp.int32)
 
         logits_pallas = fwd_pallas(params, img16, ques, qlen)
         logits_f32 = fwd_f32(params, img16.astype(jnp.float32), ques, qlen)

@@ -28,8 +28,7 @@ from vqa_attention_networks_tpu.serve import InferenceEngine
 
 
 def main(argv=None) -> None:
-    from vqa_attention_networks_tpu.utils.runtime import setup as _rt_setup
-    _rt_setup()
+    import benchmarks.common  # noqa: F401 — runtime preamble
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=1024)
     parser.add_argument("--batches", type=int, default=16)

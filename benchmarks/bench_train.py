@@ -17,8 +17,7 @@ from vqa_attention_networks_tpu.train.losses import soft_cross_entropy
 
 
 def main(argv=None) -> None:
-    from vqa_attention_networks_tpu.utils.runtime import setup as _rt_setup
-    _rt_setup()
+    import benchmarks.common  # noqa: F401 — runtime preamble
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--model_name", type=str, default="mhb_coAtt")
@@ -37,12 +36,12 @@ def main(argv=None) -> None:
     tx = optax.adam(cfg.lr)
     opt_state = tx.init(params)
 
-    rng = jax.random.PRNGKey(1)
-    img = jax.random.normal(rng, (batch, 196, 2048), jnp.bfloat16).astype(
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(1), 3)
+    img = jax.random.normal(k0, (batch, 196, 2048), jnp.bfloat16).astype(
         jnp.float32
     )
-    ques = jax.random.randint(rng, (batch, 22), 0, 15881, jnp.int32)
-    soft = jax.nn.softmax(jax.random.normal(rng, (batch, 1000)))
+    ques = jax.random.randint(k1, (batch, 22), 0, 15881, jnp.int32)
+    soft = jax.nn.softmax(jax.random.normal(k2, (batch, 1000)))
 
     def loss_fn(p, img, ques, soft, k):
         logits, _ = model.apply(p, cfg, img, ques, train=True, rng=k)

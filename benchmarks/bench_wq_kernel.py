@@ -22,11 +22,11 @@ def main(argv=None):
     args = parser.parse_args(argv)
     n, l, d, f, k = args.batch, 196, 2048, 5000, 5
 
-    rng = jax.random.PRNGKey(0)
-    img = jax.random.normal(rng, (n, l, d), jnp.bfloat16)
-    w = jax.random.normal(rng, (d, f), jnp.float32) * 0.02
-    b = jax.random.normal(rng, (f,), jnp.float32) * 0.02
-    q = jax.random.normal(rng, (n, f), jnp.bfloat16).astype(jnp.float32)
+    k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 4)
+    img = jax.random.normal(k0, (n, l, d), jnp.bfloat16)
+    w = jax.random.normal(k1, (d, f), jnp.float32) * 0.02
+    b = jax.random.normal(k2, (f,), jnp.float32) * 0.02
+    q = jax.random.normal(k3, (n, f), jnp.bfloat16).astype(jnp.float32)
 
     @jax.jit
     def xla_path(img, w, b, q):

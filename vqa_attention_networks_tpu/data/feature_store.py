@@ -54,6 +54,14 @@ class FeatureStoreWriter:
         must not silently become inf — downstream bf16/f32 math would turn
         it into NaN losses. Clamp and count instead."""
         features = np.asarray(features)
+        bad = int((~np.isfinite(features)).sum())
+        if bad:
+            # np.clip passes NaN through silently — a poisoned store would
+            # only surface later as a NaN-loss abort far from the cause
+            raise ValueError(
+                f"{bad} non-finite feature values — the trunk or input "
+                "images are corrupted; refusing to write a poisoned store"
+            )
         if (self.dtype == np.float16
                 and features.dtype.itemsize > self.dtype.itemsize):
             lim = float(np.finfo(np.float16).max)
@@ -101,7 +109,16 @@ class FeatureStoreWriter:
     def __enter__(self) -> "FeatureStoreWriter":
         return self
 
-    def __exit__(self, *exc) -> None:
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is not None:
+            # do NOT write index.json: a partially-extracted store must not
+            # look complete (open_feature_store would load it and training
+            # would only fail much later on a missing image_id)
+            self._file.close()
+            print(f"WARNING: extraction aborted ({exc_type.__name__}); "
+                  f"{self.directory} left WITHOUT an index — rerun "
+                  "extraction to finalize it")
+            return
         self.close()
 
 
@@ -173,10 +190,19 @@ class CombinedFeatureStore:
                     f"{(s_.num_regions, s_.channels)} — re-extract with "
                     "matching settings"
                 )
-        self._owner: Dict[int, tuple] = {}
+        # encoded (store << 40) | row, computed once (rows_for is then a
+        # plain lookup); duplicate ids across stores fail loudly — the
+        # union index relies on disjoint id spaces (COCO train/val)
+        self._owner: Dict[int, int] = {}
         for si, store in enumerate(self.stores):
             for img_id, row in store.row_of.items():
-                self._owner[img_id] = (si, row)
+                if img_id in self._owner:
+                    raise ValueError(
+                        f"image_id {img_id} appears in more than one member "
+                        "store — combined stores need disjoint id spaces "
+                        "(was a split re-extracted into both?)"
+                    )
+                self._owner[img_id] = (si << 40) | row
 
     def __len__(self) -> int:
         return sum(len(s) for s in self.stores)
@@ -184,10 +210,7 @@ class CombinedFeatureStore:
     def rows_for(self, image_ids: Iterable[int]) -> np.ndarray:
         # encoded (store, row) pairs: store index in the high bits
         return np.asarray(
-            [
-                (lambda sr: (sr[0] << 40) | sr[1])(self._owner[int(i)])
-                for i in image_ids
-            ],
+            [self._owner[int(i)] for i in image_ids],
             dtype=np.int64,
         )
 

@@ -65,6 +65,8 @@ def _set_argtypes(lib: ctypes.CDLL) -> None:
 def get_lib() -> Optional[ctypes.CDLL]:
     """Load (building if needed) the native library, or None."""
     global _lib, _tried
+    if os.environ.get("VQA_DISABLE_NATIVE"):
+        return None  # A/B kill switch (benchmarks, debugging)
     with _lock:
         if _lib is not None or _tried:
             return _lib

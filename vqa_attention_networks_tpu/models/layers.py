@@ -220,17 +220,22 @@ def batchnorm(
     the weight — skewing the normalisation of the real rows and leaking
     into the running stats every epoch."""
     if train:
+        # statistics accumulate in f32 even under bf16 compute: a bf16
+        # mean/var over a 1024-row batch carries percent-level cancellation
+        # error straight into the f32 running stats (same policy as
+        # l2_normalize's promoted reduction)
+        xs = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         if valid is not None:
-            w = valid.astype(x.dtype)
+            w = valid.astype(xs.dtype)
             n = jnp.maximum(jnp.sum(w), 1.0)
             wn = (w / n)[:, None]
-            mean = jnp.sum(x * wn, axis=0)
-            var = jnp.sum(jnp.square(x - mean) * wn, axis=0)
+            mean = jnp.sum(xs * wn, axis=0)
+            var = jnp.sum(jnp.square(xs - mean) * wn, axis=0)
             unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
         else:
-            mean = jnp.mean(x, axis=0)
-            var = jnp.var(x, axis=0)
-            n = x.shape[0]
+            mean = jnp.mean(xs, axis=0)
+            var = jnp.var(xs, axis=0)
+            n = xs.shape[0]
             unbiased = var * (n / max(n - 1, 1))
         new_stats = {
             "mean": (1 - momentum) * p["mean"] + momentum * mean,
@@ -239,5 +244,6 @@ def batchnorm(
     else:
         mean, var = p["mean"], p["var"]
         new_stats = {"mean": p["mean"], "var": p["var"]}
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
-    return y * p["scale"] + p["bias"], new_stats
+    y = (x.astype(mean.dtype) - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"] + p["bias"]
+    return y.astype(x.dtype), new_stats
