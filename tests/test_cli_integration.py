@@ -83,3 +83,23 @@ def test_train_evaluate_predict_cli(workspace, tmp_path, monkeypatch):
         "--vocab", qa_artifact_path(data_dir, 2, 5) + ".vocab.json",
         "--question", "What color is the cat?",
     ])
+
+
+def test_evaluate_mode_detection_is_token_wise(monkeypatch):
+    # "--model_name" contains "--mode" as a substring: the old check
+    # skipped appending "--mode testing" and silently ran a full TRAINING
+    # (overwriting the weights under evaluation)
+    from vqa_attention_networks_tpu.cli import evaluate as ev
+
+    captured = {}
+    monkeypatch.setattr(ev, "_train_main", lambda a: captured.update(argv=a))
+
+    ev.main(["--model_name", "hieCoAtten"])
+    assert captured["argv"][-2:] == ["--mode", "testing"]
+
+    ev.main(["--model_name", "mhb", "--mode", "training"])
+    assert captured["argv"].count("--mode") == 1
+    assert "testing" not in captured["argv"]
+
+    ev.main(["--mode=testing"])
+    assert captured["argv"] == ["--mode=testing"]

@@ -15,12 +15,9 @@ from os.path import join
 
 
 def analyse(data_dir: str, version: int, split: str) -> dict:
-    if version == 1:
-        q_path = join(data_dir, f"vqa/MultipleChoice_mscoco_{split}2014_questions.json")
-        a_path = join(data_dir, f"vqa/mscoco_{split}2014_annotations.json")
-    else:
-        q_path = join(data_dir, f"vqa/v2_OpenEnded_mscoco_{split}2014_questions.json")
-        a_path = join(data_dir, f"vqa/v2_mscoco_{split}2014_annotations.json")
+    from vqa_attention_networks_tpu.data.prepare import json_paths
+
+    q_path, a_path = json_paths(data_dir, version, split)
 
     with open(q_path) as f:
         questions = json.load(f)["questions"]

@@ -11,14 +11,16 @@ from vqa_attention_networks_tpu.cli.train import main as _train_main
 
 
 def main(argv=None) -> None:
-    from vqa_attention_networks_tpu.utils.runtime import setup as _rt_setup
-    _rt_setup()
-    argv = list(argv) if argv is not None else None
+    # (runtime setup happens inside _train_main)
     if argv is None:
         import sys
 
         argv = sys.argv[1:]
-    if "--mode" not in " ".join(argv):
+    argv = list(argv)
+    # token-wise: a substring check would false-match --model_name and run
+    # a full TRAINING (overwriting the weights being evaluated)
+    has_mode = any(a == "--mode" or a.startswith("--mode=") for a in argv)
+    if not has_mode:
         argv = argv + ["--mode", "testing"]
     _train_main(argv)
 

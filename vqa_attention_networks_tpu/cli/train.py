@@ -16,7 +16,8 @@ from vqa_attention_networks_tpu.train.solver import Solver
 
 
 def build_solver(args) -> Solver:
-    base = qa_artifact_path(args.data_dir, args.version, args.num_answer)
+    base = qa_artifact_path(args.data_dir, args.version, args.num_answer,
+                            args.answer_type)
     qa_data = load_qa_data(base)
     # opens <ft>_all, or combines the per-split stores the extraction CLI
     # writes (<ft>_train + <ft>_val)
@@ -72,6 +73,9 @@ def main(argv=None) -> None:
     parser.add_argument("--version", type=int, default=2)
     parser.add_argument("--image_first", type=int, default=0)
     parser.add_argument("--num_answer", type=int, default=1000)
+    parser.add_argument("--answer_type", type=str, default="all",
+                        help="all|other|yes/no|number — must match the "
+                             "artifact prepare_data wrote")
     parser.add_argument("--mode", type=str, default="training",
                         help="training | testing")
     parser.add_argument("--glove", type=int, default=0)

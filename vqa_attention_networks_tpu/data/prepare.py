@@ -53,8 +53,11 @@ ANSWER_TYPES = ("all", "other", "yes/no", "number")
 SOFT_WIDTH = 10  # VQA collects 10 human answers per question
 
 
-def _json_paths(data_dir: str, version: int, split: str) -> Tuple[str, str]:
-    """Question/annotation JSON paths for a split (utils.py:115-126)."""
+def json_paths(data_dir: str, version: int, split: str) -> Tuple[str, str]:
+    """Question/annotation JSON paths for a split (utils.py:115-126).
+
+    THE path scheme: tools/eda.py reuses this so analysis can never
+    silently diverge from the files the training pipeline packs."""
     if version == 1:
         q = join(data_dir, f"vqa/MultipleChoice_mscoco_{split}2014_questions.json")
         a = join(data_dir, f"vqa/mscoco_{split}2014_annotations.json")
@@ -251,7 +254,7 @@ def prepare_training_data(
 
     splits = {}
     for split in ("train", "val"):
-        q_path, a_path = _json_paths(data_dir, version, split)
+        q_path, a_path = json_paths(data_dir, version, split)
         with open(q_path) as f:
             qs = json.load(f)["questions"]
         with open(a_path) as f:
