@@ -85,6 +85,78 @@ def test_train_evaluate_predict_cli(workspace, tmp_path, monkeypatch):
     ])
 
 
+def test_torch_checkpoint_through_cli(workspace, tmp_path):
+    """A reference-layout .pth drives evaluation directly
+    (``--torch_checkpoint``) and converts to a served orbax checkpoint
+    (tools/import_torch.py) — the trained-reference-weights path."""
+    torch = pytest.importorskip("torch")
+    data_dir, qa = workspace
+
+    e = 512  # Config.embed_size default (networks.py:8 iBOWIMG embed)
+    g = torch.Generator().manual_seed(0)
+
+    def rnd(*shape):
+        return torch.randn(*shape, generator=g)
+
+    sd = {
+        "img_emb.weight": rnd(e, 2048), "img_emb.bias": rnd(e),
+        "img_bn.weight": rnd(e), "img_bn.bias": rnd(e),
+        "img_bn.running_mean": rnd(e),
+        "img_bn.running_var": rnd(e).abs() + 0.5,
+        "img_bn.num_batches_tracked": torch.tensor(7),
+        "que_emb.weight": rnd(qa.q_vocab_size, e),
+        "fc.weight": rnd(qa.a_vocab_size, 2 * e),
+        "fc.bias": rnd(qa.a_vocab_size),
+    }
+    pth = str(tmp_path / "iBOWIMG.pth")
+    torch.save(sd, pth)
+
+    from vqa_attention_networks_tpu.cli import evaluate
+
+    evaluate.main([
+        "--model_name", "iBOWIMG", "--data_dir", data_dir,
+        "--num_answer", "5", "--batch_size", "4",
+        "--torch_checkpoint", pth,
+    ])
+    results = open("results/iBOWIMG.txt").read()
+    assert results.startswith("Evaluation accuracy: ")
+
+    import tools.import_torch as it
+
+    it.main([
+        "--model_name", "iBOWIMG", "--torch_checkpoint", pth,
+        "--vocab", qa_artifact_path(data_dir, 2, 5) + ".vocab.json",
+        "--out", str(tmp_path / "imported_models"),
+    ])
+    assert os.path.exists(str(tmp_path / "imported_models/iBOWIMG/weights"))
+
+    # the converted weights round-trip through the standard loader and
+    # match the importer's tree exactly
+    from vqa_attention_networks_tpu.utils import checkpoint as ckpt
+    from vqa_attention_networks_tpu.utils.torch_import import (
+        import_state_dict,
+    )
+    import jax
+    from vqa_attention_networks_tpu.config import Config
+    from vqa_attention_networks_tpu.models import get_model
+
+    cfg = Config(
+        model_name="iBOWIMG", q_vocab_size=qa.q_vocab_size,
+        a_vocab_size=qa.a_vocab_size,
+        max_question_length=qa.max_question_length,
+    ).validate()
+    template = get_model("iBOWIMG").init(jax.random.PRNGKey(0), cfg)
+    want = import_state_dict(
+        "iBOWIMG", {k: v.numpy() for k, v in sd.items()}, template
+    )
+    got = ckpt.load_weights(str(tmp_path / "imported_models/iBOWIMG"), template)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        want, got,
+    )
+
+
 def test_evaluate_mode_detection_is_token_wise(monkeypatch):
     # "--model_name" contains "--mode" as a substring: the old check
     # skipped appending "--mode testing" and silently ran a full TRAINING

@@ -47,6 +47,10 @@ def main(argv=None) -> None:
     parser.add_argument("--glove", type=int, default=0,
                         help="set 1 for checkpoints trained with --glove 1 "
                              "(mhb_coAtt: doubled LSTM input + glove table)")
+    parser.add_argument("--torch_checkpoint", type=str, default=None,
+                        help="a reference models/<name>.pth state_dict to "
+                             "predict with, imported in place of the orbax "
+                             "checkpoint under --model_dir")
     args = parser.parse_args(argv)
 
     print(f"Image: {args.image_path}")
@@ -70,7 +74,12 @@ def main(argv=None) -> None:
         )
     if args.backbone == "resnet152":
         size = 448
-        img = Image.open(args.image_path).convert("RGB").resize((size, size))
+        # BILINEAR matches torchvision's Resize default (the extraction
+        # CLI's choice) — PIL's default BICUBIC would skew predict-time
+        # features away from the training/extraction distribution
+        img = Image.open(args.image_path).convert("RGB").resize(
+            (size, size), Image.BILINEAR
+        )
         arr = np.asarray(img, np.uint8)[None]
         if args.weights:
             bp = resnet.convert_torchvision_resnet152(dict(np.load(args.weights)))
@@ -81,7 +90,9 @@ def main(argv=None) -> None:
         channels = 2048
     else:
         size = 224
-        img = Image.open(args.image_path).convert("RGB").resize((size, size))
+        img = Image.open(args.image_path).convert("RGB").resize(
+            (size, size), Image.BILINEAR
+        )
         arr = np.asarray(img, np.float32)[None] / 255.0
         arr = (arr - resnet.IMAGENET_MEAN) / resnet.IMAGENET_STD
         if args.weights:
@@ -120,6 +131,15 @@ def main(argv=None) -> None:
         template = model.init(jax.random.PRNGKey(0), cfg, glove_table=None)
     else:
         template = model.init(jax.random.PRNGKey(0), cfg)
+    if args.torch_checkpoint:
+        from vqa_attention_networks_tpu.utils.torch_import import (
+            import_state_dict, load_pth,
+        )
+        params = import_state_dict(
+            cfg.model_name, load_pth(args.torch_checkpoint), template
+        )
+        _predict(args, model, params, cfg, feats, ids, qlen, ans_of)
+        return
     try:
         params = ckpt.load_weights(
             f"{args.model_dir}/{cfg.model_name}", template
@@ -135,6 +155,10 @@ def main(argv=None) -> None:
             )
         raise
 
+    _predict(args, model, params, cfg, feats, ids, qlen, ans_of)
+
+
+def _predict(args, model, params, cfg, feats, ids, qlen, ans_of) -> None:
     logits, _ = model.apply(params, cfg, feats, ids, ques_length=qlen)
     probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
     order = np.argsort(-probs)

@@ -111,6 +111,12 @@ def main(argv=None) -> None:
                              "train steps on TPU)")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest checkpoint")
+    parser.add_argument("--torch_checkpoint", type=str, default=None,
+                        help="a reference models/<name>.pth state_dict "
+                             "(solver.py:190) to evaluate with --mode "
+                             "testing; imported into this framework's "
+                             "param tree (utils/torch_import.py) instead "
+                             "of restoring an orbax checkpoint")
     args = parser.parse_args(argv)
 
     # multi-host entry: no-op single-process, initialises the cluster when
@@ -120,7 +126,19 @@ def main(argv=None) -> None:
 
     solver = build_solver(args)
 
-    if args.resume or args.mode == "testing":
+    if args.torch_checkpoint:
+        if args.mode != "testing":
+            sys.exit("--torch_checkpoint is evaluation-only: pass --mode "
+                     "testing (to fine-tune reference weights, convert them "
+                     "first with tools/import_torch.py)")
+        from vqa_attention_networks_tpu.utils.torch_import import (
+            import_state_dict, load_pth,
+        )
+        solver.params = import_state_dict(
+            args.model_name, load_pth(args.torch_checkpoint), solver.params
+        )
+        print(f"imported reference checkpoint {args.torch_checkpoint}")
+    elif args.resume or args.mode == "testing":
         try:
             solver.restore()
             print(f"restored checkpoint at step {solver.step}")
