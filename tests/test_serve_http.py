@@ -144,6 +144,34 @@ def test_error_paths(server):
     assert e.value.code == 404
 
 
+def test_oversized_requests_rejected(server):
+    from vqa_attention_networks_tpu.cli.serve import (
+        MAX_BODY_BYTES,
+        MAX_BULK_REQUESTS,
+    )
+
+    # body over the byte cap -> 413 without reading/parsing it
+    big = b'{"question": "' + b"a" * MAX_BODY_BYTES + b'"}'
+    req = urllib.request.Request(
+        server + "/predict", big, {"Content-Type": "application/json"}
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 413
+
+    # bulk list over the per-call cap -> 413 before any encode work
+    many = {"requests": [{"question": "hi", "image_id": 1}] * (
+        MAX_BULK_REQUESTS + 1)}
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, many)
+    assert e.value.code == 413
+
+    # and 'requests' must actually be a list
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"requests": "nope"})
+    assert e.value.code == 400
+
+
 def test_service_with_aot_artifact_matches_jit(tmp_path):
     # the AOT-loaded service must answer identically to the jit service
     from vqa_attention_networks_tpu.aot import save_serving_artifact

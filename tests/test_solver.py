@@ -308,6 +308,52 @@ def test_grad_accum_matches_manual_average(tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-2, atol=2e-6)
 
 
+def test_grad_accum_bn_stats_apply_momentum_per_microbatch(tmp_path):
+    # torch applies BN momentum once per FORWARD: under grad_accum_steps=a
+    # the running stats must see a sequential EMA applications per optimizer
+    # step (one per microbatch), not a single one from the last microbatch
+    import jax
+
+    from vqa_attention_networks_tpu.train.solver import BN_MOMENTUM
+
+    solver, _ = _setup(tmp_path / "accum", "iBOWIMG", num_epoch=1,
+                       grad_accum_steps=2, dropout_default=0.0)
+    batch = next(solver.batches["train"].epoch())
+    dev = solver._device_batch(batch)
+    key = jax.random.fold_in(solver._rng_base, 0)
+    init_stats = {k: np.asarray(solver.params["img_bn"][k])
+                  for k in ("mean", "var")}
+    # snapshot before the step: params are donated
+    w = np.asarray(solver.params["img_emb"]["w"], np.float64)
+    b = np.asarray(solver.params["img_emb"]["b"], np.float64)
+    params_new, _, _, _ = solver._train_step(
+        solver.params, solver.opt_state, *dev, key
+    )
+
+    # manual twin: per-microbatch batch stats EMA'd sequentially
+    img, ques, answers, qlen, valid, soft = [np.asarray(x) for x in dev]
+    n = img.shape[0] // 2
+    run = dict(init_stats)
+    for i in range(2):
+        sl = slice(i * n, (i + 1) * n)
+        x = img[sl].astype(np.float64).mean(axis=1) @ w + b
+        v = valid[sl].astype(bool)
+        x = x[v]
+        mean = x.mean(axis=0)
+        var_unbiased = x.var(axis=0) * (len(x) / max(len(x) - 1, 1))
+        run = {
+            "mean": (1 - BN_MOMENTUM) * run["mean"] + BN_MOMENTUM * mean,
+            "var": (1 - BN_MOMENTUM) * run["var"] + BN_MOMENTUM * var_unbiased,
+        }
+
+    got = jax.device_get(params_new["img_bn"])
+    np.testing.assert_allclose(got["mean"], run["mean"], rtol=1e-4)
+    np.testing.assert_allclose(got["var"], run["var"], rtol=1e-4)
+    # and they genuinely moved twice: a single-EMA result would differ
+    one_ema = (1 - BN_MOMENTUM) * init_stats["mean"] + BN_MOMENTUM * mean
+    assert not np.allclose(got["mean"], one_ema, rtol=1e-4)
+
+
 def test_soft_bce_override_gets_real_soft_targets(tmp_path):
     # loss_override=soft_bce forces soft answers for ANY model — without
     # this the loss trains against the [B,1] zero placeholder

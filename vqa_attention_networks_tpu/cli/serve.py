@@ -172,6 +172,13 @@ class VqaService:
         return out
 
 
+# request-size guards: a question + image_id is a few hundred bytes, so
+# these bounds are generous for real traffic while keeping one oversized
+# POST from exhausting host memory on an exposed port
+MAX_BODY_BYTES = 8 << 20  # 413 beyond this
+MAX_BULK_REQUESTS = 4096  # per /predict call
+
+
 def make_handler(service: VqaService, model_name: str):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # quiet by default
@@ -202,9 +209,36 @@ def make_handler(service: VqaService, model_name: str):
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length > MAX_BODY_BYTES:
+                    # drain (bounded 1 MB chunks, capped) so the client can
+                    # finish writing and read the 413 instead of EPIPE; a
+                    # body claiming more than 8x the cap just gets the
+                    # connection closed mid-write
+                    remaining = min(length, 8 * MAX_BODY_BYTES)
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(1 << 20, remaining))
+                        if not chunk:
+                            break
+                        remaining -= len(chunk)
+                    self._reply(413, {
+                        "error": f"request body {length} bytes exceeds "
+                                 f"{MAX_BODY_BYTES}"
+                    })
+                    self.close_connection = True
+                    return
                 req = json.loads(self.rfile.read(length) or b"{}")
                 if "requests" in req:
-                    out = {"results": service.predict_many(req["requests"])}
+                    items = req["requests"]
+                    if not isinstance(items, list):
+                        self._reply(400, {"error": "'requests' must be a list"})
+                        return
+                    if len(items) > MAX_BULK_REQUESTS:
+                        self._reply(413, {
+                            "error": f"{len(items)} requests exceeds "
+                                     f"{MAX_BULK_REQUESTS} per call"
+                        })
+                        return
+                    out = {"results": service.predict_many(items)}
                 else:
                     out = service.predict_one(req)
                 self._reply(200, out)

@@ -102,6 +102,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 shutil.copy2(_LIB_PATH, tmp.name)
                 lib = ctypes.CDLL(tmp.name)
                 _set_argtypes(lib)
+                # ctypes can't dlclose, but on Linux unlinking a dlopened
+                # .so is safe — without this every process that hits the
+                # rebuild path leaks one temp file
+                import atexit
+
+                atexit.register(
+                    lambda p=tmp.name: os.path.exists(p) and os.remove(p)
+                )
             except (OSError, AttributeError):
                 return None
         _lib = lib

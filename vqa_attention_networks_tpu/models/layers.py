@@ -209,10 +209,18 @@ def batchnorm_init(dim: int) -> Params:
 
 
 def batchnorm(
-    p: Params, x: jnp.ndarray, train: bool, momentum: float = 0.1,
+    p: Params, x: jnp.ndarray, train: bool,
     eps: float = 1e-5, valid=None,
 ) -> Tuple[jnp.ndarray, Params]:
-    """BatchNorm over axis 0. Returns (y, refreshed running stats).
+    """BatchNorm over axis 0. Returns (y, this batch's statistics).
+
+    The returned stats are the RAW batch mean / unbiased variance (torch's
+    running-stat inputs); the momentum EMA into the running stats is owned
+    by the train step (solver._merge_batch_stats), so that gradient
+    accumulation can apply it once per microbatch — torch applies momentum
+    on every forward (networks.py:11,44), and a single end-of-step EMA
+    would make the running stats converge ~grad_accum_steps times slower.
+    At eval the running stats come back unchanged (the EMA's fixed point).
 
     ``valid`` masks pad rows out of the TRAIN-mode statistics: the final
     batch of an epoch is padded by duplicating its last sample
@@ -237,10 +245,7 @@ def batchnorm(
             var = jnp.var(xs, axis=0)
             n = xs.shape[0]
             unbiased = var * (n / max(n - 1, 1))
-        new_stats = {
-            "mean": (1 - momentum) * p["mean"] + momentum * mean,
-            "var": (1 - momentum) * p["var"] + momentum * unbiased,
-        }
+        new_stats = {"mean": mean, "var": unbiased}
     else:
         mean, var = p["mean"], p["var"]
         new_stats = {"mean": p["mean"], "var": p["var"]}

@@ -61,15 +61,31 @@ from vqa_attention_networks_tpu.utils.logging import MetricWriter, NullMetricWri
 from vqa_attention_networks_tpu.utils.timer import Timer
 
 
+BN_MOMENTUM = 0.1  # torch nn.BatchNorm1d default (networks.py:11,44)
+
+
 def _merge_batch_stats(params: Dict[str, Any], aux: Dict[str, Any]) -> Dict[str, Any]:
-    """Fold refreshed batch-norm running stats back into the param tree."""
+    """EMA this step's batch-norm batch statistics into the running stats.
+
+    The layers return RAW batch stats (models/layers.py batchnorm); the
+    momentum update lives here. ``aux["batch_stats"]`` leaves may carry a
+    leading microbatch axis (grad accumulation's lax.scan stacks them) —
+    then the EMA applies sequentially per microbatch, matching torch's
+    once-per-forward momentum semantics."""
     stats = aux.get("batch_stats")
     if not stats:
         return params
     params = dict(params)
     for layer, new in stats.items():
         merged = dict(params[layer])
-        merged.update(new)
+        for key, batch in new.items():
+            run = merged[key]
+            if batch.ndim == run.ndim + 1:  # stacked microbatch stats
+                for i in range(batch.shape[0]):
+                    run = (1 - BN_MOMENTUM) * run + BN_MOMENTUM * batch[i]
+            else:
+                run = (1 - BN_MOMENTUM) * run + BN_MOMENTUM * batch
+            merged[key] = run
         params[layer] = merged
     return params
 
@@ -215,8 +231,9 @@ class Solver:
             # one microbatch's; grads/losses average uniformly over the a
             # microbatches (exact whenever their valid counts are equal —
             # i.e. every batch except a padded final one), dropout keys are
-            # fold_in(rng, i). Batch-stat aux comes from the LAST microbatch
-            # (BN normalises per microbatch under accumulation by design).
+            # fold_in(rng, i). BN normalises per microbatch; the stacked
+            # batch stats are EMA'd sequentially by _merge_batch_stats
+            # (one momentum application per microbatch, torch semantics).
             n_micro = img.shape[0] // a
 
             def re(x):
@@ -245,6 +262,9 @@ class Solver:
             loss = loss / a
             grads = jax.tree_util.tree_map(lambda g: g / a, grads)
             aux = jax.tree_util.tree_map(lambda s: s[-1], auxes)
+            if auxes.get("batch_stats"):
+                # keep the microbatch axis: the merge EMAs sequentially
+                aux["batch_stats"] = auxes["batch_stats"]
         else:
             loss, grads, aux, correct = grad_one(
                 img, ques, answers, qlen, valid, soft, rng
