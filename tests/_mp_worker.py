@@ -64,6 +64,43 @@ fingerprint = float(
         for g in jax.tree_util.tree_leaves(grads))
 )
 out = {"pid": pid, "loss": float(loss), "grad_l1": fingerprint}
+
+# ---- multi-host checkpoint/metrics discipline (solver.py:129-130,466) ----
+# one SGD-flavoured update so the saved state differs from init, then a
+# COLLECTIVE orbax save into the shared dir, restore, and compare
+from vqa_attention_networks_tpu.utils import checkpoint as ckpt
+from vqa_attention_networks_tpu.utils.logging import (
+    MetricWriter,
+    NullMetricWriter,
+)
+
+params_new = jax.tree_util.tree_map(lambda p, g: p - 0.01 * g, params, grads)
+state = {"params": params_new, "step": jnp.asarray(1)}
+ckpt_dir = os.path.join(outdir, "shared_ckpt")
+ckpt.save_checkpoint(ckpt_dir, state, step=1, keep=1)
+
+restored = ckpt.restore_checkpoint(ckpt_dir, state, step=1)
+
+
+def _l1(tree):
+    return float(
+        sum(jnp.sum(jnp.abs(x)).astype(jnp.float64)
+            for x in jax.tree_util.tree_leaves(tree))
+    )
+
+
+out["saved_l1"] = _l1(params_new)
+out["restored_l1"] = _l1(restored["params"])
+out["restored_step"] = int(restored["step"])
+
+# primary-only metric writing, exactly the Solver's gating (solver.py:129)
+writer = (
+    MetricWriter(os.path.join(outdir, "runs"), run_name="mp")
+    if is_primary() else NullMetricWriter()
+)
+writer.add_scalars("mp/loss", {"train": float(loss)}, step=1)
+writer.close()
+
 with open(os.path.join(outdir, f"proc{pid}.json"), "w") as f:
     json.dump(out, f)
 print(f"worker {pid}: {out}", flush=True)

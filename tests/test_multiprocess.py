@@ -80,3 +80,19 @@ def test_two_process_data_parallel_grads_match_single_process(tmp_path):
         assert got["pid"] == pid
         np.testing.assert_allclose(got["loss"], float(loss_1), rtol=1e-5)
         np.testing.assert_allclose(got["grad_l1"], l1_1, rtol=5e-5)
+        # checkpoint round trip: every process restored the state it saved
+        np.testing.assert_allclose(
+            got["restored_l1"], got["saved_l1"], rtol=1e-6
+        )
+        assert got["restored_step"] == 1
+
+    # the collective save produced ONE checkpoint
+    assert sorted(os.listdir(tmp_path / "shared_ckpt")) == ["step_1"]
+
+    # single-writer metrics: only the primary host wrote events
+    events = tmp_path / "runs" / "mp" / "events.jsonl"
+    with open(events) as f:
+        records = [json.loads(line) for line in f]
+    assert len(records) == 1, records
+    assert records[0]["tag"] == "mp/loss"
+    np.testing.assert_allclose(records[0]["train"], float(loss_1), rtol=1e-5)

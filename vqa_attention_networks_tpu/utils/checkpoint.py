@@ -20,6 +20,34 @@ import orbax.checkpoint as ocp
 _STEP_RE = re.compile(r"^step_(\d+)$")
 
 
+def _globalize(tree: Any) -> Any:
+    """Multi-process safety: host-local array leaves become global arrays.
+
+    The train state mixes globally-sharded params with host-local scalars
+    (step counter, early-stop state). Orbax's collective save rejects
+    host-local ``jax.Array`` leaves in a multi-process run ("Cannot
+    serialize host local jax.Array"), so those leaves — identical on every
+    host by construction — are converted to fully-replicated global arrays
+    before save/restore. Single-process: identity.
+    """
+    if jax.process_count() == 1:
+        return tree
+    import numpy as np
+    from jax.experimental import multihost_utils
+    from jax.sharding import Mesh, PartitionSpec
+
+    mesh = Mesh(np.asarray(jax.devices()), ("_replica",))
+
+    def fix(x):
+        if isinstance(x, jax.Array) and x.is_fully_addressable:
+            return multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, PartitionSpec()
+            )
+        return x
+
+    return jax.tree_util.tree_map(fix, tree)
+
+
 def _step_dir(directory: str, step: int) -> str:
     return os.path.join(os.path.abspath(directory), f"step_{step}")
 
@@ -36,7 +64,7 @@ def save_checkpoint(
     """
     path = _step_dir(directory, step)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, state, force=True)
+        ckptr.save(path, _globalize(state), force=True)
     # the SAVE is collective (all hosts participate); the DELETION is not —
     # on a shared filesystem every host racing the same rmtree can leave a
     # partially-deleted step dir that later fails restore, so only the
@@ -74,7 +102,9 @@ def restore_checkpoint(
         step = latest_step(directory)
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {directory}")
-    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
+    abstract = jax.tree_util.tree_map(
+        ocp.utils.to_shape_dtype_struct, _globalize(template)
+    )
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(_step_dir(directory, step), abstract)
 
@@ -84,12 +114,14 @@ def save_weights(directory: str, params: Any) -> str:
     solver.py:184-190) — what the predict/serve paths load."""
     path = os.path.join(os.path.abspath(directory), "weights")
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, params, force=True)
+        ckptr.save(path, _globalize(params), force=True)
     return path
 
 
 def load_weights(directory: str, template: Any) -> Any:
     path = os.path.join(os.path.abspath(directory), "weights")
-    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
+    abstract = jax.tree_util.tree_map(
+        ocp.utils.to_shape_dtype_struct, _globalize(template)
+    )
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(path, abstract)
