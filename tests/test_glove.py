@@ -69,6 +69,70 @@ def test_build_glove_cli_vectors_path(tmp_path):
     np.testing.assert_array_equal(table[3], 0.0)
 
 
+def test_committed_840b_format_fixture(tmp_path):
+    """Readiness gate for the real glove.840B.300d.txt (VERDICT round-2 #9):
+    a COMMITTED checksum-pinned fixture in the published format — 300-dim,
+    LF endings, UTF-8, case-sensitive tokens, digits/punctuation, and
+    tokens containing literal spaces — so the loader's first real-file run
+    is not its first-ever run. The sha256 pin keeps the fixture from
+    silently drifting away from the format it certifies."""
+    import hashlib
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "glove_840b_mini.txt")
+    body = open(path, "rb").read()
+    assert hashlib.sha256(body).hexdigest() == (
+        "f34cc4c61c375916c3ea4fb3b866593ea9db777597f26d5dff45fc9c6075fb1d"
+    )
+
+    # vocab hits ordinary words, the case-sensitive twin, unicode,
+    # punctuation, digit, both space-containing tokens, and an OOV
+    vocab = {"the": 1, "The": 2, "café": 3, "?": 4, "2": 5,
+             ". . .": 6, "at name@domain.com": 7, "cat": 8,
+             "zzz_not_there": 9, "UNK": 10}
+    stats = {}
+    table = build_glove_table_from_text(vocab, path, stats=stats)
+    assert table.shape == (11, 300)
+    assert stats["matched"] == 8
+    assert stats["unmatched_words"] == ["UNK", "zzz_not_there"]
+    # case-sensitive: 'the' and 'The' carry distinct vectors
+    assert not np.allclose(table[1], table[2])
+    # every matched row is a real (nonzero) vector; OOV and pad stay zero
+    for idx in range(1, 9):
+        assert np.abs(table[idx]).sum() > 0, idx
+    np.testing.assert_array_equal(table[0], 0.0)
+    np.testing.assert_array_equal(table[9], 0.0)
+    # spot-pin one value against an independent parse of the raw line
+    line = next(l for l in body.decode("utf-8").splitlines()
+                if l.startswith("cat "))
+    want = np.asarray(line.rsplit(" ", 300)[1:], np.float32)
+    np.testing.assert_array_equal(table[8], want)
+
+
+def test_reproduce_driver_wires_glove_vectors(tmp_path, capsys):
+    """tools/reproduce.py --glove_vectors plans the build_glove step with
+    the vectors file and trains mhb_coAtt with --glove 1 (dry run)."""
+    import os
+
+    import tools.reproduce as rp
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "glove_840b_mini.txt")
+    rp.main([
+        "--data_dir", str(tmp_path), "--models", "mhb_coAtt",
+        "--glove_vectors", fixture, "--dry_run",
+    ])
+    plan = capsys.readouterr().out
+    build_lines = [l for l in plan.splitlines()
+                   if "build_glove" in l and l.startswith("+ ")]
+    assert len(build_lines) == 1
+    assert f"--vectors {fixture}" in build_lines[0]
+    train_lines = [l for l in plan.splitlines()
+                   if ".train --model_name mhb_coAtt" in l]
+    assert train_lines and all("--glove 1" in l for l in train_lines)
+
+
 def test_text_loader_reports_exact_match_stats(tmp_path):
     vocab = {"cat": 1, "dog": 2, "zzz_missing": 3, "UNK": 4}
     path = tmp_path / "vectors.txt"
