@@ -20,13 +20,27 @@ The pallas-vs-composed-bf16 column isolates the KERNEL's contribution from
 bf16 quantisation itself. All metrics reduce to scalars inside jit (the
 relayed backend makes bulk fetches expensive, see benchmarks/common.py).
 
-Usage: python -m benchmarks.bench_precision [--batch 1024] [--batches 8]
+TRAINED-WEIGHT MODE (the round-2 verdict's ask): random-weight logits are
+far better separated than trained ones, so ``--train_steps N`` first Adam-
+trains the model on a FIXED synthetic dataset with annotator-style soft
+targets (2-3 plausible answers per sample — converged logits keep close
+competitors, i.e. decision boundaries), then measures the arms on that same
+trained data. ``--checkpoint DIR`` loads real weights instead.
+
+THE GATE: the kernel's own decision-flip rate (argmax flips of pallas_bf16
+vs composed_bf16, isolating the weight-contracted math from bf16 itself)
+must stay within FLIP_BUDGET = 0.1% — the BASELINE.md accuracy budget. A
+breach exits 1 and the fix is ``--fast_path composed`` (config.py policy).
+
+Usage: python -m benchmarks.bench_precision [--batch 1024] [--batches 50]
+           [--train_steps 300] [--checkpoint models/mhb_coAtt]
 """
 
 from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +48,8 @@ import numpy as np
 
 from vqa_attention_networks_tpu.config import Config
 from vqa_attention_networks_tpu.models import get_model
+
+FLIP_BUDGET = 0.001  # BASELINE.md: accuracy within 0.1% of the reference
 
 
 def _metrics(logits_a: jnp.ndarray, logits_ref: jnp.ndarray) -> dict:
@@ -67,21 +83,111 @@ def _metrics(logits_a: jnp.ndarray, logits_ref: jnp.ndarray) -> dict:
 _compare = jax.jit(_metrics)
 
 
+def _fixed_dataset(cfg, batches: int, batch: int, seed: int = 0):
+    """A fixed synthetic dataset with annotator-style soft targets: each
+    sample's probability mass is split over 2-3 candidate answers (VQA's
+    ten annotators rarely agree unanimously, data_loader.py:39-42), so a
+    model trained to convergence keeps close competitors in its logits —
+    exactly where argmax flips live."""
+    rng = np.random.default_rng(seed)
+    n = batches * batch
+    img = np.maximum(
+        rng.standard_normal(
+            (n, cfg.img_feature_dim, cfg.img_feature_channel), np.float32
+        ), 0.0,
+    )
+    ques = rng.integers(
+        0, cfg.q_vocab_size, size=(n, 22)).astype(np.int32)
+    qlen = rng.integers(1, 23, size=(n,)).astype(np.int32)
+    cands = rng.integers(0, cfg.a_vocab_size, size=(n, 3))
+    w = rng.dirichlet(np.ones(3), size=n).astype(np.float32)
+    # ~half the samples drop to 2 candidates (mass folded into the first)
+    two = rng.random(n) < 0.5
+    w[two, 0] += w[two, 2]
+    w[two, 2] = 0.0
+    soft = np.zeros((n, cfg.a_vocab_size), np.float32)
+    np.add.at(soft, (np.arange(n)[:, None], cands), w)
+    return img, ques, qlen, soft
+
+
+def _train_params(model, cfg32, params, data, steps: int, batch: int):
+    """Adam-train (reference rule: lr 7e-4, soft-CE) on the fixed dataset
+    until the weights are trained-like; returns the final params."""
+    import optax
+
+    from vqa_attention_networks_tpu.train.losses import soft_cross_entropy
+
+    img, ques, qlen, soft = data
+    tx = optax.adam(7e-4)  # solver.py:30
+    opt_state = tx.init(params)
+    key = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def step(p, o, k, bi, bq, bl, bs):
+        k, k_d = jax.random.split(k)
+
+        def loss_fn(p):
+            logits, _ = model.apply(
+                p, cfg32, bi, bq, ques_length=bl, train=True, rng=k_d
+            )
+            return soft_cross_entropy(logits, bs)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, k, loss
+
+    n_batches = img.shape[0] // batch
+    for s in range(steps):
+        b = s % n_batches
+        sl = slice(b * batch, (b + 1) * batch)
+        params, opt_state, key, loss = step(
+            params, opt_state, key, img[sl], ques[sl], qlen[sl], soft[sl]
+        )
+        if (s + 1) % 50 == 0 or s == steps - 1:
+            print(f"  train step {s + 1}/{steps} loss {float(loss):.4f}",
+                  flush=True)
+    return params
+
+
 def main(argv=None) -> None:
     import benchmarks.common  # noqa: F401 — runtime preamble
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=1024)
-    parser.add_argument("--batches", type=int, default=8)
+    parser.add_argument("--batches", type=int, default=50)
     parser.add_argument("--model", type=str, default="mhb_coAtt")
+    parser.add_argument("--train_steps", type=int, default=0,
+                        help="Adam-train on fixed synthetic soft targets "
+                             "first (trained-like weights; the verdict's "
+                             "flip-rate methodology)")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="orbax weights dir (e.g. models/mhb_coAtt) — "
+                             "real trained weights instead of synthetic "
+                             "training")
+    parser.add_argument("--q_vocab", type=int, default=15881)
+    parser.add_argument("--a_vocab", type=int, default=1000)
     args = parser.parse_args(argv)
 
     model = get_model(args.model)
     cfg16 = Config(
-        model_name=args.model, q_vocab_size=15881, a_vocab_size=1000,
-        compute_dtype="bfloat16",
+        model_name=args.model, q_vocab_size=args.q_vocab,
+        a_vocab_size=args.a_vocab, compute_dtype="bfloat16",
     ).validate()
     cfg32 = cfg16.replace(compute_dtype="float32")
     params = jax.device_put(model.init(jax.random.PRNGKey(0), cfg16))
+
+    data = None
+    if args.checkpoint:
+        from vqa_attention_networks_tpu.utils import checkpoint as ckpt
+
+        params = ckpt.load_weights(args.checkpoint, params)
+        print(f"loaded trained weights from {args.checkpoint}")
+    elif args.train_steps:
+        data = _fixed_dataset(cfg16, args.batches, args.batch)
+        print(f"training {args.train_steps} steps on the fixed synthetic "
+              f"dataset ({args.batches}x{args.batch} samples)...")
+        params = _train_params(
+            model, cfg32, params, data, args.train_steps, args.batch
+        )
 
     def fwd(cfg):
         def run(p, img, ques, qlen):
@@ -103,19 +209,27 @@ def main(argv=None) -> None:
 
     accum: dict = {}
     for b in range(args.batches):
-        rng = jax.random.PRNGKey(100 + b)
-        k_i, k_q, k_l = jax.random.split(rng, 3)
-        # post-relu gaussian: real grid features are relu outputs
-        img16 = jax.nn.relu(
-            jax.random.normal(
-                k_i, (args.batch, cfg16.img_feature_dim,
-                      cfg16.img_feature_channel), jnp.bfloat16,
+        if data is not None:
+            # measure on the TRAINED data: confident logits with close
+            # competitors, the regime where flips change accuracy
+            sl = slice(b * args.batch, (b + 1) * args.batch)
+            img16 = jnp.asarray(data[0][sl], jnp.bfloat16)
+            ques = jnp.asarray(data[1][sl])
+            qlen = jnp.asarray(data[2][sl])
+        else:
+            rng = jax.random.PRNGKey(100 + b)
+            k_i, k_q, k_l = jax.random.split(rng, 3)
+            # post-relu gaussian: real grid features are relu outputs
+            img16 = jax.nn.relu(
+                jax.random.normal(
+                    k_i, (args.batch, cfg16.img_feature_dim,
+                          cfg16.img_feature_channel), jnp.bfloat16,
+                )
             )
-        )
-        ques = jax.random.randint(
-            k_q, (args.batch, 22), 0, cfg16.q_vocab_size, jnp.int32
-        )
-        qlen = jax.random.randint(k_l, (args.batch,), 1, 23, jnp.int32)
+            ques = jax.random.randint(
+                k_q, (args.batch, 22), 0, cfg16.q_vocab_size, jnp.int32
+            )
+            qlen = jax.random.randint(k_l, (args.batch,), 1, 23, jnp.int32)
 
         logits_pallas = fwd_pallas(params, img16, ques, qlen)
         logits_f32 = fwd_f32(params, img16.astype(jnp.float32), ques, qlen)
@@ -143,8 +257,12 @@ def main(argv=None) -> None:
                 acc[k].append(v)
         print(f"batch {b + 1}/{args.batches} done", flush=True)
 
+    wmode = ("trained checkpoint" if args.checkpoint
+             else f"{args.train_steps}-step-trained weights on fixed data"
+             if args.train_steps else
+             "Xavier weights / relu-gaussian features")
     print(f"\n{args.model} @ batch {args.batch}, "
-          f"{args.batches} batches of Xavier weights / relu-gaussian features")
+          f"{args.batches} batches, {wmode}")
     header = (f"{'comparison':34s} {'argmax':>8s} {'top5':>8s} "
               f"{'max|Δlogit|':>12s} {'p99|Δprob|':>11s}")
     print(header)
@@ -157,6 +275,37 @@ def main(argv=None) -> None:
             f"{np.max(acc['p99_dprob']):11.2e}",
             flush=True,
         )
+
+    # ---- the gate (round-2 verdict #3) ------------------------------------
+    from vqa_attention_networks_tpu.ops import pallas_wq_fusion as wqf
+
+    dispatched = wqf.supported(
+        img16, params["img_conv1d"]["w"], cfg16.mfb_factor
+    ) if args.model == "mhb_coAtt" else False
+    if not dispatched:
+        print("\nwq kernel NOT dispatched on this backend/shape — the flip-"
+              "rate gate is vacuous here; run on TPU for the real verdict")
+        return
+    kernel_flip = 1.0 - float(np.mean(
+        accum["pallas_bf16 vs composed_bf16"]["argmax_agree"]
+    ))
+    total_flip = 1.0 - float(np.mean(
+        accum["pallas_bf16 vs composed_f32"]["argmax_agree"]
+    ))
+    weights = (f"checkpoint {args.checkpoint}" if args.checkpoint else
+               f"{args.train_steps}-step trained" if args.train_steps else
+               "RANDOM (pass --train_steps for the binding verdict)")
+    print(f"\nflip-rate gate ({weights} weights, "
+          f"{args.batches * args.batch} samples):")
+    print(f"  kernel flips vs composed bf16: {kernel_flip:.5f}"
+          f"  (budget {FLIP_BUDGET})")
+    print(f"  total  flips vs composed f32:  {total_flip:.5f}")
+    if kernel_flip <= FLIP_BUDGET:
+        print("  PASS — fast_path='auto' keeps the kernel default-on")
+    else:
+        print("  FAIL — serve with --fast_path composed until the kernel "
+              "is fixed (config.py fast_path policy)")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

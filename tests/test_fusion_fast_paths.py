@@ -74,3 +74,66 @@ def test_grid_fuse_train_path_is_composed():
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_fast_path_policy_gates_wq_dispatch(monkeypatch):
+    """config.fast_path: 'composed' must bypass the wq kernel even where
+    supported() says yes; 'auto'/'pallas' dispatch it (the serving
+    fallback when a measured flip rate exceeds the 0.1% budget)."""
+    import jax
+
+    from vqa_attention_networks_tpu.config import Config
+    from vqa_attention_networks_tpu.models import get_model
+    from vqa_attention_networks_tpu.ops import pallas_wq_fusion as wqf
+
+    cfg = Config(
+        model_name="mhb_coAtt", q_vocab_size=25, a_vocab_size=11,
+        hidden_dim=16, emb_dim=8, img_feature_channel=32,
+        max_question_length=7, mfb_factor=5, mfb_out=8,
+    ).validate()
+    model = get_model("mhb_coAtt")
+    params = model.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((2, 196, 32)).astype(np.float32)
+    ques = rng.integers(0, 25, size=(2, 7)).astype(np.int32)
+
+    calls = []
+    monkeypatch.setattr(wqf, "supported", lambda *a, **k: True)
+
+    def fake_stage1(*a, **k):
+        calls.append(1)
+        raise RuntimeError("dispatched")
+
+    monkeypatch.setattr(wqf, "stage1_coattention", fake_stage1)
+
+    # composed: the kernel must NOT be touched
+    logits, _ = model.apply(
+        params, cfg.replace(fast_path="composed"), img, ques
+    )
+    assert not calls and logits.shape == (2, 11)
+
+    # auto/pallas: dispatches (the fake raises to prove it was reached)
+    for mode in ("auto", "pallas"):
+        with np.testing.assert_raises(RuntimeError):
+            model.apply(params, cfg.replace(fast_path=mode), img, ques)
+    assert len(calls) == 2
+
+    # unknown policy values are rejected at validate()
+    with np.testing.assert_raises(ValueError):
+        cfg.replace(fast_path="fast").validate()
+
+
+def test_bench_precision_trained_gate_smoke(capsys):
+    """CPU smoke of the flip-rate methodology: tiny dims, a few train
+    steps; on CPU the kernel is not dispatched so the gate reports itself
+    vacuous instead of passing silently."""
+    from benchmarks import bench_precision as bp
+
+    bp.main([
+        "--batch", "8", "--batches", "2", "--train_steps", "2",
+        "--q_vocab", "25", "--a_vocab", "11",
+    ])
+    out = capsys.readouterr().out
+    assert "train step 2/2" in out
+    assert "argmax" in out
+    assert "NOT dispatched" in out  # CPU: gate must be explicit, not PASS

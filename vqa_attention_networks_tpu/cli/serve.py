@@ -269,6 +269,7 @@ def build_service(args) -> VqaService:
         max_question_length=vocab["max_question_length"],
         img_feature_channel=channels,
         compute_dtype="bfloat16",
+        fast_path=getattr(args, "fast_path", "auto"),
     ).validate()
     model = get_model(cfg.model_name)
     template = model.init(jax.random.PRNGKey(0), cfg)
@@ -297,6 +298,11 @@ def main(argv=None) -> None:
     parser.add_argument("--topk", type=int, default=5)
     parser.add_argument("--max_wait_ms", type=float, default=5.0,
                         help="micro-batching window")
+    parser.add_argument("--fast_path", type=str, default="auto",
+                        help="auto|pallas|composed — wq-kernel dispatch "
+                             "policy (config.py fast_path); 'composed' is "
+                             "the fallback when the measured argmax flip "
+                             "rate exceeds the 0.1%% accuracy budget")
     parser.add_argument("--aot_artifact", type=str, default=None,
                         help="directory written by cli.export_serving: use "
                              "the exported StableHLO graph instead of "

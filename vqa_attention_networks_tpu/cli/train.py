@@ -40,6 +40,7 @@ def build_solver(args) -> Solver:
         batch_size=args.batch_size,
         num_epoch=args.num_epoch,
         compute_dtype=args.compute_dtype,
+        fast_path=args.fast_path,
         early_stopping=bool(args.early_stopping),
         patience=args.patience,
         early_stop_metric=args.early_stop_metric,
@@ -84,6 +85,9 @@ def main(argv=None) -> None:
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--num_epoch", type=int, default=18)
     parser.add_argument("--compute_dtype", type=str, default="float32")
+    parser.add_argument("--fast_path", type=str, default="auto",
+                        help="auto|pallas|composed — bf16 eval wq-kernel "
+                             "dispatch policy (config.py fast_path)")
     parser.add_argument("--early_stopping", type=int, default=0)
     parser.add_argument("--patience", type=int, default=10,
                         help="early-stopping patience in epochs "

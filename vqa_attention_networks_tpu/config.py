@@ -106,6 +106,23 @@ class Config:
     # under threefry.
     rng_impl: str = "threefry2x32"
 
+    # --- bf16 inference fast-path policy -------------------------------------
+    # Dispatch of the VMEM-resident wq kernel (ops/pallas_wq_fusion.py) on the
+    # bf16 eval forward:
+    #   "auto"     — kernel when supported (TPU, bf16, lane-aligned shapes).
+    #                The weight-contracted formulation admits ~p99 5% relative
+    #                logit error vs the f32 composed chain under signed-sqrt
+    #                (ops/fusion.py); "auto" is correct while the measured
+    #                argmax FLIP RATE vs the composed bf16 path stays within
+    #                the 0.1% accuracy budget (BASELINE.md). bench_precision
+    #                --train_steps N measures and GATES exactly this.
+    #   "composed" — always the XLA-composed chain (the accuracy reference at
+    #                this dtype): the fallback whenever a measured flip rate
+    #                exceeds the budget on real trained weights.
+    #   "pallas"   — force the kernel (still requires supported() shapes).
+    # VQA_DISABLE_PALLAS=1 remains the process-wide emergency kill switch.
+    fast_path: str = "auto"
+
     # --- reference-bug policy ----------------------------------------------
     # The reference carries live bugs whose "fixed" semantics are the evident
     # intent (SURVEY.md section 2). We implement the fixed semantics and record
@@ -211,6 +228,7 @@ class Config:
              ("float32", "float64", "bfloat16")),
             ("rng_impl", self.rng_impl, ("threefry2x32", "rbg")),
             ("loss_override", self.loss_override, ("", "soft_bce")),
+            ("fast_path", self.fast_path, ("auto", "pallas", "composed")),
         ):
             if value not in allowed:
                 raise ValueError(

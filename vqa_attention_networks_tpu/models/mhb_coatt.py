@@ -152,8 +152,11 @@ def apply(
     co_logits = None
     from vqa_attention_networks_tpu.ops import pallas_wq_fusion as wqf
 
-    if not train and wqf.supported(
-        img_features, params["img_conv1d"]["w"], cfg.mfb_factor
+    if (
+        not train
+        and cfg.fast_path != "composed"  # dispatch policy (config.py)
+        and wqf.supported(img_features, params["img_conv1d"]["w"],
+                          cfg.mfb_factor)
     ):
         v_att_feature = wqf.stage1_coattention(
             img_features, params["img_conv1d"], q_proj,
