@@ -106,6 +106,32 @@ def main(argv=None):
     print(f"Pallas stage1+coatt fused  : {t_pc * 1e3:8.3f} ms/batch "
           f"({n / t_pc:10.0f} qa-pairs/s)  [{t_xc / t_pc:.2f}x]", flush=True)
 
+    # ---- experimental two-samples-per-instance variant (round-3 MFU push):
+    # interleaved emission lets Mosaic overlap sample B's VPU wq-gen with
+    # sample A's MXU matmul IF its scheduler exploits the independence
+    from vqa_attention_networks_tpu.ops.pallas_wq_fusion import (
+        fused_stage1_coattention_pallas_pair,
+    )
+
+    got = np.asarray(jax.jit(
+        lambda *a: fused_stage1_coattention_pallas_pair(*a, k)
+    )(img[:small], w, b, q[:small], c1w, c1b, c2w, c2b),
+        np.float32).reshape(small, -1)
+    err = np.abs(got - want)
+    print(f"pair kernel vs f32-composed: mean|err| {err.mean():.2e}",
+          flush=True)
+
+    @jax.jit
+    def pallas_pair(img, w, b, q):
+        return jnp.sum(fused_stage1_coattention_pallas_pair(
+            img, w, b, q, c1w, c1b, c2w, c2b, k
+        ).astype(jnp.float32))
+
+    t_pp = timeit_last(pallas_pair, img, w, b, q, iters=16, trials=3)
+    print(f"Pallas PAIR stage1+coatt   : {t_pp * 1e3:8.3f} ms/batch "
+          f"({n / t_pp:10.0f} qa-pairs/s)  [{t_pc / t_pp:.2f}x vs single]",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()

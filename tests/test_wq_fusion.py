@@ -76,6 +76,37 @@ def test_combined_kernel_matches_composed_interpret():
     assert np.quantile(err, 0.95) < 0.1
 
 
+def test_pair_kernel_matches_single_interpret():
+    """The experimental two-samples-per-instance kernel (round-3 MFU push)
+    must be bit-identical to the single-sample kernel — the interleaved
+    emission order changes scheduling, not math."""
+    from vqa_attention_networks_tpu.ops.pallas_wq_fusion import (
+        fused_stage1_coattention_pallas_pair,
+    )
+
+    img, w, b, q = _data(3)
+    assert N % 2 == 1  # exercise the even-batch requirement with N+1
+    img4 = np.concatenate([img, img[:1]])
+    q4 = np.concatenate([q, q[:1]])
+    rng = np.random.default_rng(4)
+    c1w = (rng.standard_normal((O, C)) * 0.1).astype(np.float32)
+    c1b = (rng.standard_normal(C) * 0.1).astype(np.float32)
+    c2w = (rng.standard_normal((C, G)) * 0.1).astype(np.float32)
+    c2b = (rng.standard_normal(G) * 0.1).astype(np.float32)
+
+    args = (jnp.asarray(w), jnp.asarray(b), jnp.asarray(c1w),
+            jnp.asarray(c1b), jnp.asarray(c2w), jnp.asarray(c2b))
+    got = np.asarray(fused_stage1_coattention_pallas_pair(
+        jnp.asarray(img4), args[0], args[1], jnp.asarray(q4),
+        args[2], args[3], args[4], args[5], K, interpret=True,
+    ), np.float32)
+    want = np.asarray(fused_stage1_coattention_pallas(
+        jnp.asarray(img4), args[0], args[1], jnp.asarray(q4),
+        args[2], args[3], args[4], args[5], K, interpret=True,
+    ), np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_kernels_shard_over_batch_on_a_mesh():
     """Under a batch-sharded jit the kernels must partition over 'data'
     (each device runs its shard) rather than being replicated by the SPMD

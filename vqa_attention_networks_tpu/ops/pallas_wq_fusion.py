@@ -279,6 +279,155 @@ def fused_stage1_coattention_pallas(
     return out
 
 
+# ---------------------------------------------------------------------------
+# EXPERIMENTAL (round-3 MFU push, not dispatched): two samples per grid
+# instance. wq is per-sample so the VPU work cannot be shared — the bet is
+# scheduling freedom: sample B's wq generation (VPU) has no dependence on
+# sample A's matmul (MXU) in the same O tile, so Mosaic may overlap the two
+# phases that are strictly serial in the single-sample kernel (which runs
+# ~9.8 ms MXU + ~3.5 ms VPU + ~1.7 ms glimpse fully serialized, 26% MFU).
+# Measured by benchmarks/bench_wq_kernel.py --pair; promote to the dispatch
+# in stage1_coattention only on a measured win.
+# ---------------------------------------------------------------------------
+
+def _kernel_coatt_pair(img_ref, w_ref, b_ref, q_ref, c1w_ref, c1b_ref,
+                       c2w_ref, c2b_ref, out_ref, z0_ref, z1_ref, *,
+                       k: int, eps: float, to: int, glimpses: int):
+    d = w_ref.shape[1]
+    o = w_ref.shape[2]
+    img0 = img_ref[0]
+    img1 = img_ref[1]
+
+    def gen(s, sl):
+        wq = jnp.zeros((d, to), jnp.float32)
+        bq = jnp.zeros((1, to), jnp.float32)
+        for j in range(k):
+            qj = q_ref[s, j, sl].astype(jnp.float32)
+            wq += w_ref[j, :, sl] * qj[None, :]
+            bq += b_ref[j, :, sl] * qj[None, :]
+        return wq, bq
+
+    def ssq(x):
+        return jnp.sqrt(jax.nn.relu(x)) - jnp.sqrt(jax.nn.relu(-x))
+
+    for oi in range(o // to):
+        sl = slice(oi * to, (oi + 1) * to)
+        # emission order interleaves the two samples' independent chains:
+        # gen(1) can run on the VPU while sample 0's matmul occupies the MXU
+        wq0, bq0 = gen(0, sl)
+        p0 = jnp.dot(img0, wq0.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32) + bq0
+        wq1, bq1 = gen(1, sl)
+        p1 = jnp.dot(img1, wq1.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32) + bq1
+        z0_ref[:, sl] = ssq(p0)
+        z1_ref[:, sl] = ssq(p1)
+
+    def finish(z_ref, img, row):
+        z = z_ref[:]
+        norm = jnp.sqrt(jnp.sum(z * z))
+        zb = (z * (1.0 / jnp.maximum(norm, eps))).astype(jnp.bfloat16)
+        h1 = jax.nn.relu(
+            jnp.dot(zb, c1w_ref[:], preferred_element_type=jnp.float32)
+            + c1b_ref[:]
+        ).astype(jnp.bfloat16)
+        logits = jnp.dot(
+            h1, c2w_ref[:], preferred_element_type=jnp.float32
+        ) + c2b_ref[:]
+        att = jnp.exp(logits - jnp.max(logits, axis=0, keepdims=True))
+        att = att / jnp.sum(att, axis=0, keepdims=True)
+        pooled_v = jax.lax.dot_general(
+            att.astype(jnp.bfloat16), img,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[row] = pooled_v[0:glimpses, :].astype(out_ref.dtype)
+
+    finish(z0_ref, img0, 0)
+    finish(z1_ref, img1, 1)
+
+
+def fused_stage1_coattention_pallas_pair(
+    img: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    q_proj: jnp.ndarray,
+    c1w: jnp.ndarray,
+    c1b: jnp.ndarray,
+    c2w: jnp.ndarray,
+    c2b: jnp.ndarray,
+    k: int,
+    eps: float = 1e-12,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Two-samples-per-instance twin of fused_stage1_coattention_pallas.
+    Requires an even batch. Returns [N, G, D]."""
+    n, l, d = img.shape
+    assert n % 2 == 0, "pair kernel needs an even batch"
+    f = w.shape[1]
+    o = f // k
+    o_pad = -(-o // _LANE) * _LANE
+    c = c1w.shape[1]
+    g = c2w.shape[1]
+    g_pad = _LANE
+
+    def refactor(x):
+        return refactor_output_major(x, o, k, o_pad)
+
+    w3 = jnp.moveaxis(refactor(w), 1, 0).astype(jnp.float32)
+    b3 = jnp.moveaxis(refactor(b.reshape(1, -1)), 1, 0).astype(jnp.float32)
+    q3 = refactor(q_proj).astype(jnp.bfloat16)
+    c1w_p = jnp.pad(c1w, ((0, o_pad - o), (0, 0))).astype(jnp.bfloat16)
+    c1b_p = c1b.reshape(1, c).astype(jnp.float32)
+    c2w_p = jnp.pad(c2w, ((0, 0), (0, g_pad - g))).astype(jnp.bfloat16)
+    c2b_p = jnp.pad(c2b, (0, g_pad - g)).reshape(1, g_pad).astype(jnp.float32)
+
+    to = min(_TO, o_pad)
+    while o_pad % to:
+        to //= 2
+    return pl.pallas_call(
+        functools.partial(_kernel_coatt_pair, k=k, eps=eps, to=to,
+                          glimpses=g),
+        grid=(n // 2,),
+        in_specs=[
+            pl.BlockSpec((2, l, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d, o_pad), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1, o_pad), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, k, o_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((o_pad, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, g_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, g, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, g, d), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((l, o_pad), jnp.float32),
+            pltpu.VMEM((l, o_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * n * l * d * o_pad + 2 * n * d * o_pad * k
+                   + 2 * n * l * o_pad * c + 2 * n * l * c * g_pad
+                   + 2 * n * g_pad * l * d),
+            bytes_accessed=(n * l * d * 2 + d * k * o_pad * 2
+                            + n * g * d * 2),
+            transcendentals=n * l * g_pad,
+        ),
+        interpret=interpret,
+    )(img, w3, b3, q3, c1w_p, c1b_p, c2w_p, c2b_p)
+
+
 def _composed_reference(img, w, b, q_proj, k, eps=1e-12):
     """XLA-composed twin: fuse chain + grid-flat L2 (differentiable)."""
     from vqa_attention_networks_tpu.models.layers import matmul_precision
