@@ -1,0 +1,284 @@
+"""Convergence soak: a multi-epoch synthetic-data training run for EVERY
+model family at production dims, recording loss curves and qa-pairs/s.
+
+VERDICT r2 item 8: catches bf16 drift and latent-gradient-class bugs (the
+round-2 burn-in found one in the train-fusion backward) before real data
+arrives. The training contract being soaked is the Solver loop — the
+counterpart of the reference's epoch loop (/root/reference/solver.py:52-117).
+
+Unlike make_synthetic_qa_data (random labels — loss plateaus at uniform),
+the soak dataset is LEARNABLE: the answer is a deterministic function of
+(first question token, image id), and each image id has a fixed random
+feature grid, so a converging model must drive train loss well below the
+uniform-entropy floor. The gate is relative: final-epoch train loss must be
+< 0.6x first-epoch train loss and every logged scalar finite.
+
+Usage:
+  python tools/soak.py --workdir /tmp/soak --epochs 4          # TPU dims
+  python tools/soak.py --smoke                                  # CPU, tiny
+
+Outputs: docs/soak_results.json (+ docs/SOAK.md table) unless --no_docs.
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FAMILIES = [
+    "mfb",
+    "mfb-multilayer",
+    "mhb",
+    "mhb_coAtt",
+    "mhb_coAtt+glove",
+    "hieCoAtten",
+    "visLstm",
+    "iBOWIMG",
+    "attentionNet",
+]
+
+
+def make_learnable_qa(rng, n_train, n_val, q_vocab_words, num_answers,
+                      max_len, num_images):
+    """QAData whose answers are predictable from (token_0, image_id)."""
+    from vqa_attention_networks_tpu.data.prepare import (
+        QAData, QASplit, SOFT_WIDTH,
+    )
+
+    def _split(n):
+        lengths = rng.integers(3, max_len + 1, size=n).astype(np.int32)
+        questions = np.zeros((n, max_len), dtype=np.int32)
+        for i, l in enumerate(lengths):
+            questions[i, :l] = rng.integers(1, q_vocab_words + 2, size=l)
+        image_ids = rng.integers(0, num_images, size=n).astype(np.int64)
+        answers = (
+            (questions[:, 0].astype(np.int64) * 7 + image_ids * 13)
+            % num_answers
+        ).astype(np.int32)
+        soft_idx = np.full((n, SOFT_WIDTH), -1, dtype=np.int32)
+        soft_val = np.zeros((n, SOFT_WIDTH), dtype=np.float32)
+        soft_idx[:, 0] = answers
+        soft_val[:, 0] = 0.9
+        soft_idx[:, 1] = (answers + 1) % num_answers
+        soft_val[:, 1] = 0.1
+        return QASplit(questions=questions, ques_length=lengths,
+                       answers=answers, image_ids=image_ids,
+                       soft_idx=soft_idx, soft_val=soft_val)
+
+    question_vocab = {f"w{i}": i + 1 for i in range(q_vocab_words)}
+    question_vocab["UNK"] = q_vocab_words + 1
+    answer_vocab = {f"a{i}": i for i in range(num_answers - 1)}
+    answer_vocab["UNK"] = num_answers - 1
+    return QAData(train=_split(n_train), val=_split(n_val),
+                  answer_vocab=answer_vocab, question_vocab=question_vocab,
+                  max_question_length=max_len)
+
+
+def soak_family(family, qa, store, args, log_dir):
+    from vqa_attention_networks_tpu.config import Config
+    from vqa_attention_networks_tpu.train.solver import Solver
+
+    glove = family.endswith("+glove")
+    model_name = family.split("+")[0]
+    cfg = Config(
+        model_name=model_name,
+        q_vocab_size=len(qa.question_vocab) + 1,
+        a_vocab_size=len(qa.answer_vocab),
+        max_question_length=qa.max_question_length,
+        img_feature_channel=store.channels,
+        glove=glove,
+        mode="training",
+        data_dir=args.workdir,
+        batch_size=args.batch_size,
+        num_epoch=args.epochs,
+        compute_dtype=args.compute_dtype,
+        checkpoint_every_steps=0,
+        seed=args.seed,
+    ).validate()
+
+    glove_table = None
+    if glove:
+        emb_rng = np.random.default_rng(args.seed + 7)
+        glove_table = (
+            emb_rng.standard_normal((cfg.q_vocab_size, 300)) * 0.3
+        ).astype(np.float32)
+
+    run_dir = os.path.join(log_dir, family.replace("+", "_"))
+    solver = Solver(cfg, qa, store, glove_table=glove_table, log_dir=run_dir)
+    t0 = time.time()
+    solver.train()
+    wall = time.time() - t0
+    solver.close()
+
+    # per-epoch history from the structured metric stream (utils/logging.py
+    # mirrors the reference's tensorboardX tags, solver.py:116-117)
+    events_path = os.path.join(run_dir, model_name, "events.jsonl")
+    epochs, qps = [], []
+    by_step = {}
+    with open(events_path) as f:
+        for line in f:
+            rec = json.loads(line)
+            e = by_step.setdefault(rec["step"], {"step": rec["step"]})
+            if rec["tag"].endswith("/loss"):
+                e["train_loss"] = rec["train loss"]
+                e["val_loss"] = rec["val loss"]
+            elif rec["tag"].endswith("/acc"):
+                e["train_acc"] = rec["train acc"]
+                e["val_acc"] = rec["val acc"]
+            elif rec["tag"].endswith("/qa_pairs_per_sec"):
+                e["qps"] = rec["value"]
+    for step in sorted(by_step):
+        epochs.append(by_step[step])
+        qps.append(by_step[step].get("qps", 0.0))
+
+    scalars = [v for e in epochs for k, v in e.items() if k != "step"]
+    finite = all(np.isfinite(s) for s in scalars)
+    first, final = epochs[0]["train_loss"], epochs[-1]["train_loss"]
+    converged = finite and len(epochs) >= 2 and final < args.gate * first
+    return {
+        "family": family,
+        "compute_dtype": args.compute_dtype,
+        "epochs": epochs,
+        "first_train_loss": first,
+        "final_train_loss": final,
+        "final_val_acc": epochs[-1].get("val_acc"),
+        "qa_pairs_per_sec": float(np.median([q for q in qps if q]) or 0.0),
+        "wall_s": round(wall, 1),
+        "finite": finite,
+        "converged": bool(converged),
+    }
+
+
+def write_docs(results, args):
+    path_json = os.path.join(REPO, "docs", "soak_results.json")
+    with open(path_json, "w") as f:
+        json.dump({"config": {
+            "epochs": args.epochs, "batch_size": args.batch_size,
+            "compute_dtype": args.compute_dtype, "n_train": args.n_train,
+            "num_answer": args.num_answer, "platform": args.platform_seen,
+        }, "results": results}, f, indent=1)
+
+    lines = [
+        "# Convergence soak report",
+        "",
+        "Generated by `tools/soak.py` — one multi-epoch learnable-synthetic-"
+        "data training run per model family (VERDICT r2 item 8; training "
+        "contract: reference solver.py:52-117). Gate: final train loss "
+        "< 0.6x first-epoch loss, all scalars finite.",
+        "",
+        f"Platform: **{args.platform_seen}** | dtype: "
+        f"**{args.compute_dtype}** | batch {args.batch_size} | "
+        f"{args.epochs} epochs x {args.n_train} samples | "
+        f"{args.num_answer} answers",
+        "",
+        "| family | loss first→final | val acc | qa-pairs/s | wall (s) "
+        "| gate |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        lines.append(
+            f"| {r['family']} | {r['first_train_loss']:.4f} → "
+            f"{r['final_train_loss']:.4f} | {r['final_val_acc']:.3f} | "
+            f"{r['qa_pairs_per_sec']:.0f} | {r['wall_s']} | "
+            f"{'PASS' if r['converged'] else 'FAIL'} |"
+        )
+    lines += ["", "Per-epoch curves: `docs/soak_results.json`.", ""]
+    with open(os.path.join(REPO, "docs", "SOAK.md"), "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote docs/SOAK.md and {path_json}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--families", default=",".join(FAMILIES),
+                   help=f"comma list of {FAMILIES}")
+    p.add_argument("--epochs", type=int, default=4)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--n_train", type=int, default=8192)
+    p.add_argument("--n_val", type=int, default=1024)
+    p.add_argument("--num_answer", type=int, default=1000)
+    p.add_argument("--q_vocab_words", type=int, default=5000)
+    p.add_argument("--num_images", type=int, default=512)
+    p.add_argument("--num_regions", type=int, default=196)
+    p.add_argument("--channels", type=int, default=2048)
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   help="bfloat16 soaks the production TPU training dtype")
+    p.add_argument("--gate", type=float, default=0.6,
+                   help="convergence gate: final train loss must be < "
+                        "gate * first-epoch loss (smoke: 0.95 — short runs "
+                        "report last-batch loss, which is noisy)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny dims for a CPU smoke run")
+    p.add_argument("--no_docs", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.smoke:
+        args.epochs = min(args.epochs, 3)
+        args.batch_size = 32
+        args.n_train, args.n_val = 512, 128
+        args.num_answer, args.q_vocab_words = 16, 64
+        # region count stays 196: Config.validate pins the 14x14 grid
+        args.num_images, args.num_regions, args.channels = 32, 196, 256
+        args.compute_dtype = "float32"
+        if args.gate == p.get_default("gate"):
+            args.gate = 0.95
+
+    from vqa_attention_networks_tpu.utils.runtime import setup as rt_setup
+    rt_setup()
+    import jax
+    args.platform_seen = jax.devices()[0].platform
+
+    args.workdir = args.workdir or tempfile.mkdtemp(prefix="vqa_soak_")
+    os.makedirs(args.workdir, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    qa = make_learnable_qa(rng, args.n_train, args.n_val,
+                           args.q_vocab_words, args.num_answer,
+                           qa_max_len(args), args.num_images)
+    from vqa_attention_networks_tpu.data.feature_store import (
+        make_synthetic_feature_store,
+    )
+    store = make_synthetic_feature_store(
+        os.path.join(args.workdir, "features"),
+        list(range(args.num_images)),
+        num_regions=args.num_regions, channels=args.channels,
+        seed=args.seed,
+    )
+
+    results = []
+    ok = True
+    for family in args.families.split(","):
+        family = family.strip()
+        print(f"=== soak {family} ===", flush=True)
+        r = soak_family(family, qa, store, args,
+                        os.path.join(args.workdir, "runs"))
+        print(json.dumps({k: v for k, v in r.items() if k != "epochs"}),
+              flush=True)
+        results.append(r)
+        # smoke (3 tiny epochs) checks the harness + numerics, not
+        # convergence speed; the production-dims run enforces the gate
+        ok &= r["finite"] if args.smoke else r["converged"]
+
+    if not args.no_docs:
+        write_docs(results, args)
+    print(f"SOAK {'PASS' if ok else 'FAIL'}: "
+          f"{sum(r['converged'] for r in results)}/{len(results)} families "
+          f"converged")
+    return 0 if ok else 1
+
+
+def qa_max_len(args):
+    # production questions pad to 22 tokens (reference utils.py:171,201)
+    return 8 if args.smoke else 22
+
+
+if __name__ == "__main__":
+    sys.exit(main())
