@@ -96,6 +96,42 @@ def main(argv=None) -> None:
             if force_numpy:
                 os.environ.pop("VQA_DISABLE_NATIVE", None)
 
+        # ---- serving gather: the store-backed request path (cli/serve.py)
+        # under VQA-like repeat traffic (~3 questions/image in VQA v2).
+        # Measures the LRU feature cache's effect on the per-request host
+        # cost; with the cache sized to the working set the steady-state
+        # rate is a dict hit + stack instead of a memmap read per request.
+        from types import SimpleNamespace
+
+        from vqa_attention_networks_tpu.cli.serve import (
+            FeatureCache, VqaService,
+        )
+
+        grid_bytes = store.num_regions * store.channels * 2
+        req_ids = rng.choice(
+            sorted(store.row_of), size=args.pairs, replace=True
+        ).tolist()
+        for label, cap_mb in (("cache off", 0), ("cache 512M", 512)):
+            svc = SimpleNamespace(
+                cache=FeatureCache(cap_mb << 20, grid_bytes), store=store
+            )
+            best = 0.0
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for start in range(0, len(req_ids), args.batch):
+                    feats = VqaService._features_batch(
+                        svc, req_ids[start:start + args.batch]
+                    )
+                    np.stack(feats)
+                best = max(best, len(req_ids) / (time.perf_counter() - t0))
+            stats = svc.cache.stats()
+            hit = stats["hits"] / max(stats["hits"] + stats["misses"], 1)
+            print(
+                f"serving gather {label:10s} batch={args.batch:5d} "
+                f"{best:12.0f} req/s (hit rate {hit:.2f})",
+                flush=True,
+            )
+
 
 if __name__ == "__main__":
     main()

@@ -271,3 +271,56 @@ def test_zero_wait_dispatches_immediately(tmp_path):
     pred = batcher.submit(feats, ids, 1)
     assert pred is not None
     assert _time.monotonic() - t0 < 30  # compiles + runs; never hangs
+
+
+def test_feature_cache_serves_hits(server):
+    # repeated image_ids must be served from the LRU, with identical
+    # results, and /healthz must expose the cache counters
+    item = {"question": "what color is the sky", "image_id": IMAGE_IDS[1]}
+    first = _post(server, item)
+    second = _post(server, item)
+    assert first == second
+    with urllib.request.urlopen(server + "/healthz") as r:
+        health = json.loads(r.read())
+    stats = health["feature_cache"]
+    assert stats["hits"] >= 1
+    assert stats["entries"] >= 1
+
+
+def test_feature_cache_lru_eviction_and_batched_gather(tmp_path):
+    from types import SimpleNamespace
+
+    from vqa_attention_networks_tpu.cli.serve import FeatureCache
+    from vqa_attention_networks_tpu.data.feature_store import FeatureStore
+
+    store_dir = str(tmp_path / "store")
+    ids = [1, 2, 3, 4, 5]
+    make_synthetic_feature_store(store_dir, ids, num_regions=4, channels=8)
+    store = FeatureStore(store_dir)
+    grid_bytes = 4 * 8 * 2
+    cache = FeatureCache(2 * grid_bytes, grid_bytes)  # capacity 2 grids
+    svc = SimpleNamespace(cache=cache, store=store)
+
+    feats = serve_cli.VqaService._features_batch(svc, [1, 2, 1, 3])
+    want = store.gather([1, 2, 1, 3], dtype=np.float16)
+    np.testing.assert_array_equal(np.stack(feats), want)
+    assert cache.stats()["entries"] == 2  # 3 distinct ids, capacity 2
+
+    # served-from-cache results identical to the store
+    feats2 = serve_cli.VqaService._features_batch(svc, [3, 3])
+    np.testing.assert_array_equal(
+        np.stack(feats2), store.gather([3, 3], dtype=np.float16)
+    )
+    assert cache.stats()["hits"] >= 2
+
+    # unknown id surfaces as the request-level error, not a KeyError
+    with pytest.raises(ValueError, match="unknown image_id"):
+        serve_cli.VqaService._features_batch(svc, [1, 999])
+
+    # capacity 0 disables caching but must not break the path
+    svc0 = SimpleNamespace(cache=FeatureCache(0, grid_bytes), store=store)
+    feats3 = serve_cli.VqaService._features_batch(svc0, [4, 4, 5])
+    np.testing.assert_array_equal(
+        np.stack(feats3), store.gather([4, 4, 5], dtype=np.float16)
+    )
+    assert svc0.cache.stats()["entries"] == 0

@@ -26,6 +26,7 @@ import json
 import queue
 import threading
 import time
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import jax
@@ -106,30 +107,100 @@ class Batcher:
                 r.event.set()
 
 
+class FeatureCache:
+    """Bounded LRU of f16 feature grids, keyed by image_id.
+
+    The store gather is the serving hot path's host-side cost: one request
+    re-reads + copies a [196, 2048] f16 grid (~800 KB) from the memmap.
+    Real VQA traffic repeats images (multiple questions per image is the
+    dataset's own shape: ~3 questions/image in VQA v2), so an LRU in front
+    of the store turns the steady-state per-request cost into a dict hit.
+    Thread-safe: ThreadingHTTPServer handles requests concurrently."""
+
+    def __init__(self, capacity_bytes: int, grid_bytes: int):
+        self.capacity = max(capacity_bytes // max(grid_bytes, 1), 0)
+        self._map: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._lock = threading.Lock()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, image_id: int):
+        if not self.capacity:
+            return None
+        with self._lock:
+            feats = self._map.get(image_id)
+            if feats is None:
+                self.misses += 1
+                return None
+            self._map.move_to_end(image_id)
+            self.hits += 1
+            return feats
+
+    def put(self, image_id: int, feats: np.ndarray) -> None:
+        if not self.capacity:
+            return
+        with self._lock:
+            self._map[image_id] = feats
+            self._map.move_to_end(image_id)
+            while len(self._map) > self.capacity:
+                self._map.popitem(last=False)
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {"entries": len(self._map), "capacity": self.capacity,
+                    "hits": self.hits, "misses": self.misses}
+
+
 class VqaService:
     """Request decode (vocab/features) + the batcher, HTTP-agnostic."""
 
     def __init__(self, cfg: Config, vocab: dict, params, store,
                  batch_size: int, topk: int, max_wait_s: float,
-                 artifact_dir=None):
+                 artifact_dir=None, feature_cache_mb: int = 512):
         self.cfg = cfg
         self.q_vocab = vocab["question_vocab"]
         self.max_len = vocab["max_question_length"]
         self.ans_of = {i: a for a, i in vocab["answer_vocab"].items()}
         self.store = store
+        grid_bytes = store.num_regions * store.channels * 2  # f16
+        self.cache = FeatureCache(feature_cache_mb << 20, grid_bytes)
         self.engine = InferenceEngine(
             cfg, params, batch_size=batch_size, topk=topk,
             artifact_dir=artifact_dir,
         )
         self.batcher = Batcher(self.engine, max_wait_s)
 
+    def _features(self, image_id: int) -> np.ndarray:
+        feats = self.cache.get(image_id)
+        if feats is None:
+            try:
+                feats = self.store.gather([image_id], dtype=np.float16)[0]
+            except KeyError:
+                raise ValueError(f"unknown image_id {image_id}") from None
+            self.cache.put(image_id, feats)
+        return feats
+
+    def _features_batch(self, image_ids: list) -> list:
+        """One multithreaded store gather for every cache-missing id (the
+        native data plane, data/native.py) instead of a per-item read."""
+        feats = [self.cache.get(i) for i in image_ids]
+        missing = sorted({i for i, f in zip(image_ids, feats) if f is None})
+        if missing:
+            try:
+                gathered = self.store.gather(missing, dtype=np.float16)
+            except KeyError as e:
+                raise ValueError(f"unknown image_id {e.args[0]}") from None
+            by_id = dict(zip(missing, gathered))
+            for i, f in by_id.items():
+                self.cache.put(i, f)
+            feats = [f if f is not None else by_id[i]
+                     for i, f in zip(image_ids, feats)]
+        return feats
+
     def _encode(self, item: dict):
         question = item["question"]
         image_id = int(item["image_id"])
-        try:
-            feats = self.store.gather([image_id], dtype=np.float16)[0]
-        except KeyError:
-            raise ValueError(f"unknown image_id {image_id}") from None
+        feats = self._features(image_id)
         # LEFT-aligned, exactly as training encodes (prepare.py): models
         # gather the last-valid LSTM state at ques_length-1, which with a
         # right-aligned layout would index into the leading pad run —
@@ -158,13 +229,23 @@ class VqaService:
     def predict_many(self, items: list) -> list:
         """Bulk endpoint path: ONE padded engine call per engine-batch of
         requests (routing each item through the micro-batcher would pay a
-        full batching window and a device call per item)."""
-        encoded = [self._encode(item) for item in items]
+        full batching window and a device call per item), and ONE batched
+        feature gather per call (the per-item path costs a store read per
+        request; the batched gather runs the native multithreaded plane)."""
+        tokens = []
+        for item in items:
+            ids = np.asarray(
+                encode_question(item["question"], self.q_vocab, self.max_len),
+                np.int32,
+            )
+            tokens.append((int(item["image_id"]), ids,
+                           max(int((ids != 0).sum()), 1)))
+        all_feats = self._features_batch([t[0] for t in tokens])
         out = []
         bs = self.engine.batch_size
-        for start in range(0, len(encoded), bs):
-            chunk = encoded[start:start + bs]
-            feats = np.stack([c[0] for c in chunk])
+        for start in range(0, len(tokens), bs):
+            chunk = tokens[start:start + bs]
+            feats = np.stack(all_feats[start:start + bs])
             ids = np.stack([c[1] for c in chunk])
             qlen = np.asarray([c[2] for c in chunk], np.int32)
             preds = self.engine.predict_batch(feats, ids, qlen)
@@ -199,6 +280,7 @@ def make_handler(service: VqaService, model_name: str):
                     "model": model_name,
                     "batch_size": service.engine.batch_size,
                     "backend": jax.default_backend(),
+                    "feature_cache": service.cache.stats(),
                 })
             else:
                 self._reply(404, {"error": "unknown path"})
@@ -276,7 +358,8 @@ def build_service(args) -> VqaService:
     params = ckpt.load_weights(f"{args.model_dir}/{cfg.model_name}", template)
     return VqaService(cfg, vocab, params, store, args.batch_size, args.topk,
                       args.max_wait_ms / 1000.0,
-                      artifact_dir=getattr(args, "aot_artifact", None))
+                      artifact_dir=getattr(args, "aot_artifact", None),
+                      feature_cache_mb=getattr(args, "feature_cache_mb", 512))
 
 
 def main(argv=None) -> None:
@@ -303,6 +386,10 @@ def main(argv=None) -> None:
                              "policy (config.py fast_path); 'composed' is "
                              "the fallback when the measured argmax flip "
                              "rate exceeds the 0.1%% accuracy budget")
+    parser.add_argument("--feature_cache_mb", type=int, default=512,
+                        help="LRU cache of f16 feature grids in front of "
+                             "the store (~800 KB per image at 196x2048); "
+                             "0 disables")
     parser.add_argument("--aot_artifact", type=str, default=None,
                         help="directory written by cli.export_serving: use "
                              "the exported StableHLO graph instead of "
