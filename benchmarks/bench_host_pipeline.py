@@ -96,6 +96,33 @@ def main(argv=None) -> None:
             if force_numpy:
                 os.environ.pop("VQA_DISABLE_NATIVE", None)
 
+        # ---- thread-pool batch assembly (dataset.parallel_epoch): the
+        # training feed's scale-out lever on a multi-core TPU-VM host.
+        # On this 1-core dev VM workers>1 only measures overhead; the
+        # number that matters is the sweep on real hardware.
+        batches = VqaBatches(
+            qa.train, store, batch_size=args.batch,
+            num_answers=args.num_answers, soft_answer=True,
+            shuffle=True, feature_dtype=np.float16,
+        )
+        for workers in (1, 2, 4, 8):
+            best = 0.0
+            for _ in range(3):
+                it = batches.parallel_epoch(0, workers=workers)
+                t0 = time.perf_counter()
+                seen = 0
+                for i, b in enumerate(it):
+                    seen += len(b)
+                    if i + 1 >= n_batches:
+                        break
+                it.close()
+                best = max(best, seen / (time.perf_counter() - t0))
+            print(
+                f"assembly workers={workers}  batch={args.batch:5d} "
+                f"{best:12.0f} qa-pairs/s",
+                flush=True,
+            )
+
         # ---- serving gather: the store-backed request path (cli/serve.py)
         # under VQA-like repeat traffic (~3 questions/image in VQA v2).
         # Measures the LRU feature cache's effect on the per-request host

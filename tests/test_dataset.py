@@ -158,3 +158,38 @@ def test_prefetch_producer_stops_when_consumer_abandons():
     while threading.active_count() > before and time.monotonic() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_parallel_epoch_bitwise_matches_serial(tmp_path):
+    # thread-pool assembly (parallel_epoch) must yield the IDENTICAL batch
+    # stream as epoch(): same order, same contents, same final-batch
+    # padding — resume determinism depends on it
+    _, batches = _pipeline(tmp_path, n=37, batch_size=8, soft=True,
+                           shuffle=True, seed=3)
+    serial = list(batches.epoch(epoch_index=2))
+    par = list(batches.parallel_epoch(epoch_index=2, workers=4))
+    assert len(par) == len(serial)
+    for a, b in zip(serial, par):
+        np.testing.assert_array_equal(a.image_features, b.image_features)
+        np.testing.assert_array_equal(a.questions, b.questions)
+        np.testing.assert_array_equal(a.answers, b.answers)
+        np.testing.assert_array_equal(a.valid, b.valid)
+        np.testing.assert_array_equal(a.soft_answers, b.soft_answers)
+
+    # mid-epoch resume (start_batch) must match too
+    serial_r = list(batches.epoch(epoch_index=2, start_batch=2))
+    par_r = list(batches.parallel_epoch(epoch_index=2, start_batch=2,
+                                        workers=3))
+    assert len(par_r) == len(serial_r)
+    np.testing.assert_array_equal(serial_r[0].questions, par_r[0].questions)
+
+    # workers=1 degrades to the serial path
+    one = list(batches.parallel_epoch(epoch_index=2, workers=1))
+    np.testing.assert_array_equal(one[0].questions, serial[0].questions)
+
+
+def test_parallel_epoch_survives_consumer_abandonment(tmp_path):
+    _, batches = _pipeline(tmp_path, n=64, batch_size=4)
+    it = batches.parallel_epoch(epoch_index=0, workers=4)
+    next(it)
+    it.close()  # must not hang waiting on queued futures

@@ -49,6 +49,7 @@ def build_solver(args) -> Solver:
         rng_impl=args.rng_impl,
         remat=bool(args.remat),
         grad_accum_steps=args.grad_accum_steps,
+        prefetch_workers=args.prefetch_workers,
         seed=args.seed,
     ).validate()
     print(f"q_vocab_size {cfg.q_vocab_size}")
@@ -110,6 +111,10 @@ def main(argv=None) -> None:
                         help="1 = rematerialise the forward during backward "
                              "(jax.checkpoint): identical gradients, lower "
                              "peak HBM, ~1.3x step FLOPs")
+    parser.add_argument("--prefetch_workers", type=int, default=4,
+                        help="host batch-assembly threads (the counterpart "
+                             "of the reference's 4 DataLoader workers, "
+                             "cfg.py:6); 1 = single-producer prefetch")
     parser.add_argument("--rng_impl", type=str, default="threefry2x32",
                         help="threefry2x32 (reproducible) | rbg (~30% faster "
                              "train steps on TPU)")

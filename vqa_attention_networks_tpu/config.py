@@ -76,6 +76,11 @@ class Config:
     early_stopping: bool = False
     patience: int = 10  # solver.py:45
     seed: int = 0
+    # host batch-assembly threads (the counterpart of the reference's 4
+    # DataLoader worker processes, cfg.py:6): the gather/densify hot path is
+    # GIL-free C (native/dataplane.cpp), so threads scale on a multi-core
+    # TPU-VM host. 1 = single-producer prefetch thread (old behaviour).
+    prefetch_workers: int = 4
 
     # dropout rates (mfb.py:32,44; mhb_coAtt.py:38,46; visLstm/networks use
     # F.dropout's default 0.5)
@@ -220,6 +225,10 @@ class Config:
             raise ValueError(
                 f"grad_accum_steps={self.grad_accum_steps} must be >=1 and "
                 f"divide batch_size={self.batch_size}"
+            )
+        if self.prefetch_workers < 1:
+            raise ValueError(
+                f"prefetch_workers={self.prefetch_workers} must be >= 1"
             )
         for field, value, allowed in (
             ("early_stop_metric", self.early_stop_metric, ("loss", "acc")),

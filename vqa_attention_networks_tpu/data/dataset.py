@@ -121,6 +121,16 @@ class VqaBatches:
         batches without assembling them — mid-epoch resume lands exactly
         where the checkpoint left off at zero gather cost.
         """
+        for idx in self.epoch_indices(epoch_index, start_batch):
+            yield self._assemble(idx)
+
+    def epoch_indices(
+        self, epoch_index: Optional[int] = None, start_batch: int = 0
+    ) -> Iterator[np.ndarray]:
+        """The epoch's batch-index stream without assembly — the input to
+        ``parallel_assemble`` (assembly is a pure function of the indices,
+        so it can run on a worker pool; the order stream stays the single
+        source of truth for resume determinism)."""
         if epoch_index is None:
             epoch_index = self._epoch
         self._epoch = epoch_index + 1
@@ -130,7 +140,48 @@ class VqaBatches:
             np.random.default_rng((self.seed, epoch_index)).shuffle(order)
         stop = (n // self.batch_size) * self.batch_size if self.drop_remainder else n
         for start in range(start_batch * self.batch_size, stop, self.batch_size):
-            yield self._assemble(order[start : start + self.batch_size])
+            yield order[start : start + self.batch_size]
+
+    def parallel_epoch(
+        self,
+        epoch_index: Optional[int] = None,
+        start_batch: int = 0,
+        workers: int = 4,
+        depth: Optional[int] = None,
+    ) -> Iterator[Batch]:
+        """Epoch with thread-pool batch assembly, in order.
+
+        The counterpart of the reference's 4 DataLoader worker processes
+        (cfg.py:6, solver.py:41), as threads: the heavy per-batch work — the
+        feature gather (native/dataplane.cpp) and the soft-label densify —
+        runs in C with the GIL released, so threads scale on a multi-core
+        TPU-VM host without pickling batches across processes. Order is
+        identical to ``epoch()`` (ordered completion), so checkpoint-resume
+        and bit-determinism are unaffected. In-flight work is bounded by
+        ``depth`` batches (default ``workers + 1``).
+        """
+        if workers <= 1:
+            yield from self.epoch(epoch_index, start_batch)
+            return
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        depth = depth or workers + 1
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            pending: "deque" = deque()
+            try:
+                for idx in self.epoch_indices(epoch_index, start_batch):
+                    pending.append(ex.submit(self._assemble, idx))
+                    if len(pending) >= depth:
+                        yield pending.popleft().result()
+                while pending:
+                    yield pending.popleft().result()
+            finally:
+                # consumer abandoned mid-epoch (train-step exception, early
+                # break): drop queued work so executor shutdown only waits
+                # for the <= ``workers`` already-running assemblies
+                for f in pending:
+                    f.cancel()
 
 
 def prefetch(iterator: Iterator[Batch], depth: int = 2) -> Iterator[Batch]:

@@ -341,11 +341,22 @@ class Solver:
             timer.tic()
             seen = 0
             loss = acc = 0.0
-            batches = self.batches["train"].epoch(
-                epoch,
-                start_batch=skip_batches if epoch == start_epoch else 0,
-            )
-            for batch in prefetch(batches):
+            start_b = skip_batches if epoch == start_epoch else 0
+            # cap at the host's core count: extra assembly threads on a
+            # small host just contend (measured 2.2x SLOWER at 4 threads
+            # on 1 core, bench_host_pipeline.py)
+            workers = min(cfg.prefetch_workers, os.cpu_count() or 1)
+            if workers > 1:
+                # thread-pool assembly (dataset.parallel_epoch): readahead
+                # is the bounded future queue, so no extra prefetch thread
+                stream = self.batches["train"].parallel_epoch(
+                    epoch, start_batch=start_b, workers=workers
+                )
+            else:
+                stream = prefetch(
+                    self.batches["train"].epoch(epoch, start_batch=start_b)
+                )
+            for batch in stream:
                 key = jax.random.fold_in(self._rng_base, self.step)
                 dev = self._device_batch(batch)
                 self.params, self.opt_state, loss_d, correct_d = self._train_step(
