@@ -13,6 +13,8 @@ Also: export->import round trips bit-exactly, and mismatched checkpoints
 fail loudly instead of silently mis-mapping.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -501,3 +503,54 @@ def test_multilayer_into_plain_mfb_rejected():
     # the multiconv entries are unconsumed AND conv2 shapes clash
     with pytest.raises(ValueError):
         import_state_dict("mfb", sd, template)
+
+
+def test_export_cli_writes_reference_loadable_pth(tmp_path):
+    """tools/export_torch.py must write a .pth that (a) torch.load +
+    clean_state_dict handling accepts and (b) imports back bit-exactly —
+    the full migration cycle reference_user <- framework."""
+    import json
+    import subprocess
+    import sys
+
+    name = "iBOWIMG"
+    cfg = _cfg(name)
+    model = get_model(name)
+    params = model.init(jax.random.PRNGKey(7), cfg)
+    from vqa_attention_networks_tpu.utils import checkpoint as ckpt
+
+    ckpt.save_weights(str(tmp_path / "models" / name), params)
+    vocab = {
+        "question_vocab": {f"w{i}": i + 1 for i in range(cfg.q_vocab_size - 2)}
+        | {"UNK": cfg.q_vocab_size - 1},
+        "answer_vocab": {f"a{i}": i for i in range(cfg.a_vocab_size)},
+        "max_question_length": cfg.max_question_length,
+    }
+    vocab_path = tmp_path / "vocab.json"
+    with open(vocab_path, "w") as f:
+        json.dump(vocab, f)
+
+    out_pth = tmp_path / f"{name}.pth"
+    env = dict(os.environ)
+    env["VQA_PLATFORM"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    run = subprocess.run(
+        [sys.executable, "-m", "tools.export_torch", "--model_name", name,
+         "--model_dir", str(tmp_path / "models"), "--vocab", str(vocab_path),
+         "--out", str(out_pth),
+         "--img_feature_channel", str(cfg.img_feature_channel)],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=300,
+    )
+    assert run.returncode == 0, run.stdout + run.stderr
+    assert out_pth.exists()
+
+    from vqa_attention_networks_tpu.utils.torch_import import load_pth
+
+    back = import_state_dict(name, load_pth(str(out_pth)),
+                             model.init(jax.random.PRNGKey(0), cfg))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        params, back,
+    )
