@@ -83,19 +83,24 @@ def _metrics(logits_a: jnp.ndarray, logits_ref: jnp.ndarray) -> dict:
 _compare = jax.jit(_metrics)
 
 
-def _fixed_dataset(cfg, batches: int, batch: int, seed: int = 0):
-    """A fixed synthetic dataset with annotator-style soft targets: each
-    sample's probability mass is split over 2-3 candidate answers (VQA's
-    ten annotators rarely agree unanimously, data_loader.py:39-42), so a
-    model trained to convergence keeps close competitors in its logits —
-    exactly where argmax flips live."""
-    rng = np.random.default_rng(seed)
-    n = batches * batch
+def _fixed_batch(cfg, batch: int, idx: int, seed: int = 0):
+    """One deterministic synthetic batch with annotator-style soft targets:
+    each sample's probability mass is split over 2-3 candidate answers
+    (VQA's ten annotators rarely agree unanimously, data_loader.py:39-42),
+    so a model trained to convergence keeps close competitors in its
+    logits — exactly where argmax flips live.
+
+    Batches are a pure function of (seed, idx), generated on demand:
+    materialising the whole dataset was ~1.6 GB/batch of f32 features
+    (82 GB at the default 50 measurement batches). Features are stored
+    f16 (consumed as bf16/f32 with a cast at the feed)."""
+    rng = np.random.default_rng((seed, idx))
+    n = batch
     img = np.maximum(
         rng.standard_normal(
             (n, cfg.img_feature_dim, cfg.img_feature_channel), np.float32
         ), 0.0,
-    )
+    ).astype(np.float16)
     ques = rng.integers(
         0, cfg.q_vocab_size, size=(n, 22)).astype(np.int32)
     qlen = rng.integers(1, 23, size=(n,)).astype(np.int32)
@@ -110,14 +115,13 @@ def _fixed_dataset(cfg, batches: int, batch: int, seed: int = 0):
     return img, ques, qlen, soft
 
 
-def _train_params(model, cfg32, params, data, steps: int, batch: int):
-    """Adam-train (reference rule: lr 7e-4, soft-CE) on the fixed dataset
-    until the weights are trained-like; returns the final params."""
+def _train_params(model, cfg32, params, train_data, steps: int, batch: int):
+    """Adam-train (reference rule: lr 7e-4, soft-CE) on the fixed train
+    batches until the weights are trained-like; returns the final params."""
     import optax
 
     from vqa_attention_networks_tpu.train.losses import soft_cross_entropy
 
-    img, ques, qlen, soft = data
     tx = optax.adam(7e-4)  # solver.py:30
     opt_state = tx.init(params)
     key = jax.random.PRNGKey(1)
@@ -136,12 +140,10 @@ def _train_params(model, cfg32, params, data, steps: int, batch: int):
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o, k, loss
 
-    n_batches = img.shape[0] // batch
     for s in range(steps):
-        b = s % n_batches
-        sl = slice(b * batch, (b + 1) * batch)
+        img, ques, qlen, soft = train_data[s % len(train_data)]
         params, opt_state, key, loss = step(
-            params, opt_state, key, img[sl], ques[sl], qlen[sl], soft[sl]
+            params, opt_state, key, img.astype(np.float32), ques, qlen, soft
         )
         if (s + 1) % 50 == 0 or s == steps - 1:
             print(f"  train step {s + 1}/{steps} loss {float(loss):.4f}",
@@ -163,6 +165,11 @@ def main(argv=None) -> None:
                         help="orbax weights dir (e.g. models/mhb_coAtt) — "
                              "real trained weights instead of synthetic "
                              "training")
+    parser.add_argument("--train_batches", type=int, default=8,
+                        help="distinct synthetic train batches kept "
+                             "resident under --train_steps (~400 MB each "
+                             "at batch 1024); measurement batches are "
+                             "generated on demand and held out")
     parser.add_argument("--q_vocab", type=int, default=15881)
     parser.add_argument("--a_vocab", type=int, default=1000)
     args = parser.parse_args(argv)
@@ -175,19 +182,25 @@ def main(argv=None) -> None:
     cfg32 = cfg16.replace(compute_dtype="float32")
     params = jax.device_put(model.init(jax.random.PRNGKey(0), cfg16))
 
-    data = None
+    trained = False
     if args.checkpoint:
         from vqa_attention_networks_tpu.utils import checkpoint as ckpt
 
         params = ckpt.load_weights(args.checkpoint, params)
         print(f"loaded trained weights from {args.checkpoint}")
+        trained = True
     elif args.train_steps:
-        data = _fixed_dataset(cfg16, args.batches, args.batch)
+        train_data = [
+            _fixed_batch(cfg16, args.batch, i)
+            for i in range(args.train_batches)
+        ]
         print(f"training {args.train_steps} steps on the fixed synthetic "
-              f"dataset ({args.batches}x{args.batch} samples)...")
+              f"dataset ({args.train_batches}x{args.batch} samples)...")
         params = _train_params(
-            model, cfg32, params, data, args.train_steps, args.batch
+            model, cfg32, params, train_data, args.train_steps, args.batch
         )
+        del train_data
+        trained = True
 
     def fwd(cfg):
         def run(p, img, ques, qlen):
@@ -209,13 +222,17 @@ def main(argv=None) -> None:
 
     accum: dict = {}
     for b in range(args.batches):
-        if data is not None:
-            # measure on the TRAINED data: confident logits with close
-            # competitors, the regime where flips change accuracy
-            sl = slice(b * args.batch, (b + 1) * args.batch)
-            img16 = jnp.asarray(data[0][sl], jnp.bfloat16)
-            ques = jnp.asarray(data[1][sl])
-            qlen = jnp.asarray(data[2][sl])
+        if trained and not args.checkpoint:
+            # measure on HELD-OUT samples of the trained distribution:
+            # the trained weights keep the dirichlet candidates' logits
+            # close, the regime where flips change accuracy (fresh batch
+            # indices — disjoint from the train batches by construction)
+            img, ques_np, qlen_np, _ = _fixed_batch(
+                cfg16, args.batch, 10_000 + b
+            )
+            img16 = jnp.asarray(img, jnp.bfloat16)
+            ques = jnp.asarray(ques_np)
+            qlen = jnp.asarray(qlen_np)
         else:
             rng = jax.random.PRNGKey(100 + b)
             k_i, k_q, k_l = jax.random.split(rng, 3)

@@ -70,10 +70,11 @@ def main(argv=None):
     )
 
     c = 512
-    c1w = jax.random.normal(rng, (f // k, c), jnp.float32) * 0.05
-    c1b = jax.random.normal(rng, (c,), jnp.float32) * 0.05
-    c2w = jax.random.normal(rng, (c, 2), jnp.float32) * 0.05
-    c2b = jax.random.normal(rng, (2,), jnp.float32) * 0.05
+    k4, k5, k6, k7 = jax.random.split(jax.random.PRNGKey(1), 4)
+    c1w = jax.random.normal(k4, (f // k, c), jnp.float32) * 0.05
+    c1b = jax.random.normal(k5, (c,), jnp.float32) * 0.05
+    c2w = jax.random.normal(k6, (c, 2), jnp.float32) * 0.05
+    c2b = jax.random.normal(k7, (2,), jnp.float32) * 0.05
 
     got = np.asarray(jax.jit(
         lambda *a: _stage1_coatt_tpu(*a, k)
@@ -115,9 +116,8 @@ def main(argv=None):
 
     got = np.asarray(jax.jit(
         lambda *a: fused_stage1_coattention_pallas_pair(*a, k)
-    )(img[:small], w, b, q[:small], c1w, c1b, c2w, c2b),
-        np.float32).reshape(small, -1)
-    err = np.abs(got - want)
+    )(img[:small], w, b, q[:small], c1w, c1b, c2w, c2b), np.float32)
+    err = np.abs(got - np.asarray(want, np.float32))
     print(f"pair kernel vs f32-composed: mean|err| {err.mean():.2e}",
           flush=True)
 

@@ -398,3 +398,47 @@ def test_empty_train_split_raises_cleanly(tmp_path):
     solver.batches["train"]._rows = solver.batches["train"]._rows[:0]
     with pytest.raises(ValueError, match="empty"):
         solver.train()
+
+
+def test_grad_accum_bn_skips_all_pad_microbatches(tmp_path):
+    # slices of the epoch's padded final batch can be ENTIRELY padding
+    # under grad accumulation; their masked batch stats are mean=0/var=0
+    # and must NOT be EMA'd into the running stats (each zero application
+    # shrinks them toward 0 right before val() reads them)
+    import jax
+
+    from vqa_attention_networks_tpu.train.solver import BN_MOMENTUM
+
+    solver, _ = _setup(tmp_path / "pad", "iBOWIMG", num_epoch=1,
+                       grad_accum_steps=2, dropout_default=0.0)
+    batch = next(solver.batches["train"].epoch())
+    img, ques, answers, qlen, valid, soft = [
+        np.asarray(x) for x in solver._device_batch(batch)
+    ]
+    n = img.shape[0] // 2
+    valid = valid.copy()
+    valid[n:] = False  # microbatch 2 is all padding
+    key = jax.random.fold_in(solver._rng_base, 0)
+    init_stats = {k: np.asarray(solver.params["img_bn"][k])
+                  for k in ("mean", "var")}
+    w = np.asarray(solver.params["img_emb"]["w"], np.float64)
+    b = np.asarray(solver.params["img_emb"]["b"], np.float64)
+    params_new, _, _, _ = solver._train_step(
+        solver.params, solver.opt_state, img, ques, answers, qlen, valid,
+        soft, key,
+    )
+
+    # expected: exactly ONE EMA application (microbatch 1), none for the
+    # all-pad microbatch 2
+    x = (img[:n].astype(np.float64).mean(axis=1) @ w + b)
+    x = x[valid[:n].astype(bool)]
+    mean = x.mean(axis=0)
+    var_unbiased = x.var(axis=0) * (len(x) / max(len(x) - 1, 1))
+    want = {
+        "mean": (1 - BN_MOMENTUM) * init_stats["mean"] + BN_MOMENTUM * mean,
+        "var": (1 - BN_MOMENTUM) * init_stats["var"]
+               + BN_MOMENTUM * var_unbiased,
+    }
+    got = jax.device_get(params_new["img_bn"])
+    np.testing.assert_allclose(got["mean"], want["mean"], rtol=1e-4)
+    np.testing.assert_allclose(got["var"], want["var"], rtol=1e-4)

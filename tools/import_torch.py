@@ -63,7 +63,14 @@ def main(argv=None) -> None:
     ).validate()
 
     model = get_model(cfg.model_name)
-    if cfg.glove and args.glove_table:
+    if cfg.glove:
+        if not args.glove_table:
+            # the .pth has no GloVe entries; importing without a real table
+            # would silently bake a ZERO table into the written checkpoint
+            raise SystemExit(
+                "--glove 1 needs --glove_table (build data/glove_table.npy "
+                "with cli.build_glove): the .pth carries no GloVe vectors"
+            )
         import numpy as np
 
         template = model.init(jax.random.PRNGKey(0), cfg,

@@ -47,6 +47,10 @@ def main(argv=None) -> None:
     parser.add_argument("--glove", type=int, default=0,
                         help="set 1 for checkpoints trained with --glove 1 "
                              "(mhb_coAtt: doubled LSTM input + glove table)")
+    parser.add_argument("--glove_table", type=str, default=None,
+                        help="data/glove_table.npy — required with "
+                             "--glove 1 --torch_checkpoint (the .pth has "
+                             "no GloVe vectors)")
     parser.add_argument("--torch_checkpoint", type=str, default=None,
                         help="a reference models/<name>.pth state_dict to "
                              "predict with, imported in place of the orbax "
@@ -126,9 +130,25 @@ def main(argv=None) -> None:
     ).validate()
     model = get_model(cfg.model_name)
     if cfg.glove and cfg.model_name == "mhb_coAtt":
-        # template needs the glove_table leaf; the checkpoint supplies the
+        glove_table = None
+        if args.torch_checkpoint:
+            # a reference .pth has NO glove entries (the reference looks
+            # vectors up via spaCy at load time, data_loader.py:18-23) —
+            # without a real table the import would silently zero half the
+            # LSTM input and predict garbage
+            if not args.glove_table:
+                raise SystemExit(
+                    "--glove 1 with --torch_checkpoint needs --glove_table "
+                    "(build data/glove_table.npy with cli.build_glove): the "
+                    ".pth carries no GloVe vectors"
+                )
+            import numpy as _np
+
+            glove_table = _np.load(args.glove_table)
+        # template needs the glove_table leaf; orbax checkpoints supply the
         # real (frozen) vectors at restore
-        template = model.init(jax.random.PRNGKey(0), cfg, glove_table=None)
+        template = model.init(jax.random.PRNGKey(0), cfg,
+                              glove_table=glove_table)
     else:
         template = model.init(jax.random.PRNGKey(0), cfg)
     if args.torch_checkpoint:

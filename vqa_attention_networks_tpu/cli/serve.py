@@ -139,6 +139,12 @@ class FeatureCache:
     def put(self, image_id: int, feats: np.ndarray) -> None:
         if not self.capacity:
             return
+        if feats.base is not None:
+            # a row view of a bulk-gather result would pin the ENTIRE
+            # [B, 196, 2048] base array (up to ~3 GB for a max bulk call)
+            # for as long as the entry lives — the accounted capacity is
+            # per-grid, so store an owning copy
+            feats = feats.copy()
         with self._lock:
             self._map[image_id] = feats
             self._map.move_to_end(image_id)
@@ -197,10 +203,7 @@ class VqaService:
                      for i, f in zip(image_ids, feats)]
         return feats
 
-    def _encode(self, item: dict):
-        question = item["question"]
-        image_id = int(item["image_id"])
-        feats = self._features(image_id)
+    def _tokenize(self, question: str):
         # LEFT-aligned, exactly as training encodes (prepare.py): models
         # gather the last-valid LSTM state at ques_length-1, which with a
         # right-aligned layout would index into the leading pad run —
@@ -209,7 +212,11 @@ class VqaService:
         ids = np.asarray(
             encode_question(question, self.q_vocab, self.max_len), np.int32
         )
-        qlen = max(int((ids != 0).sum()), 1)
+        return ids, max(int((ids != 0).sum()), 1)
+
+    def _encode(self, item: dict):
+        feats = self._features(int(item["image_id"]))
+        ids, qlen = self._tokenize(item["question"])
         return feats, ids, qlen
 
     def _to_dict(self, pred) -> dict:
@@ -234,12 +241,8 @@ class VqaService:
         request; the batched gather runs the native multithreaded plane)."""
         tokens = []
         for item in items:
-            ids = np.asarray(
-                encode_question(item["question"], self.q_vocab, self.max_len),
-                np.int32,
-            )
-            tokens.append((int(item["image_id"]), ids,
-                           max(int((ids != 0).sum()), 1)))
+            ids, qlen = self._tokenize(item["question"])
+            tokens.append((int(item["image_id"]), ids, qlen))
         all_feats = self._features_batch([t[0] for t in tokens])
         out = []
         bs = self.engine.batch_size

@@ -286,7 +286,7 @@ def fused_stage1_coattention_pallas(
 # sample A's matmul (MXU) in the same O tile, so Mosaic may overlap the two
 # phases that are strictly serial in the single-sample kernel (which runs
 # ~9.8 ms MXU + ~3.5 ms VPU + ~1.7 ms glimpse fully serialized, 26% MFU).
-# Measured by benchmarks/bench_wq_kernel.py --pair; promote to the dispatch
+# Measured by benchmarks/bench_wq_kernel.py; promote to the dispatch
 # in stage1_coattention only on a measured win.
 # ---------------------------------------------------------------------------
 

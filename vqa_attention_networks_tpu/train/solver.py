@@ -64,14 +64,22 @@ from vqa_attention_networks_tpu.utils.timer import Timer
 BN_MOMENTUM = 0.1  # torch nn.BatchNorm1d default (networks.py:11,44)
 
 
-def _merge_batch_stats(params: Dict[str, Any], aux: Dict[str, Any]) -> Dict[str, Any]:
+def _merge_batch_stats(
+    params: Dict[str, Any],
+    aux: Dict[str, Any],
+    micro_valid: Optional[jnp.ndarray] = None,
+) -> Dict[str, Any]:
     """EMA this step's batch-norm batch statistics into the running stats.
 
     The layers return RAW batch stats (models/layers.py batchnorm); the
     momentum update lives here. ``aux["batch_stats"]`` leaves may carry a
     leading microbatch axis (grad accumulation's lax.scan stacks them) —
     then the EMA applies sequentially per microbatch, matching torch's
-    once-per-forward momentum semantics."""
+    once-per-forward momentum semantics. ``micro_valid`` ([a] valid-row
+    counts) skips microbatches that are ENTIRELY padding (slices of the
+    epoch's padded final batch): their masked stats are mean=0/var=0, and
+    EMAing those zeros would shrink the running stats toward 0 right
+    before the epoch's val() reads them."""
     stats = aux.get("batch_stats")
     if not stats:
         return params
@@ -82,7 +90,10 @@ def _merge_batch_stats(params: Dict[str, Any], aux: Dict[str, Any]) -> Dict[str,
             run = merged[key]
             if batch.ndim == run.ndim + 1:  # stacked microbatch stats
                 for i in range(batch.shape[0]):
-                    run = (1 - BN_MOMENTUM) * run + BN_MOMENTUM * batch[i]
+                    upd = (1 - BN_MOMENTUM) * run + BN_MOMENTUM * batch[i]
+                    if micro_valid is not None:
+                        upd = jnp.where(micro_valid[i] > 0, upd, run)
+                    run = upd
             else:
                 run = (1 - BN_MOMENTUM) * run + BN_MOMENTUM * batch
             merged[key] = run
@@ -262,17 +273,21 @@ class Solver:
             loss = loss / a
             grads = jax.tree_util.tree_map(lambda g: g / a, grads)
             aux = jax.tree_util.tree_map(lambda s: s[-1], auxes)
+            micro_valid = None
             if auxes.get("batch_stats"):
-                # keep the microbatch axis: the merge EMAs sequentially
+                # keep the microbatch axis: the merge EMAs sequentially,
+                # skipping all-pad microbatches via the per-micro counts
                 aux["batch_stats"] = auxes["batch_stats"]
+                micro_valid = re(valid).sum(axis=1)
         else:
             loss, grads, aux, correct = grad_one(
                 img, ques, answers, qlen, valid, soft, rng
             )
+            micro_valid = None
 
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        params = _merge_batch_stats(params, aux)
+        params = _merge_batch_stats(params, aux, micro_valid)
         return params, opt_state, loss, correct
 
     def _eval_step_fn(self, params, img, ques, answers, qlen, valid, soft):
