@@ -47,6 +47,10 @@ def serving_forward(cfg: Config, topk: int):
     and the jit engine can never drift apart.
     """
     model = get_model(cfg.model_name)
+    # a top-k wider than the answer vocab (e.g. the default --topk 5 with
+    # a 3-answer yes/no-filtered vocab) is a trace-time lax.top_k error —
+    # clamp instead of crashing at server start
+    topk = min(topk, cfg.a_vocab_size)
 
     def fwd(params, img, ques, qlen):
         logits, _ = model.apply(

@@ -42,7 +42,10 @@ class InferenceEngine:
         self.cfg = cfg.replace(compute_dtype="bfloat16")
         self.params = jax.device_put(params)
         self.batch_size = batch_size
-        self.topk = topk
+        # keep in sync with serving_forward's clamp (aot.py): the meta
+        # check against an exported artifact compares this value
+        self.topk = min(topk, cfg.a_vocab_size)
+        topk = self.topk
 
         from vqa_attention_networks_tpu import aot
 
