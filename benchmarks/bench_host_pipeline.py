@@ -96,6 +96,26 @@ def main(argv=None) -> None:
             if force_numpy:
                 os.environ.pop("VQA_DISABLE_NATIVE", None)
 
+        # ---- int8 quantized feed (tools/quantize_store.py): int8 rows +
+        # f16 scales per batch, dequant happens ON DEVICE — this measures
+        # the host-side assembly cost of the quarter-size feed
+        from vqa_attention_networks_tpu.data.feature_store import (
+            quantize_store,
+        )
+
+        q_store = quantize_store(tmp, os.path.join(tmp, "int8_store"))
+        batches_q = VqaBatches(
+            qa.train, q_store, batch_size=args.batch,
+            num_answers=args.num_answers, soft_answer=True,
+            shuffle=True, feature_dtype=np.int8,
+        )
+        rate = _assemble_rate(batches_q, n_batches)
+        print(
+            f"int8   feed=int8+scale batch={args.batch:5d} {rate:12.0f} "
+            f"qa-pairs/s ({rate * 196 * 2048 / 1e9:.1f} GB/s features)",
+            flush=True,
+        )
+
         # ---- thread-pool batch assembly (dataset.parallel_epoch): the
         # training feed's scale-out lever on a multi-core TPU-VM host.
         # On this 1-core dev VM workers>1 only measures overhead; the

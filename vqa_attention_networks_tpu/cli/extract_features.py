@@ -92,6 +92,12 @@ def main(argv=None) -> None:
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         help="trunk compute dtype: bfloat16 (fast) or "
                              "float32 (reference-exact features)")
+    parser.add_argument("--store_dtype", type=str, default="float16",
+                        help="on-disk store dtype: float16 (default) or "
+                             "int8 (quantized with per-channel scales — "
+                             "half the disk/host bytes, 2-4x less "
+                             "host->device traffic; an existing f16 store "
+                             "converts with tools/quantize_store.py)")
     args = parser.parse_args(argv)
 
     import functools
@@ -126,7 +132,8 @@ def main(argv=None) -> None:
     bs = args.batch_size
     grid = (args.size // 32) ** 2  # ResNet downsamples 32x: 448 -> 14x14
     chunks = [names[s : s + bs] for s in range(0, len(names), bs)]
-    with FeatureStoreWriter(out_dir, num_regions=grid) as writer, \
+    with FeatureStoreWriter(out_dir, num_regions=grid,
+                            dtype=args.store_dtype) as writer, \
             ThreadPoolExecutor(max_workers=8) as pool:
         # software pipeline: decode chunk t+1 on host threads while the
         # device runs chunk t (jax dispatch is async; the np.asarray fetch

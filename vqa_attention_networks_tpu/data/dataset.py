@@ -32,12 +32,16 @@ class Batch:
     """One device-ready batch. ``soft_answers`` is densified on the host
     (cheap: B x 10 scatter) exactly as ``data_loader.py:39-42`` does."""
 
-    image_features: np.ndarray  # [B, 196, 2048]
+    image_features: np.ndarray  # [B, 196, 2048] (int8 when quantized feed)
     questions: np.ndarray  # [B, T] int32
     answers: np.ndarray  # [B] int32 hard labels
     ques_length: np.ndarray  # [B] int32
     valid: np.ndarray  # [B] bool — False on pad rows of the final batch
     soft_answers: Optional[np.ndarray] = None  # [B, A] float32
+    # int8 stores: per-(sample, channel) f16 dequant scales; the solver
+    # dequantises ON DEVICE (int8 crosses host->device, 4x less traffic
+    # than the f32 feed, 2x less than f16)
+    feature_scale: Optional[np.ndarray] = None  # [B, C] float16
 
     def __len__(self) -> int:
         return int(self.questions.shape[0])
@@ -98,7 +102,13 @@ class VqaBatches:
         if b < bs:  # pad the final batch to static shape
             valid[b:] = False
             idx = np.concatenate([idx, np.broadcast_to(idx[-1:], (bs - b,))])
-        feats = self.store.gather_rows(self._rows[idx], dtype=self.feature_dtype)
+        scale = None
+        if np.dtype(self.feature_dtype) == np.int8:
+            feats, scale = self.store.gather_rows_quantized(self._rows[idx])
+        else:
+            feats = self.store.gather_rows(
+                self._rows[idx], dtype=self.feature_dtype
+            )
         return Batch(
             image_features=feats,
             questions=self.split.questions[idx].astype(np.int32),
@@ -106,6 +116,7 @@ class VqaBatches:
             ques_length=self.split.ques_length[idx].astype(np.int32),
             valid=valid,
             soft_answers=self._densify_soft(idx) if self.soft_answer else None,
+            feature_scale=scale,
         )
 
     def epoch(

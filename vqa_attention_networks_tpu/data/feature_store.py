@@ -25,6 +25,7 @@ import numpy as np
 
 FEATURES_FILE = "features.bin"
 INDEX_FILE = "index.json"
+SCALES_FILE = "scales.bin"  # int8 stores: per-image-per-channel f16 scales
 
 
 class FeatureStoreWriter:
@@ -43,8 +44,33 @@ class FeatureStoreWriter:
         self.dtype = np.dtype(dtype)
         os.makedirs(directory, exist_ok=True)
         self._file = open(join(directory, FEATURES_FILE), "wb")
+        self._scales_file = (
+            open(join(directory, SCALES_FILE), "wb")
+            if self.dtype == np.int8 else None
+        )
         self._image_ids: list = []
         self.clamped = 0  # elements saturated into the store dtype's range
+
+    def _quantize(self, features: np.ndarray) -> np.ndarray:
+        """int8 symmetric quantization, one f16 scale per (image, channel).
+
+        Feature grids are backbone activations whose dynamic range varies
+        far more across channels than within one channel's 196 regions, so
+        per-channel scales keep the relative error ~1/254 of each channel's
+        own max — the right granularity for a store consumed as matmul
+        input. Scales stream to scales.bin alongside the rows."""
+        features = np.asarray(features, np.float32)
+        if features.ndim == 2:
+            features = features[None]
+        amax = np.abs(features).max(axis=1)  # [B, C]
+        scale = (amax / 127.0).astype(np.float16)
+        # zero-max channels (all-dropped relu columns): scale 0 would
+        # divide by zero below; any nonzero scale round-trips the zeros
+        safe = np.where(scale > 0, scale, np.float16(1.0)).astype(np.float32)
+        q = np.rint(features / safe[:, None, :])
+        q = np.clip(q, -127, 127).astype(np.int8)
+        self._scales_file.write(np.ascontiguousarray(scale).tobytes())
+        return q
 
     def _narrow(self, features: np.ndarray) -> np.ndarray:
         """Cast to the store dtype, clamping instead of overflowing to inf.
@@ -62,6 +88,8 @@ class FeatureStoreWriter:
                 f"{bad} non-finite feature values — the trunk or input "
                 "images are corrupted; refusing to write a poisoned store"
             )
+        if self.dtype == np.int8:
+            return self._quantize(features)
         if (self.dtype == np.float16
                 and features.dtype.itemsize > self.dtype.itemsize):
             lim = float(np.finfo(np.float16).max)
@@ -75,6 +103,8 @@ class FeatureStoreWriter:
     def append(self, image_id: int, features: np.ndarray) -> None:
         """Append one image's [num_regions, channels] feature grid."""
         features = self._narrow(features)
+        if self.dtype == np.int8:
+            features = features[0]
         assert features.shape == (self.num_regions, self.channels), features.shape
         self._file.write(features.tobytes())
         self._image_ids.append(int(image_id))
@@ -91,6 +121,8 @@ class FeatureStoreWriter:
 
     def close(self) -> None:
         self._file.close()
+        if self._scales_file is not None:
+            self._scales_file.close()
         if self.clamped:
             print(f"WARNING: {self.clamped} feature elements exceeded the "
                   f"{self.dtype.name} range and were clamped "
@@ -115,6 +147,8 @@ class FeatureStoreWriter:
             # look complete (open_feature_store would load it and training
             # would only fail much later on a missing image_id)
             self._file.close()
+            if self._scales_file is not None:
+                self._scales_file.close()
             print(f"WARNING: extraction aborted ({exc_type.__name__}); "
                   f"{self.directory} left WITHOUT an index — rerun "
                   "extraction to finalize it")
@@ -135,6 +169,15 @@ class FeatureStore:
             mode="r",
             shape=shape,
         )
+        self.scales = None
+        if self.features.dtype == np.int8:
+            # int8 stores carry per-(image, channel) f16 scales; shipping
+            # (int8 rows, scales) to the device and dequantising in-graph
+            # halves host gather bytes and H2D traffic vs the f16 store
+            self.scales = np.memmap(
+                join(directory, SCALES_FILE), dtype=np.float16, mode="r",
+                shape=(shape[0], shape[2]),
+            )
         self.row_of: Dict[int, int] = {
             img_id: row for row, img_id in enumerate(index["image_ids"])
         }
@@ -151,7 +194,30 @@ class FeatureStore:
         """Gather a batch of feature grids: [B, num_regions, channels]."""
         return self.gather_rows(self.rows_for(image_ids), dtype)
 
+    @property
+    def quantized(self) -> bool:
+        return self.features.dtype == np.int8
+
+    def gather_rows_quantized(self, rows: np.ndarray):
+        """int8 fast path: (int8 [B, L, C], f16 scales [B, C]) — a quarter
+        of the f32 gather bytes; dequantisation belongs on the device."""
+        assert self.quantized, "gather_rows_quantized needs an int8 store"
+        rows = np.asarray(rows)
+        return np.asarray(self.features[rows]), np.asarray(self.scales[rows])
+
+    def gather_quantized(self, image_ids: Sequence[int]):
+        return self.gather_rows_quantized(self.rows_for(image_ids))
+
     def gather_rows(self, rows: np.ndarray, dtype=np.float32) -> np.ndarray:
+        if self.features.dtype == np.int8:
+            if np.dtype(dtype) == np.int8:
+                return np.asarray(self.features[rows])
+            # transparent host-side dequant: every float consumer works
+            # against an int8 store unchanged (the fast path is
+            # gather_rows_quantized + on-device dequant)
+            q = self.features[rows].astype(np.float32)
+            s = self.scales[rows].astype(np.float32)
+            return (q * s[:, None, :]).astype(dtype)
         # native gather when available (native/dataplane.cpp): fused
         # gather+widen for the f32 feed, raw row memcpy for the f16 feed
         # (the bf16-training configuration — feature_dtype=float16 in
@@ -229,6 +295,27 @@ class CombinedFeatureStore:
     def gather(self, image_ids: Sequence[int], dtype=np.float32) -> np.ndarray:
         return self.gather_rows(self.rows_for(image_ids), dtype)
 
+    @property
+    def quantized(self) -> bool:
+        return all(s.quantized for s in self.stores)
+
+    def gather_rows_quantized(self, rows: np.ndarray):
+        assert self.quantized, "gather_rows_quantized needs int8 stores"
+        rows = np.asarray(rows)
+        store_idx = rows >> 40
+        local = rows & ((1 << 40) - 1)
+        q = np.empty((len(rows), self.num_regions, self.channels), np.int8)
+        s = np.empty((len(rows), self.channels), np.float16)
+        for si in np.unique(store_idx):
+            sel = store_idx == si
+            q[sel], s[sel] = self.stores[int(si)].gather_rows_quantized(
+                local[sel]
+            )
+        return q, s
+
+    def gather_quantized(self, image_ids: Sequence[int]):
+        return self.gather_rows_quantized(self.rows_for(image_ids))
+
 
 def open_feature_store(data_dir: str, feature_type: str = "resnet152"):
     """Open whatever store layout exists: a combined ``<ft>_all`` directory,
@@ -258,10 +345,35 @@ def make_synthetic_feature_store(
     num_regions: int = 196,
     channels: int = 2048,
     seed: int = 0,
+    dtype: str = "float16",
 ) -> FeatureStore:
     """Write a small random store (tests / smoke slices)."""
     rng = np.random.default_rng(seed)
-    with FeatureStoreWriter(directory, num_regions, channels) as w:
+    with FeatureStoreWriter(directory, num_regions, channels, dtype) as w:
         for img_id in image_ids:
             w.append(img_id, rng.standard_normal((num_regions, channels)) * 0.5)
     return FeatureStore(directory)
+
+
+def quantize_store(src_dir: str, dst_dir: str, batch: int = 256) -> FeatureStore:
+    """Convert an existing f16/f32 store to int8 + per-channel scales.
+
+    Re-extraction is expensive (a ResNet-152 pass over ~123k images per
+    split); this converts the packed artifact in place-of, streaming in
+    ``batch``-row chunks."""
+    src = FeatureStore(src_dir)
+    if src.quantized:
+        raise ValueError(f"{src_dir} is already int8")
+    ids = [None] * len(src)
+    for img_id, row in src.row_of.items():
+        ids[row] = img_id
+    with FeatureStoreWriter(
+        dst_dir, src.num_regions, src.channels, "int8"
+    ) as w:
+        for start in range(0, len(src), batch):
+            rows = np.arange(start, min(start + batch, len(src)))
+            w.append_batch(
+                [ids[r] for r in rows],
+                np.asarray(src.features[rows], np.float32),
+            )
+    return FeatureStore(dst_dir)

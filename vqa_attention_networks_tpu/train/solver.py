@@ -163,8 +163,20 @@ class Solver:
         # data pipelines (the counterpart of solver.py:39-41). With a bf16
         # compute dtype the features ship as f16 (same store dtype) and the
         # model casts on device — half the host->device traffic.
-        feature_dtype = (
-            np.float16 if cfg.compute_dtype == "bfloat16" else np.float32
+        if getattr(store, "quantized", False):
+            # int8 store: ship (int8 rows, f16 scales) and dequantise on
+            # device — 4x less H2D traffic than the f32 feed; the scales
+            # keep per-channel relative error ~1/254
+            feature_dtype = np.int8
+        else:
+            feature_dtype = (
+                np.float16 if cfg.compute_dtype == "bfloat16" else np.float32
+            )
+        out_dt = (
+            jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        )
+        self._dequant = jax.jit(
+            lambda q, s: q.astype(out_dt) * s[:, None, :].astype(out_dt)
         )
         self.batches = {
             split: VqaBatches(
@@ -312,7 +324,7 @@ class Solver:
         if soft is None:
             # static placeholder keeps one compiled signature per model
             soft = np.zeros((len(batch), 1), np.float32)
-        return shard_batch(
+        img, ques, answers, qlen, valid, soft, scale = shard_batch(
             self.mesh,
             (
                 batch.image_features,
@@ -321,8 +333,14 @@ class Solver:
                 batch.ques_length,
                 batch.valid,
                 soft,
+                batch.feature_scale,
             ),
         )
+        if scale is not None:
+            # on-device dequant of the int8 feed (one fused multiply; the
+            # step functions then see an ordinary float batch)
+            img = self._dequant(img, scale)
+        return (img, ques, answers, qlen, valid, soft)
 
     # ------------------------------------------------------------------
     # driver loops (solver.py:52-117)
