@@ -160,8 +160,10 @@ def main(argv=None) -> None:
         ).tolist()
         for label, cap_mb in (("cache off", 0), ("cache 512M", 512)):
             svc = SimpleNamespace(
-                cache=FeatureCache(cap_mb << 20, grid_bytes), store=store
+                cache=FeatureCache(cap_mb << 20, grid_bytes), store=store,
+                int8=False,
             )
+            svc._gather = lambda ids, s=svc: VqaService._gather(s, ids)
             best = 0.0
             for _ in range(3):
                 t0 = time.perf_counter()

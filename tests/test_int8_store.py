@@ -132,3 +132,111 @@ def test_int8_training_feed_end_to_end(tmp_path):
     m8 = run(q)
     assert np.isfinite(m8["train_loss"])
     np.testing.assert_allclose(m8["train_loss"], m16["train_loss"], rtol=0.1)
+
+
+def test_engine_int8_feed_matches_f16_feed(tmp_path):
+    # same int8 store content through both feeds: host-side dequant + f16
+    # engine vs device-side dequant + int8 engine. Rounding differs (f16
+    # intermediate vs bf16 product) so compare with a margin-aware check.
+    import jax
+
+    from vqa_attention_networks_tpu.models import get_model
+    from vqa_attention_networks_tpu.serve import InferenceEngine
+
+    make_synthetic_feature_store(str(tmp_path / "f"), IDS, num_regions=196,
+                                 channels=16)
+    q = quantize_store(str(tmp_path / "f"), str(tmp_path / "q"))
+    cfg = Config(
+        model_name="iBOWIMG", q_vocab_size=20, a_vocab_size=8,
+        max_question_length=6, img_feature_channel=16,
+        compute_dtype="bfloat16",
+    ).validate()
+    params = get_model("iBOWIMG").init(jax.random.PRNGKey(0), cfg)
+    e16 = InferenceEngine(cfg, params, batch_size=4, topk=3)
+    e8 = InferenceEngine(cfg, params, batch_size=4, topk=3,
+                         input_dtype="int8")
+
+    rng = np.random.default_rng(0)
+    ques = rng.integers(1, 20, size=(4, 6)).astype(np.int32)
+    qlen = np.asarray([3, 6, 1, 4], np.int32)
+    qi, s = q.gather_quantized(IDS)
+    p16 = e16.predict_batch(q.gather(IDS, np.float16), ques, qlen)
+    p8 = e8.predict_batch(qi, ques, qlen, feature_scale=s)
+    for a, b in zip(p16, p8):
+        np.testing.assert_allclose(a.top_probs, b.top_probs, atol=2e-2)
+        gap = float(a.top_probs[0] - a.top_probs[1])
+        if gap > 5e-2:  # clear winner must survive the feed rounding
+            assert a.answer_id == b.answer_id
+
+
+def test_http_service_serves_int8_store_end_to_end(tmp_path):
+    import argparse
+    import json as _json
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    import jax
+
+    from vqa_attention_networks_tpu.cli import serve as serve_cli
+    from vqa_attention_networks_tpu.models import get_model
+    from vqa_attention_networks_tpu.utils import checkpoint as ckpt
+
+    data_dir = tmp_path
+    words = ["what", "color", "is", "the", "cat"]
+    q_vocab = {w: i + 1 for i, w in enumerate(words)}
+    q_vocab["UNK"] = len(words) + 1
+    answers = ["black", "white", "blue", "red", "yes"]
+    vocab = {
+        "question_vocab": q_vocab,
+        "answer_vocab": {a: i for i, a in enumerate(answers)},
+        "max_question_length": 6,
+    }
+    with open(data_dir / "qa_v2_5answers_all.vocab.json", "w") as f:
+        _json.dump(vocab, f)
+    make_synthetic_feature_store(str(data_dir / "tmp_f16"), IDS,
+                                 num_regions=4, channels=8)
+    quantize_store(str(data_dir / "tmp_f16"), str(data_dir / "resnet152_all"))
+
+    cfg = Config(
+        model_name="iBOWIMG", q_vocab_size=q_vocab["UNK"] + 1,
+        a_vocab_size=len(answers), max_question_length=6,
+        img_feature_channel=8, compute_dtype="bfloat16",
+    ).validate()
+    params = get_model("iBOWIMG").init(jax.random.PRNGKey(0), cfg)
+    ckpt.save_weights(str(data_dir / "models" / "iBOWIMG"), params)
+
+    args = argparse.Namespace(
+        model_name="iBOWIMG", model_dir=str(data_dir / "models"),
+        data_dir=str(data_dir), vocab=None, feature_type="resnet152",
+        version=2, num_answer=5, batch_size=4, topk=3, max_wait_ms=5.0,
+    )
+    service = serve_cli.build_service(args)
+    assert service.int8
+    assert service.engine.input_dtype == "int8"
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve_cli.make_handler(service, "iBOWIMG")
+    )
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        def post(payload):
+            req = urllib.request.Request(
+                url + "/predict", _json.dumps(payload).encode(),
+                {"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                return _json.loads(r.read())
+
+        single = post({"question": "what color", "image_id": IDS[0]})
+        assert single["answer"] in answers
+        again = post({"question": "what color", "image_id": IDS[0]})
+        assert single == again  # second hit served from the int8 cache
+        bulk = post({"requests": [
+            {"question": "what color", "image_id": IDS[0]},
+            {"question": "is the cat", "image_id": IDS[2]},
+        ]})["results"]
+        assert bulk[0]["answer"] == single["answer"]
+        assert service.cache.stats()["hits"] >= 1
+    finally:
+        httpd.shutdown()

@@ -299,7 +299,8 @@ def test_feature_cache_lru_eviction_and_batched_gather(tmp_path):
     store = FeatureStore(store_dir)
     grid_bytes = 4 * 8 * 2
     cache = FeatureCache(2 * grid_bytes, grid_bytes)  # capacity 2 grids
-    svc = SimpleNamespace(cache=cache, store=store)
+    svc = SimpleNamespace(cache=cache, store=store, int8=False)
+    svc._gather = lambda ids: serve_cli.VqaService._gather(svc, ids)
 
     feats = serve_cli.VqaService._features_batch(svc, [1, 2, 1, 3])
     want = store.gather([1, 2, 1, 3], dtype=np.float16)
@@ -318,7 +319,9 @@ def test_feature_cache_lru_eviction_and_batched_gather(tmp_path):
         serve_cli.VqaService._features_batch(svc, [1, 999])
 
     # capacity 0 disables caching but must not break the path
-    svc0 = SimpleNamespace(cache=FeatureCache(0, grid_bytes), store=store)
+    svc0 = SimpleNamespace(cache=FeatureCache(0, grid_bytes), store=store,
+                           int8=False)
+    svc0._gather = lambda ids: serve_cli.VqaService._gather(svc0, ids)
     feats3 = serve_cli.VqaService._features_batch(svc0, [4, 4, 5])
     np.testing.assert_array_equal(
         np.stack(feats3), store.gather([4, 4, 5], dtype=np.float16)

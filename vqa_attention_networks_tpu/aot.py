@@ -39,7 +39,7 @@ _GRAPH = "serving.stablehlo"
 _META = "serving.json"
 
 
-def serving_forward(cfg: Config, topk: int):
+def serving_forward(cfg: Config, topk: int, input_dtype: str = "float16"):
     """THE serving forward: apply -> softmax -> top-k over one fixed batch.
 
     Single source of truth for both serving paths — InferenceEngine jits
@@ -52,13 +52,32 @@ def serving_forward(cfg: Config, topk: int):
     # clamp instead of crashing at server start
     topk = min(topk, cfg.a_vocab_size)
 
+    def _head(logits):
+        probs = jax.nn.softmax(logits, axis=-1)
+        top_p, top_i = jax.lax.top_k(probs, topk)
+        return top_i, top_p
+
+    if input_dtype == "int8":
+        # quantized feed (data/feature_store.py int8 stores): half the f16
+        # feed's host->device bytes — the store-backed serving ceiling is
+        # the feature DMA, not the kernel. Dequant is one fused multiply
+        # in-graph.
+        def fwd(params, img_q, scale, ques, qlen):
+            dt = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                  else jnp.float32)
+            img = img_q.astype(dt) * scale[:, None, :].astype(dt)
+            logits, _ = model.apply(
+                params, cfg, img, ques, ques_length=qlen, train=False
+            )
+            return _head(logits)
+
+        return fwd
+
     def fwd(params, img, ques, qlen):
         logits, _ = model.apply(
             params, cfg, img, ques, ques_length=qlen, train=False
         )
-        probs = jax.nn.softmax(logits, axis=-1)
-        top_p, top_i = jax.lax.top_k(probs, topk)
-        return top_i, top_p
+        return _head(logits)
 
     return fwd
 
@@ -69,14 +88,15 @@ def export_serving(
     batch_size: int,
     topk: int = 5,
     platforms: Optional[Tuple[str, ...]] = None,
+    input_dtype: str = "float16",
 ):
     """Lower the fixed-batch serving forward to a jax.export.Exported."""
     from jax import export as jex
 
-    fwd = serving_forward(cfg, topk)
+    fwd = serving_forward(cfg, topk, input_dtype)
     img = jax.ShapeDtypeStruct(
         (batch_size, cfg.img_feature_dim, cfg.img_feature_channel),
-        jnp.float16,
+        jnp.int8 if input_dtype == "int8" else jnp.float16,
     )
     ques = jax.ShapeDtypeStruct(
         (batch_size, cfg.max_question_length), jnp.int32
@@ -90,6 +110,11 @@ def export_serving(
     kw = {}
     if platforms is not None:
         kw["platforms"] = list(platforms)
+    if input_dtype == "int8":
+        scale = jax.ShapeDtypeStruct(
+            (batch_size, cfg.img_feature_channel), jnp.float16
+        )
+        return jex.export(jax.jit(fwd), **kw)(p_spec, img, scale, ques, qlen)
     return jex.export(jax.jit(fwd), **kw)(p_spec, img, ques, qlen)
 
 
@@ -100,9 +125,11 @@ def save_serving_artifact(
     batch_size: int,
     topk: int = 5,
     platforms: Optional[Tuple[str, ...]] = None,
+    input_dtype: str = "float16",
 ) -> str:
     """Export + write ``serving.stablehlo`` and its metadata sidecar."""
-    exported = export_serving(cfg, params, batch_size, topk, platforms)
+    exported = export_serving(cfg, params, batch_size, topk, platforms,
+                              input_dtype)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, _GRAPH), "wb") as f:
         f.write(exported.serialize())
@@ -110,6 +137,7 @@ def save_serving_artifact(
         "model_name": cfg.model_name,
         "batch_size": batch_size,
         "topk": topk,
+        "input_dtype": input_dtype,
         "q_vocab_size": cfg.q_vocab_size,
         "a_vocab_size": cfg.a_vocab_size,
         "max_question_length": cfg.max_question_length,

@@ -66,10 +66,14 @@ def main(argv=None) -> None:
         tuple(p.strip() for p in args.platforms.split(",") if p.strip())
         if args.platforms else None
     )
+    # the artifact's feature-input dtype must match the store the serving
+    # box will gather from: int8 stores serve the quantized feed
+    input_dtype = "int8" if getattr(store, "quantized", False) else "float16"
     out = save_serving_artifact(
-        args.out, cfg, params, args.batch_size, args.topk, platforms
+        args.out, cfg, params, args.batch_size, args.topk, platforms,
+        input_dtype,
     )
-    print(f"serving artifact written to {out}")
+    print(f"serving artifact written to {out} (input_dtype={input_dtype})")
 
 
 if __name__ == "__main__":

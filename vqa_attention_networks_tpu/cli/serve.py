@@ -94,10 +94,12 @@ class Batcher:
                     except queue.Empty:
                         break
             try:
-                feats = np.stack([r.features for r in batch])
+                feats, scales = _stack_features([r.features for r in batch])
                 ids = np.stack([r.ids for r in batch])
                 qlen = np.asarray([r.qlen for r in batch], np.int32)
-                preds = self.engine.predict_batch(feats, ids, qlen)
+                preds = self.engine.predict_batch(
+                    feats, ids, qlen, feature_scale=scales
+                )
                 for r, p in zip(batch, preds):
                     r.result = p
             except Exception as e:  # surface engine errors to every waiter
@@ -105,6 +107,15 @@ class Batcher:
                     r.error = e
             for r in batch:
                 r.event.set()
+
+
+def _stack_features(feats_list):
+    """Stack per-request features into a batch. int8-store entries are
+    (int8 grid, f16 scale) tuples; float entries are bare f16 grids."""
+    if isinstance(feats_list[0], tuple):
+        return (np.stack([f[0] for f in feats_list]),
+                np.stack([f[1] for f in feats_list]))
+    return np.stack(feats_list), None
 
 
 class FeatureCache:
@@ -136,14 +147,19 @@ class FeatureCache:
             self.hits += 1
             return feats
 
-    def put(self, image_id: int, feats: np.ndarray) -> None:
+    def put(self, image_id: int, feats) -> None:
         if not self.capacity:
             return
-        if feats.base is not None:
-            # a row view of a bulk-gather result would pin the ENTIRE
-            # [B, 196, 2048] base array (up to ~3 GB for a max bulk call)
-            # for as long as the entry lives — the accounted capacity is
-            # per-grid, so store an owning copy
+        # a row view of a bulk-gather result would pin the ENTIRE
+        # [B, 196, 2048] base array (up to ~3 GB for a max bulk call)
+        # for as long as the entry lives — the accounted capacity is
+        # per-grid, so store owning copies. int8 entries are
+        # (grid, scale) tuples.
+        if isinstance(feats, tuple):
+            feats = tuple(
+                f.copy() if f.base is not None else f for f in feats
+            )
+        elif feats.base is not None:
             feats = feats.copy()
         with self._lock:
             self._map[image_id] = feats
@@ -168,19 +184,34 @@ class VqaService:
         self.max_len = vocab["max_question_length"]
         self.ans_of = {i: a for a, i in vocab["answer_vocab"].items()}
         self.store = store
-        grid_bytes = store.num_regions * store.channels * 2  # f16
+        # int8 stores serve the quantized feed end to end: int8 entries in
+        # the cache (half the f16 footprint -> 2x the cached images),
+        # int8+scales over host->device, dequant in-graph
+        self.int8 = bool(getattr(store, "quantized", False))
+        grid_bytes = store.num_regions * store.channels * (
+            1 if self.int8 else 2
+        ) + (store.channels * 2 if self.int8 else 0)
         self.cache = FeatureCache(feature_cache_mb << 20, grid_bytes)
         self.engine = InferenceEngine(
             cfg, params, batch_size=batch_size, topk=topk,
             artifact_dir=artifact_dir,
+            input_dtype="int8" if self.int8 else "float16",
         )
         self.batcher = Batcher(self.engine, max_wait_s)
 
-    def _features(self, image_id: int) -> np.ndarray:
+    def _gather(self, image_ids: list):
+        """Raw store gather in the engine's feed dtype: a list of f16
+        grids, or of (int8 grid, f16 scale) tuples."""
+        if self.int8:
+            q, s = self.store.gather_quantized(image_ids)
+            return [(q[i], s[i]) for i in range(len(image_ids))]
+        return list(self.store.gather(image_ids, dtype=np.float16))
+
+    def _features(self, image_id: int):
         feats = self.cache.get(image_id)
         if feats is None:
             try:
-                feats = self.store.gather([image_id], dtype=np.float16)[0]
+                feats = self._gather([image_id])[0]
             except KeyError:
                 raise ValueError(f"unknown image_id {image_id}") from None
             self.cache.put(image_id, feats)
@@ -193,7 +224,7 @@ class VqaService:
         missing = sorted({i for i, f in zip(image_ids, feats) if f is None})
         if missing:
             try:
-                gathered = self.store.gather(missing, dtype=np.float16)
+                gathered = self._gather(missing)
             except KeyError as e:
                 raise ValueError(f"unknown image_id {e.args[0]}") from None
             by_id = dict(zip(missing, gathered))
@@ -248,10 +279,12 @@ class VqaService:
         bs = self.engine.batch_size
         for start in range(0, len(tokens), bs):
             chunk = tokens[start:start + bs]
-            feats = np.stack(all_feats[start:start + bs])
+            feats, scales = _stack_features(all_feats[start:start + bs])
             ids = np.stack([c[1] for c in chunk])
             qlen = np.asarray([c[2] for c in chunk], np.int32)
-            preds = self.engine.predict_batch(feats, ids, qlen)
+            preds = self.engine.predict_batch(
+                feats, ids, qlen, feature_scale=scales
+            )
             out.extend(self._to_dict(pr) for pr in preds)
         return out
 

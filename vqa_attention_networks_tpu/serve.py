@@ -38,10 +38,15 @@ class InferenceEngine:
         batch_size: int = 256,
         topk: int = 5,
         artifact_dir: Optional[str] = None,
+        input_dtype: str = "float16",
     ):
         self.cfg = cfg.replace(compute_dtype="bfloat16")
         self.params = jax.device_put(params)
         self.batch_size = batch_size
+        # "int8": callers pass (int8 rows, f16 scales) from a quantized
+        # store — half the f16 feed's host->device bytes, dequant in-graph
+        assert input_dtype in ("float16", "int8"), input_dtype
+        self.input_dtype = input_dtype
         # keep in sync with serving_forward's clamp (aot.py): the meta
         # check against an exported artifact compares this value
         self.topk = min(topk, cfg.a_vocab_size)
@@ -69,11 +74,18 @@ class InferenceEngine:
                         f"serving artifact {key}={meta[key]!r} does not "
                         f"match engine {key}={got!r} ({artifact_dir})"
                     )
+            # pre-input_dtype artifacts are implicitly float16
+            if meta.get("input_dtype", "float16") != input_dtype:
+                raise ValueError(
+                    f"serving artifact input_dtype="
+                    f"{meta.get('input_dtype', 'float16')!r} does not match "
+                    f"engine input_dtype={input_dtype!r} ({artifact_dir})"
+                )
             return
 
         # the same forward the AOT artifact lowers (aot.serving_forward):
         # one source of truth, so the two serving paths cannot drift
-        self._fwd = jax.jit(aot.serving_forward(self.cfg, topk))
+        self._fwd = jax.jit(aot.serving_forward(self.cfg, topk, input_dtype))
 
     def _pad(self, arr: np.ndarray, fill=0) -> Tuple[np.ndarray, int]:
         n = arr.shape[0]
@@ -95,18 +107,36 @@ class InferenceEngine:
         lim = np.float32(np.finfo(np.float16).max)
         return np.clip(feats, -lim, lim).astype(np.float16)
 
+    def _feature_args(self, image_features, feature_scale):
+        """Pad + dtype-police the feature inputs for either feed."""
+        if self.input_dtype == "int8":
+            assert feature_scale is not None, (
+                "int8 engine needs feature_scale (store.gather_quantized)"
+            )
+            assert image_features.dtype == np.int8, image_features.dtype
+            img, n = self._pad(image_features)
+            scale, _ = self._pad(feature_scale.astype(np.float16))
+            return (img, scale), n
+        assert feature_scale is None, (
+            "feature_scale given to a float16 engine — construct "
+            "InferenceEngine(input_dtype='int8') for the quantized feed"
+        )
+        img, n = self._pad(self._to_f16(image_features))
+        return (img,), n
+
     def predict_batch(
         self,
         image_features: np.ndarray,  # [n, 196, D], n <= batch_size
         questions: np.ndarray,  # [n, T] int32
         ques_length: Optional[np.ndarray] = None,
+        feature_scale: Optional[np.ndarray] = None,  # [n, D] f16 (int8 feed)
     ) -> List[Prediction]:
         if ques_length is None:
             ques_length = (questions != 0).sum(axis=1).astype(np.int32)
-        img, n = self._pad(self._to_f16(image_features))
+        feats, n = self._feature_args(image_features, feature_scale)
         ques, _ = self._pad(questions.astype(np.int32))
         qlen, _ = self._pad(np.maximum(ques_length.astype(np.int32), 1), fill=1)
-        top_i, top_p = self._fwd(self.params, img, ques, qlen)
+        top_i, top_p = self._fwd(self.params, *feats, ques, qlen)
         top_i = np.asarray(top_i)[:n]
         top_p = np.asarray(top_p)[:n]
         return [
@@ -118,17 +148,20 @@ class InferenceEngine:
         batches: Iterator[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]],
     ) -> Iterator[List[Prediction]]:
         """Pipelined streaming: keeps one batch in flight so host assembly
-        overlaps device compute."""
+        overlaps device compute. Items are (features, questions, qlen) or
+        (features, questions, qlen, feature_scale) for the int8 feed."""
         pending = None  # (device handles, n)
-        for image_features, questions, ques_length in batches:
+        for item in batches:
+            image_features, questions, ques_length = item[:3]
+            feature_scale = item[3] if len(item) > 3 else None
             if ques_length is None:
                 ques_length = (questions != 0).sum(axis=1).astype(np.int32)
-            img, n = self._pad(self._to_f16(image_features))
+            feats, n = self._feature_args(image_features, feature_scale)
             ques, _ = self._pad(questions.astype(np.int32))
             qlen, _ = self._pad(
                 np.maximum(ques_length.astype(np.int32), 1), fill=1
             )
-            handles = self._fwd(self.params, img, ques, qlen)
+            handles = self._fwd(self.params, *feats, ques, qlen)
             if pending is not None:
                 yield self._collect(*pending)
             pending = (handles, n)
