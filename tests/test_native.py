@@ -163,3 +163,15 @@ def test_combined_store_rejects_geometry_mismatch(tmp_path):
                                      num_regions=8, channels=8)
     with pytest.raises(ValueError, match="different geometry"):
         CombinedFeatureStore([a, b])
+
+
+def test_gather_i8_matches_numpy(lib):
+    rng = np.random.default_rng(0)
+    src = rng.integers(-127, 128, size=(10, 4, 8)).astype(np.int8)
+    rows = np.asarray([7, 0, 7, 3], np.int64)
+    got = native.gather_i8(src, rows)
+    assert got is not None
+    np.testing.assert_array_equal(got, src[rows])
+    # odd row size: declared fallback (byte-pair kernel can't address it)
+    odd = rng.integers(-127, 128, size=(4, 3, 3)).astype(np.int8)
+    assert native.gather_i8(odd, np.asarray([1], np.int64)) is None

@@ -202,8 +202,14 @@ class FeatureStore:
         """int8 fast path: (int8 [B, L, C], f16 scales [B, C]) — a quarter
         of the f32 gather bytes; dequantisation belongs on the device."""
         assert self.quantized, "gather_rows_quantized needs an int8 store"
+        from vqa_attention_networks_tpu.data import native
+
         rows = np.asarray(rows)
-        return np.asarray(self.features[rows]), np.asarray(self.scales[rows])
+        q = native.gather_i8(self.features, rows)
+        if q is None:
+            q = np.asarray(self.features[rows])
+        # scales are 2 KB/row — the NumPy fancy-index is already cheap
+        return q, np.asarray(self.scales[rows])
 
     def gather_quantized(self, image_ids: Sequence[int]):
         return self.gather_rows_quantized(self.rows_for(image_ids))

@@ -187,6 +187,29 @@ def gather_f16(
     return out
 
 
+def gather_i8(
+    src: np.ndarray,  # [num_rows, ...] int8 (memmap ok)
+    rows: np.ndarray,  # [n] int64
+) -> Optional[np.ndarray]:
+    """Raw int8 row gather (the quantized feed). Reuses the u16 memcpy
+    kernel by addressing byte PAIRS — rows of 196x2048 int8 are even-sized;
+    an odd row size falls back to NumPy. None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert src.dtype == np.int8
+    row_elems = int(np.prod(src.shape[1:]))
+    if row_elems % 2:
+        return None
+    rows = _check_gather_args(src, rows)
+    out = np.empty((len(rows), *src.shape[1:]), np.int8)
+    lib.vqa_gather_rows_u16_mt(
+        src.ctypes.data, rows, len(rows), row_elems // 2,
+        out.reshape(len(rows), -1).view(np.uint16), num_threads(),
+    )
+    return out
+
+
 def densify_soft(
     idx: np.ndarray, val: np.ndarray, num_answers: int
 ) -> Optional[np.ndarray]:
