@@ -172,6 +172,10 @@ def main(argv=None) -> None:
                              "generated on demand and held out")
     parser.add_argument("--q_vocab", type=int, default=15881)
     parser.add_argument("--a_vocab", type=int, default=1000)
+    parser.add_argument("--int8_feed", action="store_true",
+                        help="also measure the int8 quantized-store feed's "
+                             "argmax flip rate vs the f32 feed (runs on "
+                             "any backend — the dequant is plain XLA)")
     args = parser.parse_args(argv)
 
     model = get_model(args.model)
@@ -251,6 +255,25 @@ def main(argv=None) -> None:
         logits_pallas = fwd_pallas(params, img16, ques, qlen)
         logits_f32 = fwd_f32(params, img16.astype(jnp.float32), ques, qlen)
 
+        logits_int8 = None
+        if args.int8_feed:
+            # the int8 quantized-store feed: THE writer's quantization
+            # (feature_store.quantize_features — shared, so this arm can
+            # never measure a scheme the store no longer produces), then
+            # the on-device dequant — measured against the f32 arm with
+            # the same flip-rate methodology as the kernel gate
+            from vqa_attention_networks_tpu.data.feature_store import (
+                quantize_features,
+            )
+
+            qrows, scale, _ = quantize_features(np.asarray(img16, np.float32))
+            dt = jnp.bfloat16
+            img_deq = (jnp.asarray(qrows).astype(dt)
+                       * jnp.asarray(scale)[:, None, :].astype(dt))
+            logits_int8 = fwd_f32(
+                params, img_deq.astype(jnp.float32), ques, qlen
+            )
+
         os.environ["VQA_DISABLE_PALLAS"] = "1"
         try:
             if b == 0:
@@ -259,11 +282,16 @@ def main(argv=None) -> None:
         finally:
             del os.environ["VQA_DISABLE_PALLAS"]
 
-        for name, (a, r) in {
+        comparisons = {
             "pallas_bf16 vs composed_f32": (logits_pallas, logits_f32),
             "composed_bf16 vs composed_f32": (logits_comp16, logits_f32),
             "pallas_bf16 vs composed_bf16": (logits_pallas, logits_comp16),
-        }.items():
+        }
+        if logits_int8 is not None:
+            comparisons["int8_feed_f32 vs composed_f32"] = (
+                logits_int8, logits_f32
+            )
+        for name, (a, r) in comparisons.items():
             m = {k: float(v) for k, v in _compare(a, r).items()}
             acc = accum.setdefault(
                 name,

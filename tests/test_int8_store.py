@@ -240,3 +240,56 @@ def test_http_service_serves_int8_store_end_to_end(tmp_path):
         assert service.cache.stats()["hits"] >= 1
     finally:
         httpd.shutdown()
+
+
+def test_quantize_scale_overflow_clamps_not_poisons():
+    # an f32 channel max beyond 127 * f16_max must saturate (counted), not
+    # overflow the f16 scale to inf (dequant would be NaN everywhere)
+    from vqa_attention_networks_tpu.data.feature_store import (
+        quantize_features,
+    )
+
+    x = np.zeros((4, 8), np.float32)
+    x[:, 0] = 9e6  # finite, but 9e6 / 127 > f16 max
+    x[:, 1] = 1.0
+    q, s, clamped = quantize_features(x)
+    assert np.isfinite(s.astype(np.float32)).all()
+    assert clamped > 0
+    deq = q[0].astype(np.float32) * s[0].astype(np.float32)[None, :]
+    assert np.isfinite(deq).all()
+    np.testing.assert_allclose(deq[:, 1], 1.0, rtol=1e-2)
+    # the overflowing channel saturates at 127 * f16_max
+    np.testing.assert_allclose(deq[:, 0], 127.0 * 65504.0, rtol=1e-2)
+
+
+def test_int8_append_rejects_batched_input(tmp_path):
+    from vqa_attention_networks_tpu.data.feature_store import (
+        FeatureStoreWriter,
+    )
+
+    with FeatureStoreWriter(str(tmp_path / "s"), 4, 8, "int8") as w:
+        with pytest.raises(AssertionError):
+            w.append(1, np.zeros((2, 4, 8), np.float32))  # use append_batch
+        w.append(1, np.zeros((4, 8), np.float32))
+
+
+def test_aot_meta_topk_is_clamped(tmp_path):
+    # export with topk wider than the vocab, then load: the engine's
+    # clamped topk must match the artifact's recorded (clamped) topk
+    import jax
+
+    from vqa_attention_networks_tpu.aot import save_serving_artifact
+    from vqa_attention_networks_tpu.models import get_model
+    from vqa_attention_networks_tpu.serve import InferenceEngine
+
+    cfg = Config(
+        model_name="iBOWIMG", q_vocab_size=12, a_vocab_size=3,
+        max_question_length=6, img_feature_channel=8,
+        compute_dtype="bfloat16",
+    ).validate()
+    params = get_model("iBOWIMG").init(jax.random.PRNGKey(0), cfg)
+    out = save_serving_artifact(str(tmp_path / "art"), cfg, params,
+                                batch_size=2, topk=5)
+    engine = InferenceEngine(cfg, params, batch_size=2, topk=5,
+                             artifact_dir=out)
+    assert engine.topk == 3

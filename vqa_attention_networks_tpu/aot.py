@@ -136,7 +136,11 @@ def save_serving_artifact(
     meta = {
         "model_name": cfg.model_name,
         "batch_size": batch_size,
-        "topk": topk,
+        # the CLAMPED value (serving_forward applies the same min): the
+        # engine compares its own clamped topk against this at load, so
+        # recording the raw request would reject a valid artifact whenever
+        # a_vocab_size < topk
+        "topk": min(topk, cfg.a_vocab_size),
         "input_dtype": input_dtype,
         "q_vocab_size": cfg.q_vocab_size,
         "a_vocab_size": cfg.a_vocab_size,

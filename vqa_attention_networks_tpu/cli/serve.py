@@ -119,14 +119,16 @@ def _stack_features(feats_list):
 
 
 class FeatureCache:
-    """Bounded LRU of f16 feature grids, keyed by image_id.
+    """Bounded LRU of feature grids keyed by image_id — f16 arrays
+    (~800 KB each at 196x2048), or (int8 grid, f16 scale) tuples at half
+    that for quantized stores.
 
     The store gather is the serving hot path's host-side cost: one request
-    re-reads + copies a [196, 2048] f16 grid (~800 KB) from the memmap.
-    Real VQA traffic repeats images (multiple questions per image is the
-    dataset's own shape: ~3 questions/image in VQA v2), so an LRU in front
-    of the store turns the steady-state per-request cost into a dict hit.
-    Thread-safe: ThreadingHTTPServer handles requests concurrently."""
+    re-reads + copies a full grid from the memmap. Real VQA traffic
+    repeats images (multiple questions per image is the dataset's own
+    shape: ~3 questions/image in VQA v2), so an LRU in front of the store
+    turns the steady-state per-request cost into a dict hit. Thread-safe:
+    ThreadingHTTPServer handles requests concurrently."""
 
     def __init__(self, capacity_bytes: int, grid_bytes: int):
         self.capacity = max(capacity_bytes // max(grid_bytes, 1), 0)
@@ -423,9 +425,9 @@ def main(argv=None) -> None:
                              "the fallback when the measured argmax flip "
                              "rate exceeds the 0.1%% accuracy budget")
     parser.add_argument("--feature_cache_mb", type=int, default=512,
-                        help="LRU cache of f16 feature grids in front of "
-                             "the store (~800 KB per image at 196x2048); "
-                             "0 disables")
+                        help="LRU feature cache in front of the store "
+                             "(~800 KB per image at 196x2048 for f16 "
+                             "stores, ~400 KB for int8 stores); 0 disables")
     parser.add_argument("--aot_artifact", type=str, default=None,
                         help="directory written by cli.export_serving: use "
                              "the exported StableHLO graph instead of "

@@ -28,6 +28,42 @@ INDEX_FILE = "index.json"
 SCALES_FILE = "scales.bin"  # int8 stores: per-image-per-channel f16 scales
 
 
+def quantize_features(features: np.ndarray):
+    """int8 symmetric quantization, one f16 scale per (image, channel).
+
+    Feature grids are backbone activations whose dynamic range varies far
+    more across channels than within one channel's 196 regions, so
+    per-channel scales keep the relative error ~1/254 of each channel's own
+    max — the right granularity for a store consumed as matmul input.
+
+    THE quantization scheme: the store writer and every consumer measuring
+    its accuracy (benchmarks/bench_precision.py --int8_feed) share this
+    function. Returns ``(int8 [B, L, C], f16 scales [B, C], n_clamped)``.
+
+    The scale is computed in f32 and clamped into f16's finite range: an
+    f32 channel max above 127 * 65504 would otherwise overflow the f16
+    scale to inf (dequant = NaN poisoning everything downstream); such
+    out-of-range elements saturate to ±127 * 65504 and are counted."""
+    features = np.asarray(features, np.float32)
+    if features.ndim == 2:
+        features = features[None]
+    amax = np.abs(features).max(axis=1)  # [B, C]
+    f16_max = float(np.finfo(np.float16).max)
+    scale32 = np.minimum(amax / 127.0, f16_max)
+    scale = scale32.astype(np.float16)
+    # zero-max channels (all-dropped relu columns): scale 0 would divide
+    # by zero below; any nonzero divisor round-trips the zeros. Sub-f16
+    # channel maxima (< ~7.6e-6) flush to scale 0 and dequant to exact 0.
+    safe = np.where(scale > 0, scale.astype(np.float32), 1.0)
+    q = np.rint(features / safe[:, None, :])
+    # true range overflow only (channel max beyond 127 * f16_max): f16
+    # rounding of the scale can push |q| to 128 by half an LSB, which the
+    # clip absorbs without being worth a saturation warning
+    clamped = int((np.abs(features) > 127.0 * f16_max).sum())
+    q = np.clip(q, -127, 127).astype(np.int8)
+    return q, scale, clamped
+
+
 class FeatureStoreWriter:
     """Streaming writer used by the feature-extraction CLI."""
 
@@ -52,23 +88,11 @@ class FeatureStoreWriter:
         self.clamped = 0  # elements saturated into the store dtype's range
 
     def _quantize(self, features: np.ndarray) -> np.ndarray:
-        """int8 symmetric quantization, one f16 scale per (image, channel).
-
-        Feature grids are backbone activations whose dynamic range varies
-        far more across channels than within one channel's 196 regions, so
-        per-channel scales keep the relative error ~1/254 of each channel's
-        own max — the right granularity for a store consumed as matmul
-        input. Scales stream to scales.bin alongside the rows."""
-        features = np.asarray(features, np.float32)
-        if features.ndim == 2:
-            features = features[None]
-        amax = np.abs(features).max(axis=1)  # [B, C]
-        scale = (amax / 127.0).astype(np.float16)
-        # zero-max channels (all-dropped relu columns): scale 0 would
-        # divide by zero below; any nonzero scale round-trips the zeros
-        safe = np.where(scale > 0, scale, np.float16(1.0)).astype(np.float32)
-        q = np.rint(features / safe[:, None, :])
-        q = np.clip(q, -127, 127).astype(np.int8)
+        """int8 quantize a batch via :func:`quantize_features`, streaming
+        the per-(image, channel) f16 scales to scales.bin alongside the
+        rows. Counts elements saturated by the f16 scale ceiling."""
+        q, scale, clamped = quantize_features(features)
+        self.clamped += clamped
         self._scales_file.write(np.ascontiguousarray(scale).tobytes())
         return q
 
@@ -102,6 +126,10 @@ class FeatureStoreWriter:
 
     def append(self, image_id: int, features: np.ndarray) -> None:
         """Append one image's [num_regions, channels] feature grid."""
+        # one grid only: a [B, R, C] batch through the int8 path would
+        # write B scale rows for 1 feature row, silently misaligning every
+        # later image's dequant (use append_batch)
+        assert np.ndim(features) == 2, np.shape(features)
         features = self._narrow(features)
         if self.dtype == np.int8:
             features = features[0]
