@@ -20,29 +20,37 @@ os.environ.setdefault("OMP_NUM_THREADS", "1")
 os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
 os.environ.setdefault("MKL_NUM_THREADS", "1")
 
-# Must be set before jax initialises its backends.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# VQA_TEST_PLATFORM=tpu leaves the ambient backend (e.g. the axon TPU
+# relay registered via the site hook) untouched so TPU-gated tests
+# (test_aot.py::test_tpu_platform_export_parity, test_train_fusion.py)
+# can run on hardware; the default remains the emulated 8-device CPU mesh.
+_TEST_PLATFORM = os.environ.get("VQA_TEST_PLATFORM", "cpu")
+
+if _TEST_PLATFORM == "cpu":
+    # Must be set before jax initialises its backends.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
-# A pytest plugin may import jax before this conftest runs, in which case
-# jax.config captured the ambient JAX_PLATFORMS/XLA_FLAGS at import — the
-# os.environ writes above would be ignored. Config updates still apply as
-# long as no backend has been initialised yet.
-jax.config.update("jax_platforms", "cpu")
-try:
-    jax.config.update("jax_num_cpu_devices", 8)
-except AttributeError:  # older jax: XLA_FLAGS path above covers it
-    pass
+if _TEST_PLATFORM == "cpu":
+    # A pytest plugin may import jax before this conftest runs, in which
+    # case jax.config captured the ambient JAX_PLATFORMS/XLA_FLAGS at
+    # import — the os.environ writes above would be ignored. Config
+    # updates still apply as long as no backend has been initialised yet.
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except AttributeError:  # older jax: XLA_FLAGS path above covers it
+        pass
+    jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 jax.config.update("jax_enable_x64", False)
-jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 TEST_TIMEOUT_S = int(os.environ.get("VQA_TEST_TIMEOUT_S", "600"))
 
