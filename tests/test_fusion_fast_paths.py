@@ -101,7 +101,7 @@ def test_fast_path_policy_gates_wq_dispatch(monkeypatch):
     monkeypatch.setattr(wqf, "supported", lambda *a, **k: True)
 
     def fake_stage1(*a, **k):
-        calls.append(1)
+        calls.append(k.get("pair", False))
         raise RuntimeError("dispatched")
 
     monkeypatch.setattr(wqf, "stage1_coattention", fake_stage1)
@@ -112,11 +112,12 @@ def test_fast_path_policy_gates_wq_dispatch(monkeypatch):
     )
     assert not calls and logits.shape == (2, 11)
 
-    # auto/pallas: dispatches (the fake raises to prove it was reached)
-    for mode in ("auto", "pallas"):
+    # auto/pallas dispatch (the fake raises to prove it was reached);
+    # pallas_pair additionally selects the two-samples-per-instance kernel
+    for mode in ("auto", "pallas", "pallas_pair"):
         with np.testing.assert_raises(RuntimeError):
             model.apply(params, cfg.replace(fast_path=mode), img, ques)
-    assert len(calls) == 2
+    assert calls == [False, False, True]
 
     # unknown policy values are rejected at validate()
     with np.testing.assert_raises(ValueError):

@@ -125,6 +125,12 @@ class Config:
     #                this dtype): the fallback whenever a measured flip rate
     #                exceeds the budget on real trained weights.
     #   "pallas"   — force the kernel (still requires supported() shapes).
+    #   "pallas_pair" — the two-samples-per-instance kernel variant
+    #                (ops/pallas_wq_fusion.py fused_stage1_coattention_
+    #                pallas_pair): interleaves two samples' VPU/MXU phases
+    #                per grid instance so the scheduler can overlap them.
+    #                Bit-exact vs "pallas"; promoted to the default only on
+    #                a measured hardware win (bench.py A/Bs both arms).
     # VQA_DISABLE_PALLAS=1 remains the process-wide emergency kill switch.
     fast_path: str = "auto"
 
@@ -237,7 +243,8 @@ class Config:
              ("float32", "float64", "bfloat16")),
             ("rng_impl", self.rng_impl, ("threefry2x32", "rbg")),
             ("loss_override", self.loss_override, ("", "soft_bce")),
-            ("fast_path", self.fast_path, ("auto", "pallas", "composed")),
+            ("fast_path", self.fast_path,
+             ("auto", "pallas", "pallas_pair", "composed")),
         ):
             if value not in allowed:
                 raise ValueError(

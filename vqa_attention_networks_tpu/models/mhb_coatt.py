@@ -161,6 +161,7 @@ def apply(
         v_att_feature = wqf.stage1_coattention(
             img_features, params["img_conv1d"], q_proj,
             params["co_att_conv1"], params["co_att_conv2"], cfg.mfb_factor,
+            pair=cfg.fast_path == "pallas_pair",
         )
     else:
         fused = grid_fuse(

@@ -585,21 +585,64 @@ def _stage1_coatt_partitioned(k: int):
     return cp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
-def _stage1_coatt_tpu(img, w, b, q_proj, c1w, c1b, c2w, c2b, k):
-    return _stage1_coatt_partitioned(k)(
-        img, w, b, q_proj, c1w, c1b, c2w, c2b
+@functools.lru_cache(maxsize=None)
+def _stage1_coatt_pair_partitioned(k: int):
+    """Pair-kernel twin of _stage1_coatt_partitioned: same operand/result
+    shardings, but each grid instance processes TWO samples. A shard whose
+    local batch is odd (can't happen for power-of-two meshes over even
+    batches, but custom_partitioning doesn't guarantee it) falls back to
+    the single-sample kernel — bit-identical output either way."""
+
+    def run(img, w, b, q_proj, c1w, c1b, c2w, c2b):
+        n, _, d = img.shape
+        g = c2w.shape[1]
+        interp = jax.default_backend() != "tpu"
+        if n % 2:
+            out = fused_stage1_coattention_pallas(
+                img, w, b, q_proj, c1w, c1b, c2w, c2b, k, interpret=interp,
+            )
+        else:
+            out = fused_stage1_coattention_pallas_pair(
+                img, w, b, q_proj, c1w, c1b, c2w, c2b, k, interpret=interp,
+            )
+        return out.reshape(n, g * d)
+
+    cp = custom_partitioning(run)
+    specs = _batch_partition(8, batched=(0, 3), out_rank=2)
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_sh, out_sh = specs(mesh, arg_shapes)
+        return mesh, run, out_sh, arg_sh
+
+    def infer(mesh, arg_shapes, result_shape):
+        _, out_sh = specs(mesh, arg_shapes)
+        return out_sh
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="n a b, e f, g, n h, p r, s, t u, v -> n m",
+        need_replication_factors=(
+            "a", "b", "e", "f", "g", "h", "p", "r", "s", "t", "u", "v", "m"
+        ),
     )
+    return cp
 
 
-def _s1c_fwd(img, w, b, q_proj, c1w, c1b, c2w, c2b, k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _stage1_coatt_tpu(img, w, b, q_proj, c1w, c1b, c2w, c2b, k, pair=False):
+    part = _stage1_coatt_pair_partitioned if pair else _stage1_coatt_partitioned
+    return part(k)(img, w, b, q_proj, c1w, c1b, c2w, c2b)
+
+
+def _s1c_fwd(img, w, b, q_proj, c1w, c1b, c2w, c2b, k, pair=False):
     return (
-        _stage1_coatt_tpu(img, w, b, q_proj, c1w, c1b, c2w, c2b, k),
+        _stage1_coatt_tpu(img, w, b, q_proj, c1w, c1b, c2w, c2b, k, pair),
         (img, w, b, q_proj, c1w, c1b, c2w, c2b),
     )
 
 
-def _s1c_bwd(k, res, g_out):
+def _s1c_bwd(k, pair, res, g_out):
     img, w, b, q_proj, c1w, c1b, c2w, c2b = res
     _, vjp = jax.vjp(
         lambda *a: _composed_stage1_coatt(*a, k), img, w, b, q_proj,
@@ -618,17 +661,21 @@ def stage1_coattention(
     co1_params: dict,
     co2_params: dict,
     k: int,
+    pair: bool = False,
 ) -> jnp.ndarray:
     """Dispatching entry: stage-1 fusion + grid L2 + 2-glimpse co-attention
     -> attended image feature [N, G*D]. Pallas on TPU at bf16, composed XLA
-    twin otherwise."""
+    twin otherwise. ``pair=True`` (Config.fast_path == "pallas_pair")
+    selects the two-samples-per-instance kernel variant — bit-exact vs the
+    single-sample kernel, A/B'd on hardware by bench.py."""
     w, b = proj_params["w"], proj_params.get("b")
     if b is None:
         b = jnp.zeros((w.shape[1],), w.dtype)
     c1w, c1b = co1_params["w"], co1_params["b"]
     c2w, c2b = co2_params["w"], co2_params["b"]
     if supported(img, w, k):
-        return _stage1_coatt_tpu(img, w, b, q_proj, c1w, c1b, c2w, c2b, k)
+        return _stage1_coatt_tpu(img, w, b, q_proj, c1w, c1b, c2w, c2b, k,
+                                 pair)
     return _composed_stage1_coatt(img, w, b, q_proj, c1w, c1b, c2w, c2b, k)
 
 
