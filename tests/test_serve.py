@@ -63,3 +63,76 @@ def test_streaming_matches_batch():
     for d_batch, s_batch in zip(direct, streamed):
         for d, s in zip(d_batch, s_batch):
             assert d.answer_id == s.answer_id
+
+
+def test_data_parallel_engine_matches_single_device():
+    """data_parallel=N serves a batch sharded over the emulated 8-device
+    mesh (params replicated, inputs split on dim 0 — the reference's
+    nn.DataParallel analog, solver.py:34-36) with predictions identical
+    to the single-device engine."""
+    cfg = Config(
+        model_name="iBOWIMG", q_vocab_size=30, a_vocab_size=12,
+        hidden_dim=16, emb_dim=8, embed_size=16, img_feature_channel=32,
+        max_question_length=7,
+    )
+    params = get_model("iBOWIMG").init(jax.random.PRNGKey(0), cfg)
+    single = InferenceEngine(cfg, params, batch_size=8, topk=3)
+    sharded = InferenceEngine(cfg, params, batch_size=8, topk=3,
+                              data_parallel=8)
+
+    rng = np.random.default_rng(7)
+    img, ques = _request(rng, 8, cfg)
+    a = single.predict_batch(img, ques)
+    b = sharded.predict_batch(img, ques)
+    for x, y in zip(a, b):
+        assert x.answer_id == y.answer_id
+        np.testing.assert_array_equal(x.top_ids, y.top_ids)
+        np.testing.assert_allclose(x.top_probs, y.top_probs, rtol=1e-5)
+
+    # partial batches ride the same pad path
+    a = single.predict_batch(img[:3], ques[:3])
+    b = sharded.predict_batch(img[:3], ques[:3])
+    for x, y in zip(a, b):
+        assert x.answer_id == y.answer_id
+
+
+def test_data_parallel_engine_validation():
+    cfg = Config(
+        model_name="iBOWIMG", q_vocab_size=30, a_vocab_size=12,
+        hidden_dim=16, emb_dim=8, embed_size=16, img_feature_channel=32,
+        max_question_length=7,
+    )
+    params = get_model("iBOWIMG").init(jax.random.PRNGKey(0), cfg)
+    with np.testing.assert_raises(ValueError):  # 7 does not divide 8
+        InferenceEngine(cfg, params, batch_size=8, data_parallel=7)
+    with np.testing.assert_raises(ValueError):  # more shards than devices
+        InferenceEngine(cfg, params, batch_size=64, data_parallel=64)
+    with np.testing.assert_raises(ValueError):  # AOT is single-device
+        InferenceEngine(cfg, params, batch_size=8, data_parallel=8,
+                        artifact_dir="/nonexistent")
+
+
+def test_data_parallel_int8_feed_matches_single_device():
+    """The quantized feed has a different input arity (features + scales);
+    its DP in_shardings must line up with serving_forward's signature."""
+    cfg = Config(
+        model_name="iBOWIMG", q_vocab_size=30, a_vocab_size=12,
+        hidden_dim=16, emb_dim=8, embed_size=16, img_feature_channel=32,
+        max_question_length=7,
+    )
+    params = get_model("iBOWIMG").init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    img8 = rng.integers(-127, 128, (8, 196, 32), dtype=np.int8)
+    scale = (np.abs(rng.standard_normal((8, 32))) * 0.01 + 1e-3).astype(
+        np.float16
+    )
+    ques = rng.integers(0, 30, (8, 7)).astype(np.int32)
+    e1 = InferenceEngine(cfg, params, batch_size=8, topk=3,
+                         input_dtype="int8")
+    e8 = InferenceEngine(cfg, params, batch_size=8, topk=3,
+                         input_dtype="int8", data_parallel=8)
+    a = e1.predict_batch(img8, ques, feature_scale=scale)
+    b = e8.predict_batch(img8, ques, feature_scale=scale)
+    for x, y in zip(a, b):
+        assert x.answer_id == y.answer_id
+        np.testing.assert_array_equal(x.top_ids, y.top_ids)

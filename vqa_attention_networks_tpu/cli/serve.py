@@ -180,7 +180,8 @@ class VqaService:
 
     def __init__(self, cfg: Config, vocab: dict, params, store,
                  batch_size: int, topk: int, max_wait_s: float,
-                 artifact_dir=None, feature_cache_mb: int = 512):
+                 artifact_dir=None, feature_cache_mb: int = 512,
+                 data_parallel: int = 1):
         self.cfg = cfg
         self.q_vocab = vocab["question_vocab"]
         self.max_len = vocab["max_question_length"]
@@ -198,6 +199,7 @@ class VqaService:
             cfg, params, batch_size=batch_size, topk=topk,
             artifact_dir=artifact_dir,
             input_dtype="int8" if self.int8 else "float16",
+            data_parallel=data_parallel,
         )
         self.batcher = Batcher(self.engine, max_wait_s)
 
@@ -397,7 +399,8 @@ def build_service(args) -> VqaService:
     return VqaService(cfg, vocab, params, store, args.batch_size, args.topk,
                       args.max_wait_ms / 1000.0,
                       artifact_dir=getattr(args, "aot_artifact", None),
-                      feature_cache_mb=getattr(args, "feature_cache_mb", 512))
+                      feature_cache_mb=getattr(args, "feature_cache_mb", 512),
+                      data_parallel=getattr(args, "data_parallel", 1))
 
 
 def main(argv=None) -> None:
@@ -428,6 +431,11 @@ def main(argv=None) -> None:
                         help="LRU feature cache in front of the store "
                              "(~800 KB per image at 196x2048 for f16 "
                              "stores, ~400 KB for int8 stores); 0 disables")
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="shard each served batch over the first N "
+                             "local devices of a 1-D data mesh (params "
+                             "replicated); batch_size must divide by N; "
+                             "incompatible with --aot_artifact")
     parser.add_argument("--aot_artifact", type=str, default=None,
                         help="directory written by cli.export_serving: use "
                              "the exported StableHLO graph instead of "

@@ -39,9 +39,47 @@ class InferenceEngine:
         topk: int = 5,
         artifact_dir: Optional[str] = None,
         input_dtype: str = "float16",
+        data_parallel: int = 1,
     ):
+        """``data_parallel=N`` serves one logical batch sharded over the
+        first N local devices of a 1-D ``data`` mesh: params replicated,
+        inputs split on dim 0 (the reference's nn.DataParallel serving
+        analog, solver.py:34-36, as XLA SPMD — the Pallas fast path
+        partitions over the batch via its custom_partitioning rules)."""
         self.cfg = cfg.replace(compute_dtype="bfloat16")
-        self.params = jax.device_put(params)
+        self.data_parallel = int(data_parallel)
+        self._mesh = None
+        if self.data_parallel > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            if artifact_dir is not None:
+                raise ValueError(
+                    "data_parallel serving re-jits the forward over the "
+                    "mesh; an AOT artifact is a fixed single-device "
+                    "program — export per-shard artifacts or drop one of "
+                    "the two options"
+                )
+            if batch_size % self.data_parallel:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by "
+                    f"data_parallel {self.data_parallel}"
+                )
+            devices = jax.devices()
+            if len(devices) < self.data_parallel:
+                raise ValueError(
+                    f"data_parallel={self.data_parallel} but only "
+                    f"{len(devices)} device(s) visible"
+                )
+            self._mesh = Mesh(
+                np.array(devices[: self.data_parallel]), ("data",)
+            )
+            self._replicated = NamedSharding(self._mesh, PartitionSpec())
+            self._batched = NamedSharding(
+                self._mesh, PartitionSpec("data")
+            )
+            self.params = jax.device_put(params, self._replicated)
+        else:
+            self.params = jax.device_put(params)
         self.batch_size = batch_size
         # "int8": callers pass (int8 rows, f16 scales) from a quantized
         # store — half the f16 feed's host->device bytes, dequant in-graph
@@ -85,7 +123,19 @@ class InferenceEngine:
 
         # the same forward the AOT artifact lowers (aot.serving_forward):
         # one source of truth, so the two serving paths cannot drift
-        self._fwd = jax.jit(aot.serving_forward(self.cfg, topk, input_dtype))
+        fwd = aot.serving_forward(self.cfg, topk, input_dtype)
+        if self._mesh is None:
+            self._fwd = jax.jit(fwd)
+        else:
+            # params replicated; every batch-major input (features[, scale],
+            # questions, lengths) split on dim 0; outputs batch-sharded.
+            n_inputs = 4 if input_dtype == "int8" else 3
+            self._fwd = jax.jit(
+                fwd,
+                in_shardings=(self._replicated,)
+                + (self._batched,) * n_inputs,
+                out_shardings=self._batched,
+            )
 
     def _pad(self, arr: np.ndarray, fill=0) -> Tuple[np.ndarray, int]:
         n = arr.shape[0]
