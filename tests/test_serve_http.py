@@ -327,3 +327,54 @@ def test_feature_cache_lru_eviction_and_batched_gather(tmp_path):
         np.stack(feats3), store.gather([4, 4, 5], dtype=np.float16)
     )
     assert svc0.cache.stats()["entries"] == 0
+
+
+def test_service_with_data_parallel_matches_single_device(tmp_path):
+    """--data_parallel N: the sharded-engine service must return the same
+    predictions as the default single-device service over identical
+    artifacts (params replicated, batch split over the emulated mesh)."""
+    data_dir = tmp_path / "dp_data"
+    data_dir.mkdir()
+    words = ["what", "color", "is", "the", "cat"]
+    q_vocab = {w: i + 1 for i, w in enumerate(words)}
+    q_vocab["UNK"] = len(words) + 1
+    answers = ["black", "white", "blue"]
+    vocab = {
+        "question_vocab": q_vocab,
+        "answer_vocab": {a: i for i, a in enumerate(answers)},
+        "max_question_length": 6,
+    }
+    with open(data_dir / "qa_v2_3answers_all.vocab.json", "w") as f:
+        json.dump(vocab, f)
+    make_synthetic_feature_store(
+        str(data_dir / "resnet152_all"), IMAGE_IDS, num_regions=4, channels=8
+    )
+    cfg = Config(
+        model_name=MODEL, q_vocab_size=q_vocab["UNK"] + 1,
+        a_vocab_size=len(answers), max_question_length=6,
+        img_feature_channel=8, compute_dtype="bfloat16",
+    ).validate()
+    params = get_model(MODEL).init(jax.random.PRNGKey(0), cfg)
+    ckpt.save_weights(str(data_dir / "models" / MODEL), params)
+
+    def mk(dp):
+        return serve_cli.build_service(argparse.Namespace(
+            model_name=MODEL, model_dir=str(data_dir / "models"),
+            data_dir=str(data_dir), vocab=None, feature_type="resnet152",
+            version=2, num_answer=3, batch_size=8, topk=3,
+            max_wait_ms=1.0, data_parallel=dp,
+        ))
+
+    single, sharded = mk(1), mk(8)
+    assert sharded.engine.data_parallel == 8
+    items = [
+        {"image_id": i, "question": "what color is the cat"}
+        for i in IMAGE_IDS
+    ]
+    a = single.predict_many(items)
+    b = sharded.predict_many(items)
+    for x, y in zip(a, b):
+        assert x["answer"] == y["answer"]
+        assert [t["answer"] for t in x["top"]] == [
+            t["answer"] for t in y["top"]
+        ]

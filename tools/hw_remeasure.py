@@ -62,6 +62,7 @@ STEPS = [
     ("models_sweep", [PY, "-m", "benchmarks.bench_models"], 5400, {}),
     ("flagship_breakdown",
      [PY, "-m", "benchmarks.bench_flagship_breakdown"], 2700, {}),
+    ("extract", [PY, "-m", "benchmarks.bench_extract"], 2700, {}),
     ("soak",
      [PY, "tools/soak.py", "--epochs", "4",
       "--workdir", "/tmp/soak_tpu"], 6 * 3600, {}),
