@@ -105,6 +105,28 @@ def test_tpu_platform_export_serializes(tmp_path):
     assert callable(fwd)
 
 
+def test_tpu_platform_export_traces_fast_path(tmp_path):
+    """A ``platforms=["tpu"]`` export from a CPU build box must trace the
+    SAME graph a TPU host would — the Pallas fast path, not the composed
+    fallback implied by the host backend (ops/pallas_wq_fusion.py
+    tpu_lowering). The metadata sidecar records which one was captured."""
+    # kernel-compatible shapes: img channel d % 128 == 0 (supported())
+    cfg = _tiny_cfg(img_feature_channel=128)
+    model = get_model(cfg.model_name)
+    params = model.init(jax.random.PRNGKey(0), cfg)
+
+    save_serving_artifact(str(tmp_path / "tpu"), cfg, params, 8,
+                          topk=3, platforms=("tpu",))
+    _, meta = load_serving_artifact(str(tmp_path / "tpu"))
+    assert meta["fast_path_traced"] is True
+
+    # a host-platform export of the same model records the composed graph
+    save_serving_artifact(str(tmp_path / "host"), cfg, params, 8, topk=3)
+    _, meta = load_serving_artifact(str(tmp_path / "host"))
+    if jax.default_backend() != "tpu":
+        assert meta["fast_path_traced"] is False
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="runs the tpu-platform artifact on real hardware")
 def test_tpu_platform_export_parity(tmp_path):

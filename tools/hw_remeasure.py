@@ -55,9 +55,10 @@ STEPS = [
     ("serve", [PY, "-m", "benchmarks.bench_serve"], 2400, {}),
     ("host_pipeline", [PY, "-m", "benchmarks.bench_host_pipeline"],
      3600, {}),
-    ("aot_tpu",
-     [PY, "-m", "pytest", "tests/test_aot.py", "-q"],
-     1800, {"VQA_TEST_PLATFORM": "tpu"}),
+    ("tpu_tests",
+     [PY, "-m", "pytest", "tests/test_aot.py", "tests/test_train_fusion.py",
+      "-q"],
+     2700, {"VQA_TEST_PLATFORM": "tpu"}),
     ("fusion_micro", [PY, "-m", "benchmarks.bench_fusion"], 2400, {}),
     ("models_sweep", [PY, "-m", "benchmarks.bench_models"], 5400, {}),
     ("flagship_breakdown",
@@ -88,9 +89,32 @@ def _env(extra):
 def _load_summary():
     try:
         with open(SUMMARY) as f:
-            return json.load(f)
+            summary = json.load(f)
     except (OSError, ValueError):
-        return {"steps": {}}
+        summary = {}
+    if not isinstance(summary, dict):
+        summary = {}
+    summary.setdefault("steps", {})
+    return summary
+
+
+def probe_tpu(timeout_s: float = 420.0) -> bool:
+    """True iff a fresh subprocess sees the TPU backend. Guards against the
+    site hook's "axon,cpu" platform list silently falling back to CPU —
+    exit-code-0 CPU numbers must never be recorded as hardware results."""
+    code = (
+        "import jax\n"
+        "assert jax.default_backend() == 'tpu', jax.default_backend()\n"
+        "print('tpu ok', jax.devices())\n"
+    )
+    try:
+        proc = subprocess.run(
+            [PY, "-c", code], cwd=REPO, env=_env({}),
+            capture_output=True, timeout=timeout_s,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def _json_lines(text):
@@ -112,14 +136,24 @@ def run_step(name, argv, timeout_s, extra_env):
     print(f"=== {name}: {' '.join(argv)} (timeout {timeout_s}s)",
           flush=True)
     with open(log_path, "w") as log:
+        # own process group so a timeout kills grandchildren too (soak /
+        # host-pipeline spawn their own subprocesses; an orphan holding the
+        # device lease would wedge every later step of an unattended run)
+        proc = subprocess.Popen(
+            argv, cwd=REPO, env=_env(extra_env), stdout=log,
+            stderr=subprocess.STDOUT, start_new_session=True,
+        )
         try:
-            proc = subprocess.run(
-                argv, cwd=REPO, env=_env(extra_env), stdout=log,
-                stderr=subprocess.STDOUT, timeout=timeout_s,
-            )
-            exit_code = proc.returncode
+            exit_code = proc.wait(timeout=timeout_s)
             timed_out = False
         except subprocess.TimeoutExpired:
+            import signal
+
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            proc.wait()
             exit_code, timed_out = None, True
     seconds = round(time.time() - t0, 1)
     text = open(log_path, errors="replace").read()
@@ -167,6 +201,12 @@ def main(argv=None):
     if unknown:
         p.error(f"unknown step(s): {sorted(unknown)}")
 
+    if not probe_tpu():
+        print("PREFLIGHT FAILED: TPU backend not reachable — refusing to "
+              "run (CPU-fallback numbers must not be recorded as hardware "
+              "results)", flush=True)
+        return 3
+
     any_fail = False
     for name, (cmd, timeout_s, extra) in steps.items():
         if only is not None and name not in only:
@@ -179,6 +219,12 @@ def main(argv=None):
                   f"({prev['finished_utc']}), skipping", flush=True)
             continue
         rec = run_step(name, cmd, timeout_s, extra)
+        if rec["ok"] and not probe_tpu():
+            # the site hook's platform list is "axon,cpu": a relay death
+            # MID-step can silently finish the step on CPU with exit 0
+            rec["ok"] = False
+            rec["error"] = "relay unreachable after step — result suspect"
+            print(f"    -> {rec['error']}", flush=True)
         summary["steps"][name] = rec
         summary["updated_utc"] = rec["finished_utc"]
         os.makedirs(os.path.dirname(SUMMARY), exist_ok=True)

@@ -23,6 +23,7 @@ model definition (predict_pytorch.py:70-83).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import json
 import os
@@ -37,6 +38,14 @@ from vqa_attention_networks_tpu.models import get_model
 
 _GRAPH = "serving.stablehlo"
 _META = "serving.json"
+
+
+def _wqf():
+    # deferred: aot.py must stay importable even if the ops package is
+    # being bisected; the fast-path module is only needed for TPU exports
+    from vqa_attention_networks_tpu.ops import pallas_wq_fusion
+
+    return pallas_wq_fusion
 
 
 def serving_forward(cfg: Config, topk: int, input_dtype: str = "float16"):
@@ -110,12 +119,23 @@ def export_serving(
     kw = {}
     if platforms is not None:
         kw["platforms"] = list(platforms)
-    if input_dtype == "int8":
-        scale = jax.ShapeDtypeStruct(
-            (batch_size, cfg.img_feature_channel), jnp.float16
-        )
-        return jex.export(jax.jit(fwd), **kw)(p_spec, img, scale, ques, qlen)
-    return jex.export(jax.jit(fwd), **kw)(p_spec, img, ques, qlen)
+    # A CPU build box exporting for TPU must trace the SAME graph a TPU
+    # host would — i.e. the Pallas fast path, not the composed fallback
+    # implied by the host backend. tpu_lowering() overrides the trace-time
+    # platform decisions (ops/pallas_wq_fusion.py).
+    if platforms is not None and "tpu" in platforms:
+        ctx = _wqf().tpu_lowering()
+    else:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        if input_dtype == "int8":
+            scale = jax.ShapeDtypeStruct(
+                (batch_size, cfg.img_feature_channel), jnp.float16
+            )
+            return jex.export(jax.jit(fwd), **kw)(
+                p_spec, img, scale, ques, qlen
+            )
+        return jex.export(jax.jit(fwd), **kw)(p_spec, img, ques, qlen)
 
 
 def save_serving_artifact(
@@ -128,8 +148,10 @@ def save_serving_artifact(
     input_dtype: str = "float16",
 ) -> str:
     """Export + write ``serving.stablehlo`` and its metadata sidecar."""
+    traces_before = _wqf().kernel_trace_count()
     exported = export_serving(cfg, params, batch_size, topk, platforms,
                               input_dtype)
+    fast_path_traced = _wqf().kernel_trace_count() > traces_before
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, _GRAPH), "wb") as f:
         f.write(exported.serialize())
@@ -149,6 +171,10 @@ def save_serving_artifact(
         "img_feature_channel": cfg.img_feature_channel,
         "compute_dtype": cfg.compute_dtype,
         "platforms": list(exported.platforms),
+        # True iff the Pallas fast path was traced into this artifact —
+        # lets an operator confirm a TPU-targeted export from a CPU build
+        # box actually captured the kernel graph, not the composed fallback
+        "fast_path_traced": fast_path_traced,
         "config": dataclasses.asdict(cfg),
     }
     with open(os.path.join(out_dir, _META), "w") as f:

@@ -88,7 +88,11 @@ def supported(n: int, dtype, train: bool) -> bool:
 
     if train or os.environ.get("VQA_DISABLE_PALLAS"):
         return False
-    if jax.default_backend() != "tpu":
+    # _target_is_tpu: honors the AOT build-box override (a CPU host
+    # exporting platforms=["tpu"] must trace the same graph a TPU would)
+    from vqa_attention_networks_tpu.ops.pallas_wq_fusion import _target_is_tpu
+
+    if not _target_is_tpu():
         return False
     return jnp.dtype(dtype) == jnp.bfloat16 and n % _NB == 0
 

@@ -186,7 +186,11 @@ def pallas_supported(n: int, f: int, k: int = 5, nb: int = _NB,
 
     if os.environ.get("VQA_DISABLE_PALLAS"):  # A/B kill switch for benchmarks
         return False
-    if jax.default_backend() != "tpu":
+    # _target_is_tpu: honors the AOT build-box override (a CPU host
+    # exporting platforms=["tpu"] must trace the same graph a TPU would)
+    from vqa_attention_networks_tpu.ops.pallas_wq_fusion import _target_is_tpu
+
+    if not _target_is_tpu():
         return False
     # layout contract of the kernel's refactor/BlockSpecs (the assert at
     # _grid_fuse_pallas): reject what cannot compile so the dispatcher

@@ -30,6 +30,7 @@ only caller today, but the registration keeps it differentiable).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 
@@ -529,7 +530,7 @@ def _wq_partitioned(k: int):
     def run(img, w, b, q_proj):
         return _wq_grid_fuse_pallas(
             img, w, b, q_proj, k,
-            interpret=jax.default_backend() != "tpu",
+            interpret=not _target_is_tpu(),
         )
 
     cp = custom_partitioning(run)
@@ -552,81 +553,62 @@ def _wq_partitioned(k: int):
     return cp
 
 
-@functools.lru_cache(maxsize=None)
-def _stage1_coatt_partitioned(k: int):
-    def run(img, w, b, q_proj, c1w, c1b, c2w, c2b):
-        n, _, d = img.shape
-        g = c2w.shape[1]
-        out = fused_stage1_coattention_pallas(
-            img, w, b, q_proj, c1w, c1b, c2w, c2b, k,
-            interpret=jax.default_backend() != "tpu",
+def _make_stage1_partitioned(kernel_of_n):
+    """Shared custom_partitioning setup for the combined stage-1 kernels:
+    ``kernel_of_n(n)`` picks the kernel function for a (possibly sharded)
+    local batch of n. Keeping ONE copy of the sharding rule / replication
+    factors means the single and pair arms cannot diverge in SPMD
+    behavior."""
+
+    def builder(k: int):
+        def run(img, w, b, q_proj, c1w, c1b, c2w, c2b):
+            n, _, d = img.shape
+            g = c2w.shape[1]
+            out = kernel_of_n(n)(
+                img, w, b, q_proj, c1w, c1b, c2w, c2b, k,
+                interpret=not _target_is_tpu(),
+            )
+            return out.reshape(n, g * d)
+
+        cp = custom_partitioning(run)
+        specs = _batch_partition(8, batched=(0, 3), out_rank=2)
+
+        def partition(mesh, arg_shapes, result_shape):
+            arg_sh, out_sh = specs(mesh, arg_shapes)
+            return mesh, run, out_sh, arg_sh
+
+        def infer(mesh, arg_shapes, result_shape):
+            _, out_sh = specs(mesh, arg_shapes)
+            return out_sh
+
+        cp.def_partition(
+            partition=partition,
+            infer_sharding_from_operands=infer,
+            sharding_rule="n a b, e f, g, n h, p r, s, t u, v -> n m",
+            need_replication_factors=(
+                "a", "b", "e", "f", "g", "h", "p", "r", "s", "t", "u", "v",
+                "m"
+            ),
         )
-        return out.reshape(n, g * d)
+        return cp
 
-    cp = custom_partitioning(run)
-    specs = _batch_partition(8, batched=(0, 3), out_rank=2)
+    return functools.lru_cache(maxsize=None)(builder)
 
-    def partition(mesh, arg_shapes, result_shape):
-        arg_sh, out_sh = specs(mesh, arg_shapes)
-        return mesh, run, out_sh, arg_sh
 
-    def infer(mesh, arg_shapes, result_shape):
-        _, out_sh = specs(mesh, arg_shapes)
-        return out_sh
+_stage1_coatt_partitioned = _make_stage1_partitioned(
+    lambda n: fused_stage1_coattention_pallas
+)
 
-    cp.def_partition(
-        partition=partition,
-        infer_sharding_from_operands=infer,
-        sharding_rule="n a b, e f, g, n h, p r, s, t u, v -> n m",
-        need_replication_factors=(
-            "a", "b", "e", "f", "g", "h", "p", "r", "s", "t", "u", "v", "m"
-        ),
+# A shard whose local batch is odd (can't happen for power-of-two meshes
+# over even batches, but custom_partitioning doesn't guarantee it) falls
+# back to the single-sample kernel — bit-identical output either way.
+_stage1_coatt_pair_partitioned = _make_stage1_partitioned(
+    lambda n: (
+        fused_stage1_coattention_pallas
+        if n % 2
+        else fused_stage1_coattention_pallas_pair
     )
-    return cp
-
-
-@functools.lru_cache(maxsize=None)
-def _stage1_coatt_pair_partitioned(k: int):
-    """Pair-kernel twin of _stage1_coatt_partitioned: same operand/result
-    shardings, but each grid instance processes TWO samples. A shard whose
-    local batch is odd (can't happen for power-of-two meshes over even
-    batches, but custom_partitioning doesn't guarantee it) falls back to
-    the single-sample kernel — bit-identical output either way."""
-
-    def run(img, w, b, q_proj, c1w, c1b, c2w, c2b):
-        n, _, d = img.shape
-        g = c2w.shape[1]
-        interp = jax.default_backend() != "tpu"
-        if n % 2:
-            out = fused_stage1_coattention_pallas(
-                img, w, b, q_proj, c1w, c1b, c2w, c2b, k, interpret=interp,
-            )
-        else:
-            out = fused_stage1_coattention_pallas_pair(
-                img, w, b, q_proj, c1w, c1b, c2w, c2b, k, interpret=interp,
-            )
-        return out.reshape(n, g * d)
-
-    cp = custom_partitioning(run)
-    specs = _batch_partition(8, batched=(0, 3), out_rank=2)
-
-    def partition(mesh, arg_shapes, result_shape):
-        arg_sh, out_sh = specs(mesh, arg_shapes)
-        return mesh, run, out_sh, arg_sh
-
-    def infer(mesh, arg_shapes, result_shape):
-        _, out_sh = specs(mesh, arg_shapes)
-        return out_sh
-
-    cp.def_partition(
-        partition=partition,
-        infer_sharding_from_operands=infer,
-        sharding_rule="n a b, e f, g, n h, p r, s, t u, v -> n m",
-        need_replication_factors=(
-            "a", "b", "e", "f", "g", "h", "p", "r", "s", "t", "u", "v", "m"
-        ),
-    )
-    return cp
+)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
@@ -674,15 +656,50 @@ def stage1_coattention(
     c1w, c1b = co1_params["w"], co1_params["b"]
     c2w, c2b = co2_params["w"], co2_params["b"]
     if supported(img, w, k):
+        global _KERNEL_TRACES
+        _KERNEL_TRACES += 1
         return _stage1_coatt_tpu(img, w, b, q_proj, c1w, c1b, c2w, c2b, k,
                                  pair)
     return _composed_stage1_coatt(img, w, b, q_proj, c1w, c1b, c2w, c2b, k)
 
 
+# trace-time target override: aot.export_serving(platforms=["tpu"]) on a
+# CPU build box must trace the SAME graph a TPU box would (the Pallas fast
+# path), not the composed fallback the host backend implies. A counter, not
+# a bool, so nested contexts compose.
+_FORCE_TPU_LOWERING = 0
+# diagnostic: bumped whenever the kernel branch is traced — lets the AOT
+# exporter record fast_path_traced in the artifact metadata
+_KERNEL_TRACES = 0
+
+
+@contextlib.contextmanager
+def tpu_lowering():
+    """Within this context, lowering decisions (supported(), interpret=)
+    treat the target platform as TPU regardless of jax.default_backend()."""
+    global _FORCE_TPU_LOWERING
+    _FORCE_TPU_LOWERING += 1
+    try:
+        yield
+    finally:
+        _FORCE_TPU_LOWERING -= 1
+
+
+def _target_is_tpu() -> bool:
+    return _FORCE_TPU_LOWERING > 0 or jax.default_backend() == "tpu"
+
+
+def kernel_trace_count() -> int:
+    """Monotonic count of Pallas fast-path traces (see _KERNEL_TRACES).
+    aot.save_serving_artifact snapshots this around export to record
+    whether the artifact actually contains the kernel graph."""
+    return _KERNEL_TRACES
+
+
 def supported(img: jnp.ndarray, w: jnp.ndarray, k: int) -> bool:
     if os.environ.get("VQA_DISABLE_PALLAS"):
         return False
-    if jax.default_backend() != "tpu":
+    if not _target_is_tpu():
         return False
     d, f = w.shape
     if f % k:

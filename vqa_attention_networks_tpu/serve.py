@@ -119,6 +119,24 @@ class InferenceEngine:
                     f"{meta.get('input_dtype', 'float16')!r} does not match "
                     f"engine input_dtype={input_dtype!r} ({artifact_dir})"
                 )
+            # loud signal instead of a silent perf regression: a TPU box
+            # serving an artifact whose export traced the composed fallback
+            # (e.g. an old build-box export made before aot.py forced TPU
+            # lowering) runs ~2x slower than the Pallas fast path would
+            if (
+                jax.default_backend() == "tpu"
+                and meta.get("fast_path_traced") is False
+                and cfg.fast_path != "composed"
+            ):
+                import warnings
+
+                warnings.warn(
+                    f"serving artifact {artifact_dir} was exported WITHOUT "
+                    "the Pallas fast path (fast_path_traced=false); "
+                    "re-export on this box or with platforms=['tpu'] to "
+                    "serve the kernel graph",
+                    RuntimeWarning,
+                )
             return
 
         # the same forward the AOT artifact lowers (aot.serving_forward):
