@@ -35,3 +35,87 @@ def test_soak_smoke_single_family(tmp_path):
     events = os.path.join(str(tmp_path), "runs", "iBOWIMG", "iBOWIMG",
                           "events.jsonl")
     assert os.path.exists(events)
+
+
+def _load_soak_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "vqa_soak_tool", os.path.join(REPO, "tools", "soak.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_assess_gates_are_scale_invariant():
+    """The drift/convergence gates must behave identically for plain-CE
+    loss scales (~ln V) and the mhb family's KLD-normalized scale (~ln V /
+    V), and accept accuracy as convergence evidence when the loss ratio
+    alone is inconclusive."""
+    soak = _load_soak_module()
+
+    def eps(losses, accs):
+        return [{"step": i, "train_loss": l, "train_acc": a}
+                for i, (l, a) in enumerate(zip(losses, accs))]
+
+    # healthy fast learner: both gates pass at either loss scale
+    for scale in (1.0, 1e-3):
+        r = soak.assess(eps([6.9 * scale, 3.0 * scale], [0.0, 0.3]),
+                        num_answer=1000, gate=0.6)
+        assert r["drift_ok"] and r["converged"]
+
+    # slow-but-downhill: drift passes, convergence not yet
+    r = soak.assess(eps([6.9, 6.5], [0.0, 0.005]), num_answer=1000,
+                    gate=0.6)
+    assert r["drift_ok"] and not r["converged"]
+
+    # KLD scale with strong accuracy: converged via the accuracy arm
+    r = soak.assess(eps([0.0066, 0.0059], [0.0, 0.3]), num_answer=1000,
+                    gate=0.6)
+    assert r["drift_ok"] and r["converged"]
+
+    # divergence / NaN fail everything
+    r = soak.assess(eps([6.9, 7.5], [0.0, 0.0]), num_answer=1000, gate=0.6)
+    assert not r["drift_ok"] and not r["converged"]
+    r = soak.assess(eps([6.9, float("nan")], [0.0, 0.0]), num_answer=1000,
+                    gate=0.6)
+    assert not r["finite"] and not r["drift_ok"]
+
+
+def test_redoc_rederives_report(tmp_path, monkeypatch):
+    """--redoc regenerates docs + gates from stored curves without
+    retraining (lets a gate fix reinterpret an expensive finished run)."""
+    soak = _load_soak_module()
+    stored = {
+        "config": {"epochs": 4, "batch_size": 64,
+                   "compute_dtype": "bfloat16", "n_train": 2048,
+                   "num_answer": 1000, "platform": "cpu"},
+        "results": [{
+            "family": "iBOWIMG",
+            "compute_dtype": "bfloat16",
+            "epochs": [
+                {"step": 0, "train_loss": 7.6, "train_acc": 0.0,
+                 "val_acc": 0.0},
+                {"step": 1, "train_loss": 2.9, "train_acc": 0.17,
+                 "val_acc": 0.0},
+            ],
+            "final_val_acc": 0.0,
+            "qa_pairs_per_sec": 376.0,
+            "wall_s": 29.0,
+        }],
+    }
+    src = tmp_path / "stored.json"
+    src.write_text(json.dumps(stored))
+    # write_docs targets REPO/docs — point the module at a sandbox
+    monkeypatch.setattr(soak, "REPO", str(tmp_path))
+    (tmp_path / "docs").mkdir()
+    rc = soak.main(["--redoc", str(src)])
+    assert rc == 0
+    report = (tmp_path / "docs" / "SOAK.md").read_text()
+    assert "iBOWIMG" in report and "PASS" in report
+    rederived = json.loads(
+        (tmp_path / "docs" / "soak_results.json").read_text()
+    )
+    assert rederived["results"][0]["drift_ok"] is True
+    assert rederived["results"][0]["converged"] is True

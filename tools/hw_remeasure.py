@@ -64,8 +64,11 @@ STEPS = [
     ("flagship_breakdown",
      [PY, "-m", "benchmarks.bench_flagship_breakdown"], 2700, {}),
     ("extract", [PY, "-m", "benchmarks.bench_extract"], 2700, {}),
+    # 12 epochs: enough for every family to clear the convergence gate
+    # (4-epoch CPU runs showed the slower families still mid-descent);
+    # epochs are cheap at TPU throughput
     ("soak",
-     [PY, "tools/soak.py", "--epochs", "4",
+     [PY, "tools/soak.py", "--epochs", "12",
       "--workdir", "/tmp/soak_tpu"], 6 * 3600, {}),
 ]
 
