@@ -127,6 +127,20 @@ def test_tpu_platform_export_traces_fast_path(tmp_path):
         assert meta["fast_path_traced"] is False
 
 
+def test_tpu_platform_export_traces_hiecoatten_kernel(tmp_path):
+    """fast_path_traced must cover every kernel dispatcher, not just the
+    flagship's: hieCoAtten's co-attention core (ops/pallas_coattention.py)
+    is traced into a TPU-targeted export and recorded in the sidecar."""
+    cfg = _tiny_cfg(model_name="hieCoAtten")
+    model = get_model(cfg.model_name)
+    params = model.init(jax.random.PRNGKey(0), cfg)
+
+    save_serving_artifact(str(tmp_path / "tpu"), cfg, params, 8,
+                          topk=3, platforms=("tpu",))
+    _, meta = load_serving_artifact(str(tmp_path / "tpu"))
+    assert meta["fast_path_traced"] is True
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="runs the tpu-platform artifact on real hardware")
 def test_tpu_platform_export_parity(tmp_path):

@@ -83,6 +83,52 @@ def test_assess_gates_are_scale_invariant():
     assert not r["finite"] and not r["drift_ok"]
 
 
+def test_blowup_recorded_not_fatal(tmp_path, monkeypatch):
+    """A non-finite train loss aborts the Solver with FloatingPointError —
+    the soak's primary detection target. The soak must record that family
+    as a failed drift gate and keep going, not die mid-run (a 9-family TPU
+    soak losing families 4-9 to family 3's bf16 blowup produces no report
+    at all)."""
+    soak = _load_soak_module()
+    import numpy as np
+
+    from vqa_attention_networks_tpu.train import solver as solver_mod
+
+    class BlowupSolver:
+        def __init__(self, *a, **kw):
+            pass
+
+        def train(self):
+            raise FloatingPointError("non-finite loss at step 3")
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(solver_mod, "Solver", BlowupSolver)
+
+    rng = np.random.default_rng(0)
+    qa = soak.make_learnable_qa(rng, 32, 16, q_vocab_words=16,
+                                num_answers=8, max_len=8, num_images=4)
+    from vqa_attention_networks_tpu.data.feature_store import (
+        make_synthetic_feature_store,
+    )
+
+    store = make_synthetic_feature_store(
+        str(tmp_path / "features"), list(range(4)), num_regions=196,
+        channels=64,
+    )
+    import argparse
+
+    args = argparse.Namespace(
+        workdir=str(tmp_path), batch_size=8, epochs=2,
+        compute_dtype="float32", seed=0, num_answer=8, gate=0.6,
+    )
+    r = soak.soak_family("iBOWIMG", qa, store, args, str(tmp_path / "runs"))
+    assert r["error"] and "non-finite" in r["error"]
+    assert r["finite"] is False
+    assert r["drift_ok"] is False and r["converged"] is False
+
+
 def test_redoc_rederives_report(tmp_path, monkeypatch):
     """--redoc regenerates docs + gates from stored curves without
     retraining (lets a gate fix reinterpret an expensive finished run)."""

@@ -222,7 +222,8 @@ def main(argv=None):
                   f"({prev['finished_utc']}), skipping", flush=True)
             continue
         rec = run_step(name, cmd, timeout_s, extra)
-        if rec["ok"] and not probe_tpu():
+        relay_lost = not probe_tpu()
+        if rec["ok"] and relay_lost:
             # the site hook's platform list is "axon,cpu": a relay death
             # MID-step can silently finish the step on CPU with exit 0
             rec["ok"] = False
@@ -234,6 +235,15 @@ def main(argv=None):
         with open(SUMMARY, "w") as f:
             json.dump(summary, f, indent=1)
         any_fail |= not rec["ok"]
+        if relay_lost:
+            # no point launching the remaining steps against a dead relay —
+            # each would burn its full timeout (hours) producing suspect
+            # records; the summary is resumable, so the next run (relay
+            # watcher re-trigger) picks up exactly here
+            print("ABORT: relay unreachable — remaining steps deferred to "
+                  "the next run", flush=True)
+            any_fail = True
+            break
 
     print(f"summary -> {SUMMARY}", flush=True)
     return 1 if any_fail else 0

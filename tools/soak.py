@@ -126,48 +126,71 @@ def soak_family(family, qa, store, args, log_dir):
         ).astype(np.float32)
 
     run_dir = os.path.join(log_dir, family.replace("+", "_"))
+    # MetricWriter appends: a stale events.jsonl from a previous run in the
+    # same --workdir (hw_remeasure pins /tmp/soak_tpu) would merge old
+    # epochs into the curves and corrupt the verdicts
+    events_path = os.path.join(run_dir, model_name, "events.jsonl")
+    if os.path.exists(events_path):
+        os.remove(events_path)
+
     solver = Solver(cfg, qa, store, glove_table=glove_table, log_dir=run_dir)
     t0 = time.time()
-    solver.train()
+    blowup = None
+    try:
+        solver.train()
+    except FloatingPointError as e:
+        # non-finite train loss aborts the Solver (solver.py NaN guard) —
+        # for the soak that IS the finding: record a failed drift gate for
+        # this family instead of killing the remaining families
+        blowup = str(e)
     wall = time.time() - t0
     solver.close()
 
     # per-epoch history from the structured metric stream (utils/logging.py
     # mirrors the reference's tensorboardX tags, solver.py:116-117)
-    events_path = os.path.join(run_dir, model_name, "events.jsonl")
     epochs, qps = [], []
     by_step = {}
-    with open(events_path) as f:
-        for line in f:
-            rec = json.loads(line)
-            e = by_step.setdefault(rec["step"], {"step": rec["step"]})
-            if rec["tag"].endswith("/loss"):
-                e["train_loss"] = rec["train loss"]
-                e["val_loss"] = rec["val loss"]
-            elif rec["tag"].endswith("/acc"):
-                e["train_acc"] = rec["train acc"]
-                e["val_acc"] = rec["val acc"]
-            elif rec["tag"].endswith("/qa_pairs_per_sec"):
-                e["qps"] = rec["value"]
+    if os.path.exists(events_path):
+        with open(events_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                e = by_step.setdefault(rec["step"], {"step": rec["step"]})
+                if rec["tag"].endswith("/loss"):
+                    e["train_loss"] = rec["train loss"]
+                    e["val_loss"] = rec["val loss"]
+                elif rec["tag"].endswith("/acc"):
+                    e["train_acc"] = rec["train acc"]
+                    e["val_acc"] = rec["val acc"]
+                elif rec["tag"].endswith("/qa_pairs_per_sec"):
+                    e["qps"] = rec["value"]
     for step in sorted(by_step):
         epochs.append(by_step[step])
         qps.append(by_step[step].get("qps", 0.0))
 
+    qps_seen = [q for q in qps if q]
     result = {
         "family": family,
         "compute_dtype": args.compute_dtype,
         "epochs": epochs,
-        "final_val_acc": epochs[-1].get("val_acc"),
-        "qa_pairs_per_sec": float(np.median([q for q in qps if q]) or 0.0),
+        "final_val_acc": epochs[-1].get("val_acc") if epochs else None,
+        "qa_pairs_per_sec": float(np.median(qps_seen)) if qps_seen else 0.0,
         "wall_s": round(wall, 1),
+        "error": blowup,
     }
     result.update(assess(epochs, args.num_answer, args.gate))
+    if blowup is not None:
+        result["finite"] = False
+        result["drift_ok"] = result["converged"] = False
     return result
 
 
 def assess(epochs, num_answer, gate):
     """Scale-invariant health gates over one family's per-epoch curves
     (shared by fresh runs and --redoc re-derivation)."""
+    if not epochs:
+        return {"first_train_loss": None, "final_train_loss": None,
+                "final_train_acc": None, "finite": False,
+                "drift_ok": False, "converged": False}
     scalars = [v for e in epochs for k, v in e.items() if k != "step"]
     finite = bool(all(np.isfinite(s) for s in scalars))
     first, final = epochs[0]["train_loss"], epochs[-1]["train_loss"]
@@ -220,11 +243,14 @@ def write_docs(results, config):
         "| wall (s) | drift | converged |",
         "|---|---|---|---|---|---|---|",
     ]
+    def _f(v, spec):
+        return format(v, spec) if v is not None else "—"
+
     for r in results:
         acc = r.get("final_train_acc") or 0.0
         lines.append(
-            f"| {r['family']} | {r['first_train_loss']:.4f} → "
-            f"{r['final_train_loss']:.4f} | {acc:.3f} "
+            f"| {r['family']} | {_f(r['first_train_loss'], '.4f')} → "
+            f"{_f(r['final_train_loss'], '.4f')} | {acc:.3f} "
             f"({acc * config['num_answer']:.0f}x) | "
             f"{r['qa_pairs_per_sec']:.0f} | {r['wall_s']} | "
             f"{'PASS' if r['drift_ok'] else 'FAIL'} | "

@@ -39,6 +39,13 @@ from vqa_attention_networks_tpu.models import get_model
 _GRAPH = "serving.stablehlo"
 _META = "serving.json"
 
+# families whose bf16 TPU serving forward dispatches to a Pallas kernel
+# (mhb_coAtt: the combined stage-1+co-attention kernel, models/mhb_coatt.py;
+# hieCoAtten: the co-attention core, models/hiecoatten.py). Other families
+# serve the composed/weight-contracted XLA graph by design, so a
+# fast_path_traced=False artifact is expected for them, not a regression.
+FAST_PATH_MODELS = frozenset({"mhb_coAtt", "hieCoAtten"})
+
 
 def _wqf():
     # deferred: aot.py must stay importable even if the ops package is

@@ -152,14 +152,21 @@ def glimpse_attention(
     """
     import os
 
+    from vqa_attention_networks_tpu.ops.pallas_wq_fusion import _target_is_tpu
+
     use_pallas = (
-        jax.default_backend() == "tpu"
+        _target_is_tpu()  # honors the AOT build-box tpu_lowering override
         and x.dtype == jnp.bfloat16
         and x.shape[0] % _NB == 0
         and os.environ.get("VQA_PALLAS_GLIMPSE")
         and not os.environ.get("VQA_DISABLE_PALLAS")
     )
     if use_pallas:
+        from vqa_attention_networks_tpu.ops.pallas_wq_fusion import (
+            note_kernel_trace,
+        )
+
+        note_kernel_trace()  # feeds aot.py's fast_path_traced metadata
         out = _glimpse_pallas(
             x, mlp1["w"], mlp1["b"], mlp2["w"], mlp2["b"], v, uniform_quirk
         )

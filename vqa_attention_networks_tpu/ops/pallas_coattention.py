@@ -101,6 +101,11 @@ def coattention_core_pallas(img, que, cv, cq, img_w, que_w, whv, whq,
                             nb: int = _NB):
     """All activations per-sample 3D ([N, L/T, E]); whv/whq [E, 1].
     Returns (v [N,E], q [N,E], av [N,L], aq [N,T]) in f32."""
+    from vqa_attention_networks_tpu.ops.pallas_wq_fusion import (
+        note_kernel_trace,
+    )
+
+    note_kernel_trace()  # feeds aot.py's fast_path_traced metadata
     n, l, e = img.shape
     t = que.shape[1]
     assert n % nb == 0, (n, nb)

@@ -252,5 +252,10 @@ def grid_fuse(
             # the Pallas kernel (see ops/fusion.py)
             return grid_fuse_weight_contracted(img, w, b, q_proj, k)
         if pallas_supported(img.shape[0], w.shape[1], k):
+            from vqa_attention_networks_tpu.ops.pallas_wq_fusion import (
+                note_kernel_trace,
+            )
+
+            note_kernel_trace()  # feeds aot.py's fast_path_traced metadata
             return _grid_fuse_tpu(img, w, b, q_proj, k)
     return _grid_fuse_reference(img, w, b, q_proj, k)

@@ -123,7 +123,10 @@ def _lstm_scan_pallas(
 def supported(x: jnp.ndarray, hdim: int) -> bool:
     if os.environ.get("VQA_DISABLE_PALLAS"):
         return False
-    if jax.default_backend() != "tpu":
+    # honors the AOT build-box tpu_lowering override (pallas_wq_fusion)
+    from vqa_attention_networks_tpu.ops.pallas_wq_fusion import _target_is_tpu
+
+    if not _target_is_tpu():
         return False
     return x.dtype == jnp.bfloat16 and hdim % _LANE == 0
 

@@ -656,8 +656,7 @@ def stage1_coattention(
     c1w, c1b = co1_params["w"], co1_params["b"]
     c2w, c2b = co2_params["w"], co2_params["b"]
     if supported(img, w, k):
-        global _KERNEL_TRACES
-        _KERNEL_TRACES += 1
+        note_kernel_trace()
         return _stage1_coatt_tpu(img, w, b, q_proj, c1w, c1b, c2w, c2b, k,
                                  pair)
     return _composed_stage1_coatt(img, w, b, q_proj, c1w, c1b, c2w, c2b, k)
@@ -668,9 +667,19 @@ def stage1_coattention(
 # path), not the composed fallback the host backend implies. A counter, not
 # a bool, so nested contexts compose.
 _FORCE_TPU_LOWERING = 0
-# diagnostic: bumped whenever the kernel branch is traced — lets the AOT
-# exporter record fast_path_traced in the artifact metadata
+# diagnostic: bumped whenever ANY Pallas kernel branch is traced (this
+# module's stage-1 kernel, pallas_coattention's core, pallas_fusion's
+# forced path, the opt-in glimpse) — lets the AOT exporter record
+# fast_path_traced in the artifact metadata
 _KERNEL_TRACES = 0
+
+
+def note_kernel_trace() -> None:
+    """Record that a Pallas kernel branch was taken at trace time. Called
+    by every kernel dispatcher so kernel_trace_count() covers all model
+    families, not just the flagship."""
+    global _KERNEL_TRACES
+    _KERNEL_TRACES += 1
 
 
 @contextlib.contextmanager

@@ -126,6 +126,7 @@ class InferenceEngine:
             if (
                 jax.default_backend() == "tpu"
                 and meta.get("fast_path_traced") is False
+                and cfg.model_name in aot.FAST_PATH_MODELS
                 and cfg.fast_path != "composed"
             ):
                 import warnings
