@@ -131,6 +131,43 @@ def test_concurrent_requests_are_microbatched_correctly(server):
         assert got["answer"] == solo[i]["answer"], i
 
 
+def test_latency_telemetry_on_healthz(server):
+    """After traffic, /healthz must expose request/queue/dispatch latency
+    percentiles and batch occupancy (LatencyStats) — the serving-side
+    observability the reference never had."""
+    _post(server, {"question": "what color is the cat", "image_id": 3})
+    _post(server, {"requests": [
+        {"question": "what color is the sky", "image_id": i}
+        for i in IMAGE_IDS
+    ]})
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as resp:
+        lat = json.loads(resp.read())["latency"]
+    assert lat["requests"] >= 1 + len(IMAGE_IDS)
+    assert lat["batches"] >= 2  # one micro-batched, one bulk dispatch
+    for section in ("request", "dispatch"):
+        p = lat[section]
+        assert p["p50_ms"] is not None and p["p50_ms"] > 0
+        assert p["p50_ms"] <= p["p95_ms"] <= p["p99_ms"] <= p["max_ms"]
+    assert 0 < lat["batch_occupancy"] <= 1
+
+
+def test_latency_stats_empty_and_window():
+    from vqa_attention_networks_tpu.cli.serve import LatencyStats
+
+    s = LatencyStats(window=4)
+    snap = s.snapshot()
+    assert snap["requests"] == 0 and snap["batches"] == 0
+    assert snap["request"]["p50_ms"] is None
+    assert snap["batch_occupancy"] is None
+
+    for i in range(10):  # ring keeps the last `window` samples only
+        s.record_request(0.001 * (i + 1))
+    snap = s.snapshot()
+    assert snap["requests"] == 10  # lifetime counter is exact
+    assert snap["request"]["max_ms"] == 10.0
+    assert snap["request"]["p50_ms"] >= 7.0  # window = samples 7..10
+
+
 def test_error_paths(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, {"question": "hi", "image_id": 99999})

@@ -26,7 +26,7 @@ import json
 import queue
 import threading
 import time
-from collections import OrderedDict
+from collections import OrderedDict, deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import jax
@@ -40,8 +40,73 @@ from vqa_attention_networks_tpu.serve import InferenceEngine
 from vqa_attention_networks_tpu.utils import checkpoint as ckpt
 
 
+class LatencyStats:
+    """Thread-safe serving telemetry for /healthz: end-to-end request
+    latency, batcher queue wait, engine dispatch time, and batch occupancy.
+
+    Bounded memory by design: fixed-size rings of the most recent samples
+    (the operationally useful window — a day-old spike should not dominate
+    today's p99), with exact lifetime counters alongside. Percentiles are
+    computed on demand at /healthz, keeping the record path O(1) under the
+    serving lock."""
+
+    def __init__(self, window: int = 2048):
+        self._lock = threading.Lock()
+        self._request_s = deque(maxlen=window)
+        self._wait_s = deque(maxlen=window)
+        self._dispatch_s = deque(maxlen=window)
+        self._occupancy = deque(maxlen=window)
+        self.requests = 0
+        self.batches = 0
+
+    def record_request(self, seconds: float, n: int = 1) -> None:
+        with self._lock:
+            self.requests += n
+            for _ in range(n):
+                self._request_s.append(seconds)
+
+    def record_batch(self, waits_s, dispatch_s: float,
+                     occupancy: float) -> None:
+        with self._lock:
+            self.batches += 1
+            self._wait_s.extend(waits_s)
+            self._dispatch_s.append(dispatch_s)
+            self._occupancy.append(occupancy)
+
+    @staticmethod
+    def _pct_ms(samples) -> dict:
+        if not samples:
+            return {"p50_ms": None, "p95_ms": None, "p99_ms": None,
+                    "max_ms": None}
+        arr = np.asarray(samples, np.float64) * 1e3
+        p50, p95, p99 = np.percentile(arr, (50, 95, 99))
+        return {"p50_ms": round(float(p50), 3),
+                "p95_ms": round(float(p95), 3),
+                "p99_ms": round(float(p99), 3),
+                "max_ms": round(float(arr.max()), 3)}
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            req = list(self._request_s)
+            wait = list(self._wait_s)
+            disp = list(self._dispatch_s)
+            occ = list(self._occupancy)
+            requests, batches = self.requests, self.batches
+        return {
+            "requests": requests,
+            "batches": batches,
+            "request": self._pct_ms(req),
+            "queue_wait": self._pct_ms(wait),
+            "dispatch": self._pct_ms(disp),
+            "batch_occupancy": (
+                round(float(np.mean(occ)), 4) if occ else None
+            ),
+        }
+
+
 class _Request:
-    __slots__ = ("features", "ids", "qlen", "event", "result", "error")
+    __slots__ = ("features", "ids", "qlen", "event", "result", "error",
+                 "t_submit")
 
     def __init__(self, features, ids, qlen):
         self.features = features
@@ -50,14 +115,17 @@ class _Request:
         self.event = threading.Event()
         self.result = None
         self.error = None
+        self.t_submit = time.monotonic()
 
 
 class Batcher:
     """Collects concurrent requests into one fixed-batch engine call."""
 
-    def __init__(self, engine: InferenceEngine, max_wait_s: float = 0.005):
+    def __init__(self, engine: InferenceEngine, max_wait_s: float = 0.005,
+                 stats: "LatencyStats | None" = None):
         self.engine = engine
         self.max_wait_s = max_wait_s
+        self.stats = stats
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -93,6 +161,7 @@ class Batcher:
                         batch.append(self._q.get(timeout=remaining))
                     except queue.Empty:
                         break
+            t_dispatch = time.monotonic()
             try:
                 feats, scales = _stack_features([r.features for r in batch])
                 ids = np.stack([r.ids for r in batch])
@@ -105,6 +174,12 @@ class Batcher:
             except Exception as e:  # surface engine errors to every waiter
                 for r in batch:
                     r.error = e
+            if self.stats is not None:
+                self.stats.record_batch(
+                    [t_dispatch - r.t_submit for r in batch],
+                    time.monotonic() - t_dispatch,
+                    len(batch) / self.engine.batch_size,
+                )
             for r in batch:
                 r.event.set()
 
@@ -201,7 +276,8 @@ class VqaService:
             input_dtype="int8" if self.int8 else "float16",
             data_parallel=data_parallel,
         )
-        self.batcher = Batcher(self.engine, max_wait_s)
+        self.stats = LatencyStats()
+        self.batcher = Batcher(self.engine, max_wait_s, stats=self.stats)
 
     def _gather(self, image_ids: list):
         """Raw store gather in the engine's feed dtype: a list of f16
@@ -264,8 +340,10 @@ class VqaService:
         }
 
     def predict_one(self, item: dict) -> dict:
+        t0 = time.monotonic()
         feats, ids, qlen = self._encode(item)
         pred = self.batcher.submit(feats, ids, qlen)
+        self.stats.record_request(time.monotonic() - t0)
         return self._to_dict(pred)
 
     def predict_many(self, items: list) -> list:
@@ -274,6 +352,7 @@ class VqaService:
         full batching window and a device call per item), and ONE batched
         feature gather per call (the per-item path costs a store read per
         request; the batched gather runs the native multithreaded plane)."""
+        t0 = time.monotonic()
         tokens = []
         for item in items:
             ids, qlen = self._tokenize(item["question"])
@@ -286,10 +365,17 @@ class VqaService:
             feats, scales = _stack_features(all_feats[start:start + bs])
             ids = np.stack([c[1] for c in chunk])
             qlen = np.asarray([c[2] for c in chunk], np.int32)
+            t_dispatch = time.monotonic()
             preds = self.engine.predict_batch(
                 feats, ids, qlen, feature_scale=scales
             )
+            self.stats.record_batch(
+                (), time.monotonic() - t_dispatch, len(chunk) / bs
+            )
             out.extend(self._to_dict(pr) for pr in preds)
+        if tokens:
+            # every item in the bulk call experienced the same wall clock
+            self.stats.record_request(time.monotonic() - t0, n=len(tokens))
         return out
 
 
@@ -321,6 +407,7 @@ def make_handler(service: VqaService, model_name: str):
                     "batch_size": service.engine.batch_size,
                     "backend": jax.default_backend(),
                     "feature_cache": service.cache.stats(),
+                    "latency": service.stats.snapshot(),
                 })
             else:
                 self._reply(404, {"error": "unknown path"})
