@@ -155,6 +155,27 @@ def test_kernels_shard_over_batch_on_a_mesh():
         np.asarray(out2, np.float32), np.asarray(ref2, np.float32), atol=1e-2
     )
 
+    # pair arm under SPMD: batch 16 over 8 devices -> local batch 2, so
+    # each shard runs the two-samples-per-instance kernel through the
+    # shared custom_partitioning rules; must match the single arm exactly
+    # (its documented bit-exactness contract)
+    img16 = np.tile(img, (2, 1, 1))
+    q16 = np.tile(q, (2, 1))
+    img16_s = jax.device_put(
+        jnp.asarray(img16), NamedSharding(mesh, P("data"))
+    )
+    q16_s = jax.device_put(jnp.asarray(q16), NamedSharding(mesh, P("data")))
+    fn_pair = jax.jit(lambda i, qq: _stage1_coatt_tpu(
+        i, jnp.asarray(w), jnp.asarray(b), qq, jnp.asarray(c1w),
+        jnp.asarray(c1b), jnp.asarray(c2w), jnp.asarray(c2b), K, True
+    ))
+    out_pair = fn_pair(img16_s, q16_s)
+    assert out_pair.sharding.spec == P("data")
+    ref_single = fn2(jnp.asarray(img16), jnp.asarray(q16))
+    np.testing.assert_array_equal(
+        np.asarray(out_pair, np.float32), np.asarray(ref_single, np.float32)
+    )
+
 
 def test_combined_kernel_backward_is_composed():
     # the custom VJP routes gradients through the composed twin
