@@ -151,6 +151,22 @@ def test_latency_telemetry_on_healthz(server):
     assert 0 < lat["batch_occupancy"] <= 1
 
 
+def test_prometheus_metrics_endpoint(server):
+    """GET /metrics serves the same telemetry in Prometheus text format
+    0.0.4 for standard scrapers."""
+    _post(server, {"question": "what color is the cat", "image_id": 3})
+    with urllib.request.urlopen(server + "/metrics", timeout=30) as resp:
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        text = resp.read().decode()
+    assert "# TYPE vqa_requests_total counter" in text
+    lines = {l.split(" ")[0]: l.split(" ")[-1]
+             for l in text.splitlines() if not l.startswith("#")}
+    assert float(lines[f'vqa_requests_total{{model="{MODEL}"}}']) >= 1
+    assert float(lines[f'vqa_batches_total{{model="{MODEL}"}}']) >= 1
+    q50 = f'vqa_request_latency_ms{{model="{MODEL}",quantile="0.5"}}'
+    assert q50 in lines and float(lines[q50]) > 0
+
+
 def test_latency_stats_empty_and_window():
     from vqa_attention_networks_tpu.cli.serve import LatencyStats
 

@@ -386,6 +386,56 @@ MAX_BODY_BYTES = 8 << 20  # 413 beyond this
 MAX_BULK_REQUESTS = 4096  # per /predict call
 
 
+def _prometheus_text(service: VqaService, model_name: str) -> str:
+    """Prometheus exposition (text format 0.0.4) of the serving telemetry —
+    the same numbers /healthz reports as JSON, shaped for a scraper.
+    Quantiles follow the summary-metric convention (precomputed over the
+    recent window, not a true streaming summary)."""
+    lat = service.stats.snapshot()
+    cache = service.cache.stats()
+    label = f'{{model="{model_name}"}}'
+    lines = [
+        "# HELP vqa_requests_total Requests served (lifetime).",
+        "# TYPE vqa_requests_total counter",
+        f"vqa_requests_total{label} {lat['requests']}",
+        "# HELP vqa_batches_total Engine dispatches (lifetime).",
+        "# TYPE vqa_batches_total counter",
+        f"vqa_batches_total{label} {lat['batches']}",
+        "# HELP vqa_feature_cache_hits_total Feature cache hits.",
+        "# TYPE vqa_feature_cache_hits_total counter",
+        f"vqa_feature_cache_hits_total{label} {cache['hits']}",
+        "# HELP vqa_feature_cache_misses_total Feature cache misses.",
+        "# TYPE vqa_feature_cache_misses_total counter",
+        f"vqa_feature_cache_misses_total{label} {cache['misses']}",
+        "# HELP vqa_feature_cache_entries Cached feature grids.",
+        "# TYPE vqa_feature_cache_entries gauge",
+        f"vqa_feature_cache_entries{label} {cache['entries']}",
+    ]
+    if lat["batch_occupancy"] is not None:
+        lines += [
+            "# HELP vqa_batch_occupancy Mean batch fill over the window.",
+            "# TYPE vqa_batch_occupancy gauge",
+            f"vqa_batch_occupancy{label} {lat['batch_occupancy']}",
+        ]
+    for section, metric in (("request", "vqa_request_latency_ms"),
+                            ("queue_wait", "vqa_queue_wait_ms"),
+                            ("dispatch", "vqa_dispatch_latency_ms")):
+        pcts = lat[section]
+        if pcts["p50_ms"] is None:
+            continue
+        lines += [
+            f"# HELP {metric} Recent-window latency quantiles (ms).",
+            f"# TYPE {metric} summary",
+        ]
+        for q, key in (("0.5", "p50_ms"), ("0.95", "p95_ms"),
+                       ("0.99", "p99_ms")):
+            lines.append(
+                f'{metric}{{model="{model_name}",quantile="{q}"}} '
+                f"{pcts[key]}"
+            )
+    return "\n".join(lines) + "\n"
+
+
 def make_handler(service: VqaService, model_name: str):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # quiet by default
@@ -409,6 +459,14 @@ def make_handler(service: VqaService, model_name: str):
                     "feature_cache": service.cache.stats(),
                     "latency": service.stats.snapshot(),
                 })
+            elif self.path == "/metrics":
+                body = _prometheus_text(service, model_name).encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._reply(404, {"error": "unknown path"})
 
