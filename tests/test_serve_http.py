@@ -151,6 +151,138 @@ def test_latency_telemetry_on_healthz(server):
     assert 0 < lat["batch_occupancy"] <= 1
 
 
+def test_predict_image_unconfigured_is_501(server):
+    """A server started without --backbone_weights keeps store-backed
+    /predict working and answers /predict_image with 501, not a crash."""
+    req = urllib.request.Request(
+        server + "/predict_image",
+        json.dumps({"question": "what", "image_b64": "aGk="}).encode(),
+        {"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc.value.code == 501
+
+
+@pytest.fixture(scope="module")
+def server_img(server, tmp_path_factory):
+    """A second server sharing nothing with `server` except the test data
+    recipe, with a stub extractor whose grid for any input equals store
+    image 3's grid — so /predict_image answers must match store-backed
+    /predict for image_id 3 exactly (same batcher, same engine)."""
+    import base64
+
+    data_dir = tmp_path_factory.mktemp("serve_img_data")
+    words = ["what", "color", "is", "the", "cat", "dog", "sky"]
+    q_vocab = {w: i + 1 for i, w in enumerate(words)}
+    q_vocab["UNK"] = len(words) + 1
+    answers = ["black", "white", "blue", "red", "yes"]
+    vocab = {
+        "question_vocab": q_vocab,
+        "answer_vocab": {a: i for i, a in enumerate(answers)},
+        "max_question_length": 6,
+    }
+    with open(data_dir / "qa_v2_5answers_all.vocab.json", "w") as f:
+        json.dump(vocab, f)
+    store = make_synthetic_feature_store(
+        str(data_dir / "resnet152_all"), IMAGE_IDS, num_regions=4, channels=8
+    )
+    cfg = Config(
+        model_name=MODEL,
+        q_vocab_size=q_vocab["UNK"] + 1,
+        a_vocab_size=len(answers),
+        max_question_length=6,
+        img_feature_channel=8,
+        compute_dtype="bfloat16",
+    ).validate()
+    params = get_model(MODEL).init(jax.random.PRNGKey(0), cfg)
+    ckpt.save_weights(str(data_dir / "models" / MODEL), params)
+    args = argparse.Namespace(
+        model_name=MODEL, model_dir=str(data_dir / "models"),
+        data_dir=str(data_dir), vocab=None, feature_type="resnet152",
+        version=2, num_answer=5, batch_size=4, topk=3, max_wait_ms=5.0,
+    )
+    service = serve_cli.build_service(args)
+
+    class StubExtractor:
+        channels = 8
+
+        def __call__(self, image_bytes):
+            assert image_bytes == b"fake-image"
+            return np.asarray(store.gather([3], dtype=np.float16)[0],
+                              np.float32)
+
+    service.extractor = StubExtractor()
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve_cli.make_handler(service, MODEL)
+    )
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def test_predict_image_end_to_end(server_img):
+    import base64
+
+    b64 = base64.b64encode(b"fake-image").decode()
+    got = _post_path(server_img, "/predict_image",
+                     {"question": "what color is the cat",
+                      "image_b64": b64})
+    ref = _post_path(server_img, "/predict",
+                     {"question": "what color is the cat", "image_id": 3})
+    assert got == ref  # same grid, same batcher/engine -> identical output
+
+
+def test_predict_image_bad_base64_is_400(server_img):
+    req = urllib.request.Request(
+        server_img + "/predict_image",
+        json.dumps({"question": "what", "image_b64": "!!!"}).encode(),
+        {"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc.value.code == 400
+
+
+def _post_path(url, path, payload):
+    req = urllib.request.Request(
+        url + path, json.dumps(payload).encode(),
+        {"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return json.loads(resp.read())
+
+
+def test_extractor_channel_mismatch_rejected(tmp_path):
+    """A backbone whose grid width differs from the store (and therefore
+    from the checkpoint) must be refused at startup, not at request time."""
+    data_dir = tmp_path
+    words = ["what"]
+    q_vocab = {"what": 1, "UNK": 2}
+    vocab = {"question_vocab": q_vocab,
+             "answer_vocab": {"yes": 0, "no": 1},
+             "max_question_length": 6}
+    with open(data_dir / "qa_v2_2answers_all.vocab.json", "w") as f:
+        json.dump(vocab, f)
+    store = make_synthetic_feature_store(
+        str(data_dir / "resnet152_all"), [1], num_regions=4, channels=8
+    )
+    cfg = Config(
+        model_name=MODEL, q_vocab_size=3, a_vocab_size=2,
+        max_question_length=6, img_feature_channel=8,
+        compute_dtype="bfloat16",
+    ).validate()
+    params = get_model(MODEL).init(jax.random.PRNGKey(0), cfg)
+
+    class WrongWidth:
+        channels = 512
+
+    with pytest.raises(ValueError, match="512-channel"):
+        serve_cli.VqaService(cfg, vocab, params, store, 4, 2, 0.0,
+                             extractor=WrongWidth())
+
+
 def test_prometheus_metrics_endpoint(server):
     """GET /metrics serves the same telemetry in Prometheus text format
     0.0.4 for standard scrapers."""

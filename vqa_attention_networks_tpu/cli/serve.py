@@ -250,13 +250,72 @@ class FeatureCache:
                     "hits": self.hits, "misses": self.misses}
 
 
+class ExtractorUnavailable(RuntimeError):
+    """/predict_image hit on a server started without a backbone (501)."""
+
+
+class ImageExtractor:
+    """Raw image bytes -> [196, C] feature grid, for the /predict_image
+    end-to-end path (the served counterpart of cli/predict.py's
+    image->features stage; reference flow: predict_pytorch.py:34-44).
+
+    The trunk is jitted once at construction; preprocessing matches the
+    offline extraction exactly (BILINEAR resize — torchvision Resize's
+    default — so served features come from the same distribution the
+    checkpoint was trained on)."""
+
+    def __init__(self, backbone: str, weights_path: "str | None"):
+        import jax.random as jrandom
+
+        from vqa_attention_networks_tpu.models import resnet, vgg
+
+        if backbone not in ("resnet152", "vgg19"):
+            raise ValueError(f"unknown backbone {backbone!r}")
+        self.backbone = backbone
+        if backbone == "resnet152":
+            self.size, self.channels = 448, 2048
+            if weights_path:
+                bp = resnet.convert_torchvision_resnet152(
+                    dict(np.load(weights_path))
+                )
+            else:
+                print("WARNING: random backbone (no --backbone_weights)")
+                bp = resnet.random_init(jrandom.PRNGKey(0))
+            self._fn = jax.jit(lambda a: resnet.extract(bp, a))
+            self._prep = lambda img: np.asarray(img, np.uint8)[None]
+        else:
+            self.size, self.channels = 224, 512
+            if weights_path:
+                bp = vgg.convert_torchvision_vgg19(dict(np.load(weights_path)))
+            else:
+                print("WARNING: random backbone (no --backbone_weights)")
+                bp = vgg.random_init(jrandom.PRNGKey(0))
+            self._fn = jax.jit(lambda a: vgg.grid_features(bp, a))
+
+            def _prep_vgg(img):
+                arr = np.asarray(img, np.float32)[None] / 255.0
+                return (arr - resnet.IMAGENET_MEAN) / resnet.IMAGENET_STD
+
+            self._prep = _prep_vgg
+
+    def __call__(self, image_bytes: bytes) -> np.ndarray:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(image_bytes)).convert("RGB").resize(
+            (self.size, self.size), Image.BILINEAR
+        )
+        return np.asarray(self._fn(self._prep(img)), np.float32)[0]
+
+
 class VqaService:
     """Request decode (vocab/features) + the batcher, HTTP-agnostic."""
 
     def __init__(self, cfg: Config, vocab: dict, params, store,
                  batch_size: int, topk: int, max_wait_s: float,
                  artifact_dir=None, feature_cache_mb: int = 512,
-                 data_parallel: int = 1):
+                 data_parallel: int = 1, extractor=None):
         self.cfg = cfg
         self.q_vocab = vocab["question_vocab"]
         self.max_len = vocab["max_question_length"]
@@ -276,6 +335,13 @@ class VqaService:
             input_dtype="int8" if self.int8 else "float16",
             data_parallel=data_parallel,
         )
+        if extractor is not None and extractor.channels != store.channels:
+            raise ValueError(
+                f"backbone produces {extractor.channels}-channel grids but "
+                f"the feature store (and the checkpoint trained on it) "
+                f"expects {store.channels}"
+            )
+        self.extractor = extractor
         self.stats = LatencyStats()
         self.batcher = Batcher(self.engine, max_wait_s, stats=self.stats)
 
@@ -342,6 +408,41 @@ class VqaService:
     def predict_one(self, item: dict) -> dict:
         t0 = time.monotonic()
         feats, ids, qlen = self._encode(item)
+        pred = self.batcher.submit(feats, ids, qlen)
+        self.stats.record_request(time.monotonic() - t0)
+        return self._to_dict(pred)
+
+    def predict_image(self, item: dict) -> dict:
+        """End-to-end path: {question, image_b64} — no precomputed store
+        entry needed. The grid goes through the SAME batcher/engine as
+        store-backed requests, converted to the engine's feed dtype
+        (f16, or the store's int8+scale quantization scheme)."""
+        if self.extractor is None:
+            raise ExtractorUnavailable(
+                "server started without --backbone_weights; /predict_image "
+                "is disabled (store-backed /predict still works)"
+            )
+        import base64
+
+        t0 = time.monotonic()
+        try:
+            raw = base64.b64decode(item["image_b64"], validate=True)
+        except Exception:
+            raise ValueError("image_b64 is not valid base64") from None
+        try:
+            grid = self.extractor(raw)  # [196, C] f32
+        except Exception:
+            raise ValueError("could not decode image") from None
+        if self.int8:
+            from vqa_attention_networks_tpu.data.feature_store import (
+                quantize_features,
+            )
+
+            q, scale, _ = quantize_features(grid)
+            feats = (q[0], scale[0])
+        else:
+            feats = grid.astype(np.float16)
+        ids, qlen = self._tokenize(item["question"])
         pred = self.batcher.submit(feats, ids, qlen)
         self.stats.record_request(time.monotonic() - t0)
         return self._to_dict(pred)
@@ -471,7 +572,7 @@ def make_handler(service: VqaService, model_name: str):
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/predict":
+            if self.path not in ("/predict", "/predict_image"):
                 self._reply(404, {"error": "unknown path"})
                 return
             try:
@@ -494,6 +595,9 @@ def make_handler(service: VqaService, model_name: str):
                     self.close_connection = True
                     return
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/predict_image":
+                    self._reply(200, service.predict_image(req))
+                    return
                 if "requests" in req:
                     items = req["requests"]
                     if not isinstance(items, list):
@@ -513,6 +617,8 @@ def make_handler(service: VqaService, model_name: str):
                 self._reply(400, {"error": f"missing field {e}"})
             except ValueError as e:
                 self._reply(400, {"error": str(e)})
+            except ExtractorUnavailable as e:
+                self._reply(501, {"error": str(e)})
             except Exception as e:
                 self._reply(500, {"error": str(e)})
 
@@ -541,11 +647,17 @@ def build_service(args) -> VqaService:
     model = get_model(cfg.model_name)
     template = model.init(jax.random.PRNGKey(0), cfg)
     params = ckpt.load_weights(f"{args.model_dir}/{cfg.model_name}", template)
+    extractor = None
+    if getattr(args, "backbone_weights", None) is not None:
+        extractor = ImageExtractor(
+            getattr(args, "backbone", "resnet152"), args.backbone_weights
+        )
     return VqaService(cfg, vocab, params, store, args.batch_size, args.topk,
                       args.max_wait_ms / 1000.0,
                       artifact_dir=getattr(args, "aot_artifact", None),
                       feature_cache_mb=getattr(args, "feature_cache_mb", 512),
-                      data_parallel=getattr(args, "data_parallel", 1))
+                      data_parallel=getattr(args, "data_parallel", 1),
+                      extractor=extractor)
 
 
 def main(argv=None) -> None:
@@ -585,6 +697,12 @@ def main(argv=None) -> None:
                         help="directory written by cli.export_serving: use "
                              "the exported StableHLO graph instead of "
                              "re-tracing the model")
+    parser.add_argument("--backbone", type=str, default="resnet152",
+                        help="resnet152|vgg19 — trunk for /predict_image")
+    parser.add_argument("--backbone_weights", type=str, default=None,
+                        help=".npz of the torchvision backbone state_dict; "
+                             "enables the end-to-end /predict_image "
+                             "endpoint (image bytes -> features -> answer)")
     args = parser.parse_args(argv)
 
     service = build_service(args)
