@@ -60,17 +60,22 @@ def test_run_step_timeout_kills_grandchildren(monkeypatch, tmp_path):
     holding the device lease would wedge every later step."""
     mod = _load(monkeypatch, tmp_path)
     pid_file = str(tmp_path / "grandchild.pid")
+    # generous step timeout: on a loaded 1-core host interpreter startup
+    # alone can take seconds, and the pid file must exist before the kill
     code = (
-        "import subprocess, sys, time\n"
-        "p = subprocess.Popen([sys.executable, '-c',"
-        " 'import time; time.sleep(60)'])\n"
+        "import subprocess, time\n"
+        "p = subprocess.Popen(['sleep', '120'])\n"
         f"open({pid_file!r}, 'w').write(str(p.pid))\n"
-        "time.sleep(60)\n"
+        "time.sleep(120)\n"
     )
     t0 = time.time()
-    rec = mod.run_step("sleeper", [sys.executable, "-c", code], 2, {})
+    rec = mod.run_step("sleeper", [sys.executable, "-c", code], 15, {})
     assert rec["timed_out"] is True and rec["ok"] is False
-    assert time.time() - t0 < 20
+    assert time.time() - t0 < 60
+    assert os.path.exists(pid_file), (
+        "step was killed before it even spawned its grandchild — "
+        "raise the step timeout"
+    )
     grandchild = int(open(pid_file).read())
     # killpg is synchronous; allow a moment for the zombie reap
     for _ in range(50):

@@ -709,10 +709,26 @@ def main(argv=None) -> None:
     server = ThreadingHTTPServer(
         (args.host, args.port), make_handler(service, args.model_name)
     )
+
+    # graceful drain on SIGTERM/SIGINT: orchestrators (and operators) send
+    # TERM on redeploy — in-flight requests finish, the listener closes,
+    # and the process exits 0 instead of dying mid-response
+    import signal
+
+    def _shutdown(signum, frame):
+        print(f"received signal {signum}: draining and shutting down",
+              flush=True)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _shutdown)
+    signal.signal(signal.SIGINT, _shutdown)
+
     print(f"serving {args.model_name} on http://{args.host}:{args.port} "
           f"(batch {args.batch_size}, wait {args.max_wait_ms}ms, "
           f"backend {jax.default_backend()})", flush=True)
     server.serve_forever()
+    server.server_close()
+    print("server stopped", flush=True)
 
 
 if __name__ == "__main__":
