@@ -234,6 +234,38 @@ def test_predict_image_end_to_end(server_img):
     assert got == ref  # same grid, same batcher/engine -> identical output
 
 
+def test_bulk_mixed_store_and_image_items(server_img):
+    """The bulk path accepts image_id and image_b64 items in one call;
+    a b64 item whose grid equals store image 3's must answer exactly like
+    the store-backed item for image 3."""
+    import base64
+
+    b64 = base64.b64encode(b"fake-image").decode()
+    q = "what color is the cat"
+    got = _post_path(server_img, "/predict", {"requests": [
+        {"question": q, "image_id": 3},
+        {"question": q, "image_b64": b64},
+        {"question": q, "image_id": 7},
+    ]})["results"]
+    assert got[0] == got[1]  # same grid -> identical answer + top-k
+    solo = _post_path(server_img, "/predict",
+                      {"question": q, "image_id": 7})
+    assert got[2] == solo
+
+
+def test_bulk_b64_unconfigured_is_501(server):
+    req = urllib.request.Request(
+        server + "/predict",
+        json.dumps({"requests": [
+            {"question": "what", "image_b64": "aGk="}
+        ]}).encode(),
+        {"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc.value.code == 501
+
+
 def test_predict_image_bad_base64_is_400(server_img):
     req = urllib.request.Request(
         server_img + "/predict_image",

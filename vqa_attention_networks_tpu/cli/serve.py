@@ -417,16 +417,25 @@ class VqaService:
         entry needed. The grid goes through the SAME batcher/engine as
         store-backed requests, converted to the engine's feed dtype
         (f16, or the store's int8+scale quantization scheme)."""
+        t0 = time.monotonic()
+        feats = self._extract_b64(item["image_b64"])
+        ids, qlen = self._tokenize(item["question"])
+        pred = self.batcher.submit(feats, ids, qlen)
+        self.stats.record_request(time.monotonic() - t0)
+        return self._to_dict(pred)
+
+    def _extract_b64(self, image_b64: str):
+        """base64 image -> feed-dtype grid via the in-process backbone
+        (shared by /predict_image and b64 items on the bulk path)."""
         if self.extractor is None:
             raise ExtractorUnavailable(
-                "server started without --backbone_weights; /predict_image "
-                "is disabled (store-backed /predict still works)"
+                "server started without --backbone_weights; image_b64 "
+                "requests are disabled (store-backed requests still work)"
             )
         import base64
 
-        t0 = time.monotonic()
         try:
-            raw = base64.b64decode(item["image_b64"], validate=True)
+            raw = base64.b64decode(image_b64, validate=True)
         except Exception:
             raise ValueError("image_b64 is not valid base64") from None
         try:
@@ -439,26 +448,28 @@ class VqaService:
             )
 
             q, scale, _ = quantize_features(grid)
-            feats = (q[0], scale[0])
-        else:
-            feats = grid.astype(np.float16)
-        ids, qlen = self._tokenize(item["question"])
-        pred = self.batcher.submit(feats, ids, qlen)
-        self.stats.record_request(time.monotonic() - t0)
-        return self._to_dict(pred)
+            return (q[0], scale[0])
+        return grid.astype(np.float16)
 
     def predict_many(self, items: list) -> list:
         """Bulk endpoint path: ONE padded engine call per engine-batch of
         requests (routing each item through the micro-batcher would pay a
         full batching window and a device call per item), and ONE batched
         feature gather per call (the per-item path costs a store read per
-        request; the batched gather runs the native multithreaded plane)."""
+        request; the batched gather runs the native multithreaded plane).
+        Items may carry ``image_id`` (store-backed) or ``image_b64``
+        (extracted in-process, one batch-1 trunk call each)."""
         t0 = time.monotonic()
         tokens = []
         for item in items:
             ids, qlen = self._tokenize(item["question"])
-            tokens.append((int(item["image_id"]), ids, qlen))
-        all_feats = self._features_batch([t[0] for t in tokens])
+            key = ("b64", self._extract_b64(item["image_b64"])) \
+                if "image_b64" in item else ("id", int(item["image_id"]))
+            tokens.append((key, ids, qlen))
+        store_ids = [k[1] for k, _, _ in tokens if k[0] == "id"]
+        store_feats = iter(self._features_batch(store_ids))
+        all_feats = [k[1] if k[0] == "b64" else next(store_feats)
+                     for k, _, _ in tokens]
         out = []
         bs = self.engine.batch_size
         for start in range(0, len(tokens), bs):
