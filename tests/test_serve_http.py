@@ -206,8 +206,9 @@ def server_img(server, tmp_path_factory):
 
     class StubExtractor:
         channels = 8
+        regions = 4
 
-        def __call__(self, image_bytes):
+        def from_bytes(self, image_bytes):
             assert image_bytes == b"fake-image"
             return np.asarray(store.gather([3], dtype=np.float16)[0],
                               np.float32)
@@ -313,6 +314,14 @@ def test_extractor_channel_mismatch_rejected(tmp_path):
     with pytest.raises(ValueError, match="512-channel"):
         serve_cli.VqaService(cfg, vocab, params, store, 4, 2, 0.0,
                              extractor=WrongWidth())
+
+    class WrongRegions:  # e.g. a store extracted with a non-default --size
+        channels = 8
+        regions = 196
+
+    with pytest.raises(ValueError, match="196-region"):
+        serve_cli.VqaService(cfg, vocab, params, store, 4, 2, 0.0,
+                             extractor=WrongRegions())
 
 
 def test_prometheus_metrics_endpoint(server):

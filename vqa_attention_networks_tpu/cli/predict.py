@@ -20,7 +20,7 @@ import numpy as np
 
 from vqa_attention_networks_tpu.config import Config
 from vqa_attention_networks_tpu.data.text import encode_question
-from vqa_attention_networks_tpu.models import get_model, resnet, vgg
+from vqa_attention_networks_tpu.models import get_model
 from vqa_attention_networks_tpu.utils import checkpoint as ckpt
 
 
@@ -67,45 +67,22 @@ def main(argv=None) -> None:
     max_len = vocab["max_question_length"]
     ans_of = {i: a for a, i in vocab["answer_vocab"].items()}
 
-    # ---- image -> feature grid -------------------------------------------
+    # ---- image -> feature grid (models/extractor.py — the ONE
+    # implementation shared with serving's /predict_image, so predict-time
+    # and served features cannot drift apart in preprocessing) ------------
     from PIL import Image
 
-    if args.backbone not in ("resnet152", "vgg19"):
-        raise SystemExit(
-            f"unknown --backbone {args.backbone!r}: choose resnet152 "
-            "(training features) or vgg19 (the reference predict script's "
-            "tap, predict_pytorch.py:34-37)"
-        )
-    if args.backbone == "resnet152":
-        size = 448
-        # BILINEAR matches torchvision's Resize default (the extraction
-        # CLI's choice) — PIL's default BICUBIC would skew predict-time
-        # features away from the training/extraction distribution
-        img = Image.open(args.image_path).convert("RGB").resize(
-            (size, size), Image.BILINEAR
-        )
-        arr = np.asarray(img, np.uint8)[None]
-        if args.weights:
-            bp = resnet.convert_torchvision_resnet152(dict(np.load(args.weights)))
-        else:
-            print("WARNING: random backbone (no --weights)")
-            bp = resnet.random_init(jax.random.PRNGKey(0))
-        feats = np.asarray(jax.jit(resnet.extract)(bp, arr))  # [1, 196, 2048]
-        channels = 2048
-    else:
-        size = 224
-        img = Image.open(args.image_path).convert("RGB").resize(
-            (size, size), Image.BILINEAR
-        )
-        arr = np.asarray(img, np.float32)[None] / 255.0
-        arr = (arr - resnet.IMAGENET_MEAN) / resnet.IMAGENET_STD
-        if args.weights:
-            bp = vgg.convert_torchvision_vgg19(dict(np.load(args.weights)))
-        else:
-            print("WARNING: random backbone (no --weights)")
-            bp = vgg.random_init(jax.random.PRNGKey(0))
-        feats = np.asarray(vgg.grid_features(bp, arr))  # [1, 196, 512]
-        channels = feats.shape[-1]
+    from vqa_attention_networks_tpu.models.extractor import GridExtractor
+
+    try:
+        extractor = GridExtractor(args.backbone, args.weights or None,
+                                  warmup=False)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    if extractor.random_weights:
+        print("WARNING: random backbone (no --weights)")
+    feats = extractor.from_pil(Image.open(args.image_path))[None]
+    channels = extractor.channels
 
     # ---- question -> LEFT-aligned ids, the TRAINING encode (prepare.py) --
     # Documented deviation: the reference's predict script right-aligns
@@ -168,10 +145,14 @@ def main(argv=None) -> None:
         if "not compatible with the stored shape" in str(e):
             raise SystemExit(
                 f"checkpoint under {args.model_dir}/{cfg.model_name} was "
-                f"trained with different vocab sizes than {vocab_path} "
-                f"describes (q_vocab={cfg.q_vocab_size}, "
-                f"a_vocab={cfg.a_vocab_size}) — pass the vocab artifact the "
-                f"model was trained with"
+                f"trained with different shapes than this invocation "
+                f"implies (q_vocab={cfg.q_vocab_size}, "
+                f"a_vocab={cfg.a_vocab_size}, "
+                f"img_channels={cfg.img_feature_channel} from "
+                f"--backbone {args.backbone}) — pass the vocab artifact "
+                f"the model was trained with, and the backbone whose "
+                f"features it consumed (resnet152-trained checkpoints "
+                f"cannot read vgg19's 512-channel grids)"
             )
         raise
 

@@ -12,9 +12,14 @@ production use on one chip:
   artifact), questions are tokenized server-side with the training vocab.
 
 Endpoints:
-  GET  /healthz            -> {"status": "ok", ...}
+  GET  /healthz            -> {"status": "ok", ..., "latency": {...}}
+  GET  /metrics            -> same telemetry, Prometheus text format 0.0.4
   POST /predict            -> {"question": str, "image_id": int}
-                              or {"requests": [...]}; returns answers+top-k.
+                              or {"requests": [...]} (items may use
+                              image_id or image_b64); returns answers+top-k.
+  POST /predict_image      -> {"question": str, "image_b64": str} — raw
+                              image through the in-process backbone
+                              (--backbone_weights; 501 when unconfigured).
 
 Drive:
   python -m vqa_attention_networks_tpu.cli.serve --data_dir data \
@@ -60,9 +65,13 @@ class LatencyStats:
         self.batches = 0
 
     def record_request(self, seconds: float, n: int = 1) -> None:
+        # lifetime counter is exact; the percentile ring takes at most 8
+        # samples per call so one 4096-item bulk request cannot flood the
+        # window and erase the interactive-latency history an operator is
+        # reading p99 from
         with self._lock:
             self.requests += n
-            for _ in range(n):
+            for _ in range(min(n, 8)):
                 self._request_s.append(seconds)
 
     def record_batch(self, waits_s, dispatch_s: float,
@@ -254,59 +263,9 @@ class ExtractorUnavailable(RuntimeError):
     """/predict_image hit on a server started without a backbone (501)."""
 
 
-class ImageExtractor:
-    """Raw image bytes -> [196, C] feature grid, for the /predict_image
-    end-to-end path (the served counterpart of cli/predict.py's
-    image->features stage; reference flow: predict_pytorch.py:34-44).
-
-    The trunk is jitted once at construction; preprocessing matches the
-    offline extraction exactly (BILINEAR resize — torchvision Resize's
-    default — so served features come from the same distribution the
-    checkpoint was trained on)."""
-
-    def __init__(self, backbone: str, weights_path: "str | None"):
-        import jax.random as jrandom
-
-        from vqa_attention_networks_tpu.models import resnet, vgg
-
-        if backbone not in ("resnet152", "vgg19"):
-            raise ValueError(f"unknown backbone {backbone!r}")
-        self.backbone = backbone
-        if backbone == "resnet152":
-            self.size, self.channels = 448, 2048
-            if weights_path:
-                bp = resnet.convert_torchvision_resnet152(
-                    dict(np.load(weights_path))
-                )
-            else:
-                print("WARNING: random backbone (no --backbone_weights)")
-                bp = resnet.random_init(jrandom.PRNGKey(0))
-            self._fn = jax.jit(lambda a: resnet.extract(bp, a))
-            self._prep = lambda img: np.asarray(img, np.uint8)[None]
-        else:
-            self.size, self.channels = 224, 512
-            if weights_path:
-                bp = vgg.convert_torchvision_vgg19(dict(np.load(weights_path)))
-            else:
-                print("WARNING: random backbone (no --backbone_weights)")
-                bp = vgg.random_init(jrandom.PRNGKey(0))
-            self._fn = jax.jit(lambda a: vgg.grid_features(bp, a))
-
-            def _prep_vgg(img):
-                arr = np.asarray(img, np.float32)[None] / 255.0
-                return (arr - resnet.IMAGENET_MEAN) / resnet.IMAGENET_STD
-
-            self._prep = _prep_vgg
-
-    def __call__(self, image_bytes: bytes) -> np.ndarray:
-        import io
-
-        from PIL import Image
-
-        img = Image.open(io.BytesIO(image_bytes)).convert("RGB").resize(
-            (self.size, self.size), Image.BILINEAR
-        )
-        return np.asarray(self._fn(self._prep(img)), np.float32)[0]
+# Image -> feature-grid extraction is SHARED with cli/predict.py
+# (models/extractor.py) so served, predict-time, and offline-extraction
+# features cannot drift apart in preprocessing.
 
 
 class VqaService:
@@ -335,12 +294,24 @@ class VqaService:
             input_dtype="int8" if self.int8 else "float16",
             data_parallel=data_parallel,
         )
-        if extractor is not None and extractor.channels != store.channels:
-            raise ValueError(
-                f"backbone produces {extractor.channels}-channel grids but "
-                f"the feature store (and the checkpoint trained on it) "
-                f"expects {store.channels}"
-            )
+        if extractor is not None:
+            # grid SHAPE must match the store's: a mismatch would surface
+            # inside the shared micro-batcher's np.stack, failing innocent
+            # co-batched store-backed requests — refuse at startup instead
+            if extractor.channels != store.channels:
+                raise ValueError(
+                    f"backbone produces {extractor.channels}-channel grids "
+                    f"but the feature store (and the checkpoint trained on "
+                    f"it) expects {store.channels}"
+                )
+            regions = getattr(extractor, "regions", None)
+            if regions is not None and regions != store.num_regions:
+                raise ValueError(
+                    f"backbone produces {regions}-region grids but the "
+                    f"feature store was extracted with "
+                    f"{store.num_regions} regions (a non-default "
+                    f"extract_features --size?)"
+                )
         self.extractor = extractor
         self.stats = LatencyStats()
         self.batcher = Batcher(self.engine, max_wait_s, stats=self.stats)
@@ -438,10 +409,10 @@ class VqaService:
             raw = base64.b64decode(image_b64, validate=True)
         except Exception:
             raise ValueError("image_b64 is not valid base64") from None
-        try:
-            grid = self.extractor(raw)  # [196, C] f32
-        except Exception:
-            raise ValueError("could not decode image") from None
+        # from_bytes raises ValueError only for undecodable images (a 400
+        # client error); backbone execution failures propagate unchanged so
+        # they surface as 500s with the real cause, not a blamed client
+        grid = self.extractor.from_bytes(raw)  # [regions, C] f32
         if self.int8:
             from vqa_attention_networks_tpu.data.feature_store import (
                 quantize_features,
@@ -660,7 +631,11 @@ def build_service(args) -> VqaService:
     params = ckpt.load_weights(f"{args.model_dir}/{cfg.model_name}", template)
     extractor = None
     if getattr(args, "backbone_weights", None) is not None:
-        extractor = ImageExtractor(
+        from vqa_attention_networks_tpu.models.extractor import GridExtractor
+
+        # warmup at startup: the trunk compile happens here, not inside
+        # the first user request
+        extractor = GridExtractor(
             getattr(args, "backbone", "resnet152"), args.backbone_weights
         )
     return VqaService(cfg, vocab, params, store, args.batch_size, args.topk,
@@ -723,7 +698,12 @@ def main(argv=None) -> None:
 
     # graceful drain on SIGTERM/SIGINT: orchestrators (and operators) send
     # TERM on redeploy — in-flight requests finish, the listener closes,
-    # and the process exits 0 instead of dying mid-response
+    # and the process exits 0 instead of dying mid-response.
+    # ThreadingHTTPServer marks handler threads daemon by default, which
+    # would let the process exit without joining them (killing in-flight
+    # responses) — non-daemon + block_on_close makes server_close() the
+    # actual drain point.
+    server.daemon_threads = False
     import signal
 
     def _shutdown(signum, frame):
