@@ -87,3 +87,46 @@ def test_soft_bce_finite_at_full_confidence():
     logits16 = jnp.asarray([[8.0, -8.0, -8.0]], jnp.bfloat16)
     loss16 = soft_bce(logits16, soft.astype(jnp.bfloat16))
     assert bool(jnp.isfinite(loss16))
+
+
+def test_vqa_consensus_scores():
+    """Official VQA accuracy min(count/3, 1): raw annotator counts come
+    back exactly as soft * soft_n (the in-vocab count stored in the
+    artifact — the normalized fractions alone cannot distinguish a
+    unanimous 1/1 from a unanimous 10/10)."""
+    import numpy as np
+
+    from vqa_attention_networks_tpu.train.losses import vqa_consensus_scores
+
+    # row 0: all 10 in vocab, counts [6, 3, 1]  -> values /10
+    # row 1: 5 in vocab,      counts [3, 2]     -> values /5
+    # row 2: all OOV (zero row, soft_n 0)
+    # row 3: unanimous 10/10  (value 1.0 — ambiguous without soft_n)
+    # row 4: unanimous 1/1    (value 1.0 — same fraction, count 1)
+    soft = np.zeros((5, 4), np.float32)
+    soft[0, :3] = [0.6, 0.3, 0.1]
+    soft[1, :2] = [0.6, 0.4]
+    soft[3, 2] = 1.0
+    soft[4, 2] = 1.0
+    soft_n = np.array([10, 5, 0, 10, 1], np.int32)
+
+    preds = np.array([0, 1, 0, 2, 2])
+    scores = vqa_consensus_scores(soft, preds, soft_n)
+    np.testing.assert_allclose(
+        scores, [1.0, 2 / 3, 0.0, 1.0, 1 / 3], atol=1e-9
+    )
+
+    # predicted answer has annotator count 0 -> score 0
+    scores = vqa_consensus_scores(soft, np.array([3, 3, 3, 3, 3]), soft_n)
+    np.testing.assert_allclose(scores, np.zeros(5), atol=1e-9)
+
+    # count-1 and count-3 boundaries at n=10
+    soft_b = np.zeros((2, 4), np.float32)
+    soft_b[0, 0] = 0.1   # count 1 -> 1/3
+    soft_b[0, 1] = 0.9
+    soft_b[1, 0] = 0.3   # count 3 -> exactly 1.0
+    soft_b[1, 1] = 0.7
+    scores = vqa_consensus_scores(
+        soft_b, np.array([0, 0]), np.array([10, 10])
+    )
+    np.testing.assert_allclose(scores, [1 / 3, 1.0], atol=1e-6)

@@ -93,8 +93,9 @@ def test_soft_answers_renormalise_over_in_vocab():
         "answers": [{"answer": "yes"}] * 6 + [{"answer": "no"}] * 2
         + [{"answer": "maybe"}] * 2,  # OOV, dropped
     }]
-    soft = build_soft_answers(vocab, anns)
+    soft, counts = build_soft_answers(vocab, anns)
     assert soft[7] == {0: 6 / 8, 1: 2 / 8}
+    assert counts[7] == 8  # in-vocab annotators (the soft denominator)
 
 
 def test_prepare_roundtrip(tmp_path):

@@ -85,7 +85,8 @@ def make_learnable_qa(rng, n_train, n_val, q_vocab_words, num_answers,
         soft_val[:, 1] = 0.1
         return QASplit(questions=questions, ques_length=lengths,
                        answers=answers, image_ids=image_ids,
-                       soft_idx=soft_idx, soft_val=soft_val)
+                       soft_idx=soft_idx, soft_val=soft_val,
+                       soft_n=np.full(n, 10, dtype=np.int32))
 
     question_vocab = {f"w{i}": i + 1 for i in range(q_vocab_words)}
     question_vocab["UNK"] = q_vocab_words + 1

@@ -38,6 +38,10 @@ class Batch:
     ques_length: np.ndarray  # [B] int32
     valid: np.ndarray  # [B] bool — False on pad rows of the final batch
     soft_answers: Optional[np.ndarray] = None  # [B, A] float32
+    # in-vocab annotator count per row (prepare.py QASplit.soft_n): raw
+    # annotator counts = soft_answers * soft_n, consumed host-side by the
+    # official VQA consensus metric. None for pre-soft_n artifacts.
+    soft_n: Optional[np.ndarray] = None  # [B] int32
     # int8 stores: per-(sample, channel) f16 dequant scales; the solver
     # dequantises ON DEVICE (int8 crosses host->device, 4x less traffic
     # than the f32 feed, 2x less than f16)
@@ -116,6 +120,9 @@ class VqaBatches:
             ques_length=self.split.ques_length[idx].astype(np.int32),
             valid=valid,
             soft_answers=self._densify_soft(idx) if self.soft_answer else None,
+            soft_n=(self.split.soft_n[idx].astype(np.int32)
+                    if self.soft_answer and self.split.soft_n is not None
+                    else None),
             feature_scale=scale,
         )
 

@@ -115,12 +115,18 @@ def densify_soft_np(
 
 def build_soft_answers(
     answer_vocab: Dict[str, int], annotations: List[dict]
-) -> Dict[int, Dict[int, float]]:
-    """question_id -> {answer_index: fraction of the IN-VOCAB annotator
-    answers} (utils.py:250-265: the reference divides by len(a_list), the
-    in-vocab subset — NOT by the raw 10 — so vectors sum to 1 whenever any
-    annotator answer is in vocab). Out-of-vocab answers are dropped."""
+) -> Tuple[Dict[int, Dict[int, float]], Dict[int, int]]:
+    """(dists, counts): question_id -> {answer_index: fraction of the
+    IN-VOCAB annotator answers} (utils.py:250-265: the reference divides by
+    len(a_list), the in-vocab subset — NOT by the raw 10 — so vectors sum
+    to 1 whenever any annotator answer is in vocab), and question_id -> the
+    in-vocab annotator count itself. The count is stored in the artifact
+    (QASplit.soft_n) because the official VQA consensus metric
+    min(raw_count/3, 1) needs raw counts, and the normalized fractions
+    alone cannot recover them (a unanimous answer is 1.0 at every n).
+    Out-of-vocab answers are dropped."""
     out: Dict[int, Dict[int, float]] = {}
+    n_in_vocab: Dict[int, int] = {}
     for a in annotations:
         normalized = (normalize_answer(an["answer"]) for an in a["answers"])
         in_vocab = [w for w in normalized if w in answer_vocab]
@@ -130,7 +136,8 @@ def build_soft_answers(
             n = float(len(in_vocab))
             dist = {answer_vocab[w]: c / n for w, c in counts.items()}
         out[a["question_id"]] = dist
-    return out
+        n_in_vocab[a["question_id"]] = len(in_vocab)
+    return out, n_in_vocab
 
 
 def build_question_vocab(
@@ -169,6 +176,10 @@ class QASplit:
     image_ids: np.ndarray  # [N] int64 COCO image id
     soft_idx: np.ndarray  # [N, SOFT_WIDTH] int32, -1 padded
     soft_val: np.ndarray  # [N, SOFT_WIDTH] float32
+    # in-vocab annotator count per question (soft_val rows are count/soft_n;
+    # the official VQA consensus metric needs the raw counts back). None on
+    # artifacts written before this field existed.
+    soft_n: Optional[np.ndarray] = None  # [N] int32
 
     def __len__(self) -> int:
         return int(self.questions.shape[0])
@@ -205,11 +216,13 @@ def _encode_split(
     soft_answers: Dict[int, Dict[int, float]],
     question_vocab: Dict[str, int],
     max_len: int,
+    soft_counts: Optional[Dict[int, int]] = None,
 ) -> QASplit:
     """Encode one split into packed arrays (the loop at utils.py:177-196)."""
     unk = question_vocab["UNK"]
+    soft_counts = soft_counts or {}
     rows_q, rows_len, rows_a, rows_img = [], [], [], []
-    rows_sidx, rows_sval = [], []
+    rows_sidx, rows_sval, rows_sn = [], [], []
     for q, a in zip(questions, annotations):
         _check_pairing(q, a)
         ans = normalize_answer(a["multiple_choice_answer"])
@@ -230,6 +243,7 @@ def _encode_split(
             sval[j] = v
         rows_sidx.append(sidx)
         rows_sval.append(sval)
+        rows_sn.append(soft_counts.get(a["question_id"], 0))
 
     n = len(rows_q)
     return QASplit(
@@ -239,6 +253,7 @@ def _encode_split(
         image_ids=np.asarray(rows_img, dtype=np.int64),
         soft_idx=np.stack(rows_sidx) if n else np.zeros((0, SOFT_WIDTH), np.int32),
         soft_val=np.stack(rows_sval) if n else np.zeros((0, SOFT_WIDTH), np.float32),
+        soft_n=np.asarray(rows_sn, dtype=np.int32),
     )
 
 
@@ -282,17 +297,21 @@ def prepare_training_data(
         }
 
     answer_vocab = build_answer_vocab(all_annotations, num_ans)
-    soft_answers = build_soft_answers(answer_vocab, all_annotations)
+    soft_answers, soft_counts = build_soft_answers(
+        answer_vocab, all_annotations
+    )
     question_vocab, max_len = build_question_vocab(
         all_questions, all_annotations, answer_vocab
     )
 
     data = QAData(
         train=_encode_split(
-            *splits["train"], answer_vocab, soft_answers, question_vocab, max_len
+            *splits["train"], answer_vocab, soft_answers, question_vocab,
+            max_len, soft_counts
         ),
         val=_encode_split(
-            *splits["val"], answer_vocab, soft_answers, question_vocab, max_len
+            *splits["val"], answer_vocab, soft_answers, question_vocab,
+            max_len, soft_counts
         ),
         answer_vocab=answer_vocab,
         question_vocab=question_vocab,
@@ -321,6 +340,8 @@ def save_qa_data(data: QAData, base_path: str) -> None:
         for field in ("questions", "ques_length", "answers", "image_ids",
                       "soft_idx", "soft_val"):
             arrays[f"{split_name}_{field}"] = getattr(split, field)
+        if split.soft_n is not None:
+            arrays[f"{split_name}_soft_n"] = split.soft_n
     np.savez_compressed(base_path + ".npz", **arrays)
     with open(base_path + ".vocab.json", "w") as f:
         json.dump(
@@ -347,6 +368,9 @@ def load_qa_data(base_path: str) -> QAData:
             image_ids=arrays[f"{split_name}_image_ids"],
             soft_idx=arrays[f"{split_name}_soft_idx"],
             soft_val=arrays[f"{split_name}_soft_val"],
+            # absent on artifacts written before soft_n existed
+            soft_n=(arrays[f"{split_name}_soft_n"]
+                    if f"{split_name}_soft_n" in arrays else None),
         )
     return QAData(
         train=splits["train"],
@@ -389,6 +413,8 @@ def make_synthetic_qa_data(
             image_ids=rng.integers(0, num_images, size=n).astype(np.int64),
             soft_idx=soft_idx,
             soft_val=soft_val,
+            # 0.7/0.3 fractions model 7/3 of 10 in-vocab annotators
+            soft_n=np.full(n, 10, dtype=np.int32),
         )
 
     question_vocab = {f"w{i}": i + 1 for i in range(q_vocab_words)}

@@ -111,3 +111,28 @@ def topk_correct_count(
     if valid is not None:
         hit = hit * valid.astype(hit.dtype)
     return jnp.sum(hit)
+
+
+def vqa_consensus_scores(soft: "np.ndarray", preds: "np.ndarray",
+                         soft_n: "np.ndarray") -> "np.ndarray":
+    """Official VQA accuracy per sample: ``min(#annotators(pred)/3, 1)``.
+
+    The metric every VQA paper/leaderboard reports; the reference never
+    implemented it (its eval is argmax-vs-argmax exact match,
+    solver.py:150-153). Host-side numpy — runs once per eval batch.
+
+    The prepared soft targets store ``count / n_in_vocab`` (the reference's
+    normalization, utils.py:250-265, reproduced in
+    data/prepare.py:build_soft_answers); ``soft_n`` carries n_in_vocab per
+    row (QASplit.soft_n), so raw counts come back exactly as
+    ``soft * soft_n`` — the fractions alone cannot recover them (a
+    unanimous answer is 1.0 at every n). Rows with no in-vocab annotator
+    answers (soft_n == 0) score 0.
+    """
+    import numpy as np
+
+    soft = np.asarray(soft, np.float64)
+    preds = np.asarray(preds)
+    n = np.asarray(soft_n, np.float64)
+    counts = np.rint(soft[np.arange(soft.shape[0]), preds] * n)
+    return np.minimum(counts / 3.0, 1.0)

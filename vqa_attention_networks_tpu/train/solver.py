@@ -54,6 +54,7 @@ from vqa_attention_networks_tpu.train.losses import (
     soft_bce,
     soft_cross_entropy,
     topk_correct_count,
+    vqa_consensus_scores,
 )
 from vqa_attention_networks_tpu.utils import checkpoint as ckpt
 from vqa_attention_networks_tpu.parallel.distributed import is_primary
@@ -313,6 +314,9 @@ class Solver:
             loss,
             correct_count(logits, labels, valid),
             topk_correct_count(logits, labels, k=3, valid=valid),
+            # per-sample argmax, fetched host-side for the official VQA
+            # consensus metric (losses.vqa_consensus_scores)
+            jnp.argmax(logits, axis=-1),
         )
 
     # ------------------------------------------------------------------
@@ -480,13 +484,16 @@ class Solver:
         training-mode behaviour, solver.py:154-156); ``full=True`` sweeps the
         split and writes the results artifact (solver.py:174-182)."""
         cfg = self.cfg
-        total_correct = total_top3 = 0.0
+        total_correct = total_top3 = total_consensus = 0.0
+        have_consensus = False
         total_valid = 0
         n_batches = 0
         loss = loss_sum = 0.0
         for batch in self.batches["val"].epoch():
             dev = self._device_batch(batch)
-            loss_d, correct_d, top3_d = self._eval_step(self.params, *dev)
+            loss_d, correct_d, top3_d, preds_d = self._eval_step(
+                self.params, *dev
+            )
             n_valid = int(batch.valid.sum())
             loss = float(loss_d)
             # valid-weighted so the full sweep reports the SPLIT mean, not
@@ -494,6 +501,17 @@ class Solver:
             loss_sum += loss * n_valid
             total_correct += float(correct_d)
             total_top3 += float(top3_d)
+            if (full and batch.soft_answers is not None
+                    and batch.soft_n is not None):
+                # official VQA accuracy, min(#annotators(pred)/3, 1) —
+                # host-side from the soft targets (losses.py)
+                scores = vqa_consensus_scores(
+                    batch.soft_answers, np.asarray(preds_d), batch.soft_n
+                )
+                total_consensus += float(
+                    (scores * np.asarray(batch.valid)).sum()
+                )
+                have_consensus = True
             total_valid += n_valid
             n_batches += 1
             if not full:
@@ -516,18 +534,21 @@ class Solver:
             with open(
                 os.path.join(cfg.results_dir, cfg.model_name + ".json"), "w"
             ) as f:
-                json.dump(
-                    {
-                        "accuracy": acc_exact,
-                        "accuracy_reference_denominator": acc_ref,
-                        "top3_accuracy": top3,
-                        "num_examples": total_valid,
-                        "time": time.time(),
-                    },
-                    f,
-                )
+                record = {
+                    "accuracy": acc_exact,
+                    "accuracy_reference_denominator": acc_ref,
+                    "top3_accuracy": top3,
+                    "num_examples": total_valid,
+                    "time": time.time(),
+                }
+                consensus_note = ""
+                if have_consensus:
+                    consensus = total_consensus / max(total_valid, 1)
+                    record["vqa_consensus_accuracy"] = consensus
+                    consensus_note = f", VQA consensus {consensus:.6f}"
+                json.dump(record, f)
             print(f"Evaluation accuracy: {acc_ref:.6f} (exact {acc_exact:.6f},"
-                  f" top-3 {top3:.6f})")
+                  f" top-3 {top3:.6f}{consensus_note})")
         return loss, acc_exact
 
     # ------------------------------------------------------------------
