@@ -90,43 +90,53 @@ def test_soft_bce_finite_at_full_confidence():
 
 
 def test_vqa_consensus_scores():
-    """Official VQA accuracy min(count/3, 1): raw annotator counts come
-    back exactly as soft * soft_n (the in-vocab count stored in the
-    artifact — the normalized fractions alone cannot distinguish a
+    """Official VQA accuracy with the official leave-one-out averaging:
+    score(c of 10) = (c*min((c-1)/3,1) + (10-c)*min(c/3,1)) / 10.
+    Raw counts come back exactly as soft_val * soft_n (the in-vocab count
+    stored in the artifact — the fractions alone cannot distinguish a
     unanimous 1/1 from a unanimous 10/10)."""
     import numpy as np
 
     from vqa_attention_networks_tpu.train.losses import vqa_consensus_scores
 
+    def official(c, t=10.0):
+        return (c * min((c - 1) / 3.0, 1.0)
+                + (t - c) * min(c / 3.0, 1.0)) / t
+
+    W = 4
     # row 0: all 10 in vocab, counts [6, 3, 1]  -> values /10
     # row 1: 5 in vocab,      counts [3, 2]     -> values /5
     # row 2: all OOV (zero row, soft_n 0)
     # row 3: unanimous 10/10  (value 1.0 — ambiguous without soft_n)
-    # row 4: unanimous 1/1    (value 1.0 — same fraction, count 1)
-    soft = np.zeros((5, 4), np.float32)
-    soft[0, :3] = [0.6, 0.3, 0.1]
-    soft[1, :2] = [0.6, 0.4]
-    soft[3, 2] = 1.0
-    soft[4, 2] = 1.0
+    # row 4: unanimous 1/1    (value 1.0, 9 OOV annotators)
+    soft_idx = np.full((5, W), -1, np.int32)
+    soft_val = np.zeros((5, W), np.float32)
+    soft_idx[0, :3] = [0, 1, 2]; soft_val[0, :3] = [0.6, 0.3, 0.1]
+    soft_idx[1, :2] = [1, 0];    soft_val[1, :2] = [0.6, 0.4]
+    soft_idx[3, 0] = 2;          soft_val[3, 0] = 1.0
+    soft_idx[4, 0] = 2;          soft_val[4, 0] = 1.0
     soft_n = np.array([10, 5, 0, 10, 1], np.int32)
 
-    preds = np.array([0, 1, 0, 2, 2])
-    scores = vqa_consensus_scores(soft, preds, soft_n)
+    # predictions: count 6, count 2, anything, count 10, count 1
+    preds = np.array([0, 0, 0, 2, 2])
+    scores = vqa_consensus_scores(soft_idx, soft_val, preds, soft_n)
     np.testing.assert_allclose(
-        scores, [1.0, 2 / 3, 0.0, 1.0, 1 / 3], atol=1e-9
+        scores,
+        [official(6), official(2), 0.0, official(10), official(1)],
+        atol=1e-9,
     )
+    # spot values: 6/10 -> 1.0, 2/10 -> 0.6, 1/10 -> 0.3
+    np.testing.assert_allclose(scores[[0, 1, 4]], [1.0, 0.6, 0.3],
+                               atol=1e-9)
 
-    # predicted answer has annotator count 0 -> score 0
-    scores = vqa_consensus_scores(soft, np.array([3, 3, 3, 3, 3]), soft_n)
+    # predicted answer not among the annotator answers -> 0
+    scores = vqa_consensus_scores(soft_idx, soft_val,
+                                  np.array([3, 3, 3, 3, 3]), soft_n)
     np.testing.assert_allclose(scores, np.zeros(5), atol=1e-9)
 
-    # count-1 and count-3 boundaries at n=10
-    soft_b = np.zeros((2, 4), np.float32)
-    soft_b[0, 0] = 0.1   # count 1 -> 1/3
-    soft_b[0, 1] = 0.9
-    soft_b[1, 0] = 0.3   # count 3 -> exactly 1.0
-    soft_b[1, 1] = 0.7
-    scores = vqa_consensus_scores(
-        soft_b, np.array([0, 0]), np.array([10, 10])
-    )
-    np.testing.assert_allclose(scores, [1 / 3, 1.0], atol=1e-6)
+    # the official subset averaging: count 3 is NOT a full point
+    soft_idx_b = np.array([[0, 1, -1, -1]], np.int32)
+    soft_val_b = np.array([[0.3, 0.7, 0.0, 0.0]], np.float32)
+    scores = vqa_consensus_scores(soft_idx_b, soft_val_b, np.array([0]),
+                                  np.array([10]))
+    np.testing.assert_allclose(scores, [0.9], atol=1e-6)  # not 1.0

@@ -38,9 +38,13 @@ class Batch:
     ques_length: np.ndarray  # [B] int32
     valid: np.ndarray  # [B] bool — False on pad rows of the final batch
     soft_answers: Optional[np.ndarray] = None  # [B, A] float32
-    # in-vocab annotator count per row (prepare.py QASplit.soft_n): raw
-    # annotator counts = soft_answers * soft_n, consumed host-side by the
-    # official VQA consensus metric. None for pre-soft_n artifacts.
+    # HOST-ONLY sparse annotator data for the official VQA consensus
+    # metric, attached for EVERY model family (not just soft-trained ones;
+    # the metric is a property of the dataset, not the training loss):
+    # raw annotator counts = soft_val * soft_n. All None for artifacts
+    # written before QASplit.soft_n existed.
+    soft_idx: Optional[np.ndarray] = None  # [B, W] int32, -1 padded
+    soft_val: Optional[np.ndarray] = None  # [B, W] float32
     soft_n: Optional[np.ndarray] = None  # [B] int32
     # int8 stores: per-(sample, channel) f16 dequant scales; the solver
     # dequantises ON DEVICE (int8 crosses host->device, 4x less traffic
@@ -120,9 +124,12 @@ class VqaBatches:
             ques_length=self.split.ques_length[idx].astype(np.int32),
             valid=valid,
             soft_answers=self._densify_soft(idx) if self.soft_answer else None,
+            soft_idx=(self.split.soft_idx[idx]
+                      if self.split.soft_n is not None else None),
+            soft_val=(self.split.soft_val[idx]
+                      if self.split.soft_n is not None else None),
             soft_n=(self.split.soft_n[idx].astype(np.int32)
-                    if self.soft_answer and self.split.soft_n is not None
-                    else None),
+                    if self.split.soft_n is not None else None),
             feature_scale=scale,
         )
 

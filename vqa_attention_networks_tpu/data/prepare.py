@@ -218,9 +218,12 @@ def _encode_split(
     max_len: int,
     soft_counts: Optional[Dict[int, int]] = None,
 ) -> QASplit:
-    """Encode one split into packed arrays (the loop at utils.py:177-196)."""
+    """Encode one split into packed arrays (the loop at utils.py:177-196).
+
+    ``soft_counts=None`` yields ``soft_n=None`` (metric unavailable) rather
+    than an all-zeros array — zeros would make the consensus metric report
+    a plausible-looking 0.0 instead of being absent."""
     unk = question_vocab["UNK"]
-    soft_counts = soft_counts or {}
     rows_q, rows_len, rows_a, rows_img = [], [], [], []
     rows_sidx, rows_sval, rows_sn = [], [], []
     for q, a in zip(questions, annotations):
@@ -243,7 +246,8 @@ def _encode_split(
             sval[j] = v
         rows_sidx.append(sidx)
         rows_sval.append(sval)
-        rows_sn.append(soft_counts.get(a["question_id"], 0))
+        if soft_counts is not None:
+            rows_sn.append(soft_counts.get(a["question_id"], 0))
 
     n = len(rows_q)
     return QASplit(
@@ -253,7 +257,8 @@ def _encode_split(
         image_ids=np.asarray(rows_img, dtype=np.int64),
         soft_idx=np.stack(rows_sidx) if n else np.zeros((0, SOFT_WIDTH), np.int32),
         soft_val=np.stack(rows_sval) if n else np.zeros((0, SOFT_WIDTH), np.float32),
-        soft_n=np.asarray(rows_sn, dtype=np.int32),
+        soft_n=(np.asarray(rows_sn, dtype=np.int32)
+                if soft_counts is not None else None),
     )
 
 

@@ -113,26 +113,39 @@ def topk_correct_count(
     return jnp.sum(hit)
 
 
-def vqa_consensus_scores(soft: "np.ndarray", preds: "np.ndarray",
-                         soft_n: "np.ndarray") -> "np.ndarray":
-    """Official VQA accuracy per sample: ``min(#annotators(pred)/3, 1)``.
+def vqa_consensus_scores(soft_idx: "np.ndarray", soft_val: "np.ndarray",
+                         preds: "np.ndarray", soft_n: "np.ndarray",
+                         total_annotators: int = 10) -> "np.ndarray":
+    """Official VQA accuracy per sample, with the official leave-one-out
+    averaging: ``mean over the 10 choose-9 annotator subsets of
+    min(#matching_in_subset / 3, 1)``.
 
     The metric every VQA paper/leaderboard reports; the reference never
     implemented it (its eval is argmax-vs-argmax exact match,
-    solver.py:150-153). Host-side numpy — runs once per eval batch.
+    solver.py:150-153). Host-side numpy over the SPARSE soft rows
+    (QASplit.soft_idx/soft_val, [B, 10]) — runs once per eval batch for
+    every model family, soft-trained or not.
 
-    The prepared soft targets store ``count / n_in_vocab`` (the reference's
-    normalization, utils.py:250-265, reproduced in
-    data/prepare.py:build_soft_answers); ``soft_n`` carries n_in_vocab per
-    row (QASplit.soft_n), so raw counts come back exactly as
-    ``soft * soft_n`` — the fractions alone cannot recover them (a
-    unanimous answer is 1.0 at every n). Rows with no in-vocab annotator
-    answers (soft_n == 0) score 0.
+    Raw counts: the prepared soft values store ``count / n_in_vocab``
+    (utils.py:250-265, reproduced in data/prepare.py:build_soft_answers)
+    and ``soft_n`` carries n_in_vocab per row, so the predicted answer's
+    annotator count is exactly ``value * soft_n`` (the fractions alone
+    cannot recover it — a unanimous answer is 1.0 at every n). Closed form
+    of the subset average for count c out of T annotators: excluding one
+    of the c matching annotators leaves c-1 matches (c such subsets),
+    excluding any other leaves c (T-c subsets), so
+    ``score = (c*min((c-1)/3, 1) + (T-c)*min(c/3, 1)) / T``.
+    Out-of-vocab annotator answers count toward T (they are real
+    annotators who simply cannot match an in-vocab prediction). Rows with
+    no in-vocab annotator answers score 0.
     """
     import numpy as np
 
-    soft = np.asarray(soft, np.float64)
     preds = np.asarray(preds)
+    val = np.asarray(soft_val, np.float64)
     n = np.asarray(soft_n, np.float64)
-    counts = np.rint(soft[np.arange(soft.shape[0]), preds] * n)
-    return np.minimum(counts / 3.0, 1.0)
+    hit = np.asarray(soft_idx) == preds[:, None]  # [B, W]
+    c = np.rint((val * hit).sum(axis=1) * n)
+    t = float(total_annotators)
+    return (c * np.minimum((c - 1) / 3.0, 1.0)
+            + (t - c) * np.minimum(c / 3.0, 1.0)) / t

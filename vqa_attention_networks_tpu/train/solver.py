@@ -501,12 +501,17 @@ class Solver:
             loss_sum += loss * n_valid
             total_correct += float(correct_d)
             total_top3 += float(top3_d)
-            if (full and batch.soft_answers is not None
-                    and batch.soft_n is not None):
-                # official VQA accuracy, min(#annotators(pred)/3, 1) —
-                # host-side from the soft targets (losses.py)
+            if (full and batch.soft_n is not None
+                    and jax.process_count() == 1):
+                # official VQA accuracy (leave-one-out consensus) —
+                # host-side from the sparse annotator data, for every
+                # model family (losses.vqa_consensus_scores). Multi-host
+                # runs skip it: fetching the [B] preds array would touch
+                # non-addressable shards (the scalar metrics above come
+                # back replicated; a per-sample fetch does not).
                 scores = vqa_consensus_scores(
-                    batch.soft_answers, np.asarray(preds_d), batch.soft_n
+                    batch.soft_idx, batch.soft_val, np.asarray(preds_d),
+                    batch.soft_n
                 )
                 total_consensus += float(
                     (scores * np.asarray(batch.valid)).sum()
