@@ -118,10 +118,21 @@ def test_prepare_roundtrip(tmp_path):
     sums = dense.sum(axis=1)
     assert np.all((np.abs(sums - 1.0) < 1e-6) | (sums == 0.0))
 
+    # per-question answer-type codes (0=yes/no, 1=number, 2=other): "two"
+    # normalises to "2" and the string tie-break keeps it, so the displaced
+    # answer is "no" and the survivors are black/other, yes/yes-no,
+    # two/number, blue/other
+    np.testing.assert_array_equal(data.train.answer_types, [2, 0, 1, 2])
+    np.testing.assert_array_equal(data.val.answer_types, [0, 2])
+
     # reload from disk == in-memory
     loaded = load_qa_data(qa_artifact_path(data_dir, 2, 5))
     np.testing.assert_array_equal(loaded.train.questions, data.train.questions)
     np.testing.assert_array_equal(loaded.val.answers, data.val.answers)
+    np.testing.assert_array_equal(loaded.train.answer_types,
+                                  data.train.answer_types)
+    np.testing.assert_array_equal(loaded.val.answer_types,
+                                  data.val.answer_types)
     assert loaded.answer_vocab == data.answer_vocab
 
 

@@ -61,6 +61,34 @@ def test_train_eval_checkpoint_roundtrip(tmp_path):
     txt = (tmp_path / "results" / "iBOWIMG.txt").read_text()
     assert txt.startswith("Evaluation accuracy: ")
 
+    # JSON sidecar carries the official per-answer-type breakdown (synthetic
+    # answer_types spread over all three codes) and it reconciles exactly
+    # with the split-level exact-match accuracy
+    import json
+
+    record = json.loads(
+        (tmp_path / "results" / "iBOWIMG.json").read_text()
+    )
+    per_type = record["per_answer_type"]
+    assert set(per_type) <= {"yes/no", "number", "other"}
+    n_sum = sum(v["num_examples"] for v in per_type.values())
+    assert n_sum == record["num_examples"]
+    correct_sum = sum(
+        v["accuracy"] * v["num_examples"] for v in per_type.values()
+    )
+    np.testing.assert_allclose(
+        correct_sum, record["accuracy"] * record["num_examples"], atol=1e-6
+    )
+    consensus_sum = sum(
+        v["vqa_consensus_accuracy"] * v["num_examples"]
+        for v in per_type.values()
+    )
+    np.testing.assert_allclose(
+        consensus_sum,
+        record["vqa_consensus_accuracy"] * record["num_examples"],
+        atol=1e-6,
+    )
+
     # checkpoint -> perturb -> restore -> identical params
     path = solver.save()
     before = np.asarray(solver.params["fc"]["w"])

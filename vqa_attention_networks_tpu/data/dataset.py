@@ -46,6 +46,9 @@ class Batch:
     soft_idx: Optional[np.ndarray] = None  # [B, W] int32, -1 padded
     soft_val: Optional[np.ndarray] = None  # [B, W] float32
     soft_n: Optional[np.ndarray] = None  # [B] int32
+    # host-only per-question answer-type codes (prepare.ANSWER_TYPE_CODES;
+    # -1 unknown) for the official per-type eval breakdown
+    answer_types: Optional[np.ndarray] = None  # [B] int32
     # int8 stores: per-(sample, channel) f16 dequant scales; the solver
     # dequantises ON DEVICE (int8 crosses host->device, 4x less traffic
     # than the f32 feed, 2x less than f16)
@@ -130,6 +133,8 @@ class VqaBatches:
                       if self.split.soft_n is not None else None),
             soft_n=(self.split.soft_n[idx].astype(np.int32)
                     if self.split.soft_n is not None else None),
+            answer_types=(self.split.answer_types[idx].astype(np.int32)
+                          if self.split.answer_types is not None else None),
             feature_scale=scale,
         )
 

@@ -52,6 +52,15 @@ from vqa_attention_networks_tpu.data.text import (
 ANSWER_TYPES = ("all", "other", "yes/no", "number")
 SOFT_WIDTH = 10  # VQA collects 10 human answers per question
 
+# Per-question answer-type codes stored in the artifact (QASplit.answer_types)
+# so full eval can report the official per-type accuracy breakdown the VQA
+# leaderboard uses (yes/no, number, other). The reference reads the
+# annotation field only as a prepare-time *filter* (utils.py:148-160); the
+# per-question code is what makes the breakdown possible without re-reading
+# the raw JSON at eval time. -1 = annotation carried an unknown type.
+ANSWER_TYPE_NAMES = ("yes/no", "number", "other")
+ANSWER_TYPE_CODES = {name: i for i, name in enumerate(ANSWER_TYPE_NAMES)}
+
 
 def json_paths(data_dir: str, version: int, split: str) -> Tuple[str, str]:
     """Question/annotation JSON paths for a split (utils.py:115-126).
@@ -180,6 +189,10 @@ class QASplit:
     # the official VQA consensus metric needs the raw counts back). None on
     # artifacts written before this field existed.
     soft_n: Optional[np.ndarray] = None  # [N] int32
+    # per-question answer-type code (ANSWER_TYPE_CODES; -1 unknown) for the
+    # official per-type eval breakdown. None on artifacts written before the
+    # field existed, or when the source annotations lack ``answer_type``.
+    answer_types: Optional[np.ndarray] = None  # [N] int32
 
     def __len__(self) -> int:
         return int(self.questions.shape[0])
@@ -225,7 +238,8 @@ def _encode_split(
     a plausible-looking 0.0 instead of being absent."""
     unk = question_vocab["UNK"]
     rows_q, rows_len, rows_a, rows_img = [], [], [], []
-    rows_sidx, rows_sval, rows_sn = [], [], []
+    rows_sidx, rows_sval, rows_sn, rows_at = [], [], [], []
+    saw_answer_type = False
     for q, a in zip(questions, annotations):
         _check_pairing(q, a)
         ans = normalize_answer(a["multiple_choice_answer"])
@@ -248,6 +262,8 @@ def _encode_split(
         rows_sval.append(sval)
         if soft_counts is not None:
             rows_sn.append(soft_counts.get(a["question_id"], 0))
+        saw_answer_type |= "answer_type" in a
+        rows_at.append(ANSWER_TYPE_CODES.get(a.get("answer_type"), -1))
 
     n = len(rows_q)
     return QASplit(
@@ -259,6 +275,10 @@ def _encode_split(
         soft_val=np.stack(rows_sval) if n else np.zeros((0, SOFT_WIDTH), np.float32),
         soft_n=(np.asarray(rows_sn, dtype=np.int32)
                 if soft_counts is not None else None),
+        # None (field absent) rather than all -1 when the source annotations
+        # lack answer_type — same absent-vs-sentinel rule as soft_n
+        answer_types=(np.asarray(rows_at, dtype=np.int32)
+                      if saw_answer_type else None),
     )
 
 
@@ -347,6 +367,8 @@ def save_qa_data(data: QAData, base_path: str) -> None:
             arrays[f"{split_name}_{field}"] = getattr(split, field)
         if split.soft_n is not None:
             arrays[f"{split_name}_soft_n"] = split.soft_n
+        if split.answer_types is not None:
+            arrays[f"{split_name}_answer_types"] = split.answer_types
     np.savez_compressed(base_path + ".npz", **arrays)
     with open(base_path + ".vocab.json", "w") as f:
         json.dump(
@@ -376,6 +398,8 @@ def load_qa_data(base_path: str) -> QAData:
             # absent on artifacts written before soft_n existed
             soft_n=(arrays[f"{split_name}_soft_n"]
                     if f"{split_name}_soft_n" in arrays else None),
+            answer_types=(arrays[f"{split_name}_answer_types"]
+                          if f"{split_name}_answer_types" in arrays else None),
         )
     return QAData(
         train=splits["train"],
@@ -420,6 +444,9 @@ def make_synthetic_qa_data(
             soft_val=soft_val,
             # 0.7/0.3 fractions model 7/3 of 10 in-vocab annotators
             soft_n=np.full(n, 10, dtype=np.int32),
+            # deterministic spread over the three official types so the
+            # per-type eval breakdown is exercised on synthetic data
+            answer_types=(answers % 3).astype(np.int32),
         )
 
     question_vocab = {f"w{i}": i + 1 for i in range(q_vocab_words)}

@@ -41,7 +41,7 @@ import optax
 from vqa_attention_networks_tpu.config import Config
 from vqa_attention_networks_tpu.data.dataset import Batch, VqaBatches, prefetch
 from vqa_attention_networks_tpu.data.feature_store import FeatureStore
-from vqa_attention_networks_tpu.data.prepare import QAData
+from vqa_attention_networks_tpu.data.prepare import ANSWER_TYPE_NAMES, QAData
 from vqa_attention_networks_tpu.models import get_model
 from vqa_attention_networks_tpu.parallel import (
     make_mesh,
@@ -485,7 +485,11 @@ class Solver:
         split and writes the results artifact (solver.py:174-182)."""
         cfg = self.cfg
         total_correct = total_top3 = total_consensus = 0.0
-        have_consensus = False
+        have_consensus = have_types = False
+        n_types = len(ANSWER_TYPE_NAMES)
+        type_n = np.zeros(n_types)
+        type_correct = np.zeros(n_types)
+        type_consensus = np.zeros(n_types)
         total_valid = 0
         n_batches = 0
         loss = loss_sum = 0.0
@@ -501,22 +505,46 @@ class Solver:
             loss_sum += loss * n_valid
             total_correct += float(correct_d)
             total_top3 += float(top3_d)
-            if (full and batch.soft_n is not None
-                    and jax.process_count() == 1):
-                # official VQA accuracy (leave-one-out consensus) —
-                # host-side from the sparse annotator data, for every
-                # model family (losses.vqa_consensus_scores). Multi-host
-                # runs skip it: fetching the [B] preds array would touch
-                # non-addressable shards (the scalar metrics above come
-                # back replicated; a per-sample fetch does not).
+            # Host-side per-sample metrics (official VQA consensus +
+            # per-answer-type breakdown). Multi-host runs skip them:
+            # fetching the [B] preds array would touch non-addressable
+            # shards (the scalar metrics above come back replicated; a
+            # per-sample fetch does not).
+            host_metrics = (
+                full and jax.process_count() == 1
+                and (batch.soft_n is not None
+                     or batch.answer_types is not None)
+            )
+            scores = None
+            if host_metrics:
+                preds = np.asarray(preds_d)
+                valid_np = np.asarray(batch.valid)
+            if host_metrics and batch.soft_n is not None:
+                # official VQA accuracy (leave-one-out consensus) from the
+                # sparse annotator data, for every model family
+                # (losses.vqa_consensus_scores)
                 scores = vqa_consensus_scores(
-                    batch.soft_idx, batch.soft_val, np.asarray(preds_d),
-                    batch.soft_n
+                    batch.soft_idx, batch.soft_val, preds, batch.soft_n
                 )
-                total_consensus += float(
-                    (scores * np.asarray(batch.valid)).sum()
-                )
+                total_consensus += float((scores * valid_np).sum())
                 have_consensus = True
+            if host_metrics and batch.answer_types is not None:
+                # per-answer-type breakdown (yes/no, number, other — the
+                # official leaderboard split); exact-match against the same
+                # labels the device metric scores (_labels)
+                labels = (
+                    batch.soft_answers.argmax(axis=1)
+                    if cfg.soft_answer and batch.soft_answers is not None
+                    else batch.answers
+                )
+                hit = (preds == labels) & valid_np
+                for t in range(n_types):
+                    mask = (batch.answer_types == t) & valid_np
+                    type_n[t] += mask.sum()
+                    type_correct[t] += (hit & mask).sum()
+                    if scores is not None:
+                        type_consensus[t] += float((scores * mask).sum())
+                have_types = True
             total_valid += n_valid
             n_batches += 1
             if not full:
@@ -551,9 +579,28 @@ class Solver:
                     consensus = total_consensus / max(total_valid, 1)
                     record["vqa_consensus_accuracy"] = consensus
                     consensus_note = f", VQA consensus {consensus:.6f}"
+                if have_types:
+                    record["per_answer_type"] = {
+                        ANSWER_TYPE_NAMES[t]: {
+                            "accuracy": type_correct[t] / max(type_n[t], 1),
+                            "num_examples": int(type_n[t]),
+                            **({"vqa_consensus_accuracy":
+                                type_consensus[t] / max(type_n[t], 1)}
+                               if have_consensus else {}),
+                        }
+                        for t in range(n_types) if type_n[t] > 0
+                    }
                 json.dump(record, f)
             print(f"Evaluation accuracy: {acc_ref:.6f} (exact {acc_exact:.6f},"
                   f" top-3 {top3:.6f}{consensus_note})")
+            if have_types:
+                parts = ", ".join(
+                    f"{ANSWER_TYPE_NAMES[t]} "
+                    f"{type_correct[t] / max(type_n[t], 1):.6f}"
+                    f" (n={int(type_n[t])})"
+                    for t in range(n_types) if type_n[t] > 0
+                )
+                print(f"Per answer type: {parts}")
         return loss, acc_exact
 
     # ------------------------------------------------------------------
