@@ -124,6 +124,9 @@ def test_prepare_roundtrip(tmp_path):
     # two/number, blue/other
     np.testing.assert_array_equal(data.train.answer_types, [2, 0, 1, 2])
     np.testing.assert_array_equal(data.val.answer_types, [0, 2])
+    # question ids survive encoding (the submission-export key)
+    np.testing.assert_array_equal(data.train.question_ids, [1, 2, 3, 4])
+    np.testing.assert_array_equal(data.val.question_ids, [5, 6])
 
     # reload from disk == in-memory
     loaded = load_qa_data(qa_artifact_path(data_dir, 2, 5))
@@ -133,6 +136,8 @@ def test_prepare_roundtrip(tmp_path):
                                   data.train.answer_types)
     np.testing.assert_array_equal(loaded.val.answer_types,
                                   data.val.answer_types)
+    np.testing.assert_array_equal(loaded.val.question_ids,
+                                  data.val.question_ids)
     assert loaded.answer_vocab == data.answer_vocab
 
 

@@ -89,6 +89,17 @@ def test_train_eval_checkpoint_roundtrip(tmp_path):
         atol=1e-6,
     )
 
+    # official leaderboard-submission export: one row per val question,
+    # unique ids, every answer a real vocab word
+    preds = json.loads(
+        (tmp_path / "results" / "iBOWIMG_predictions.json").read_text()
+    )
+    assert len(preds) == record["num_examples"]
+    qids = [p["question_id"] for p in preds]
+    assert len(set(qids)) == len(qids)
+    vocab = set(solver._answer_words.values())
+    assert all(p["answer"] in vocab for p in preds)
+
     # checkpoint -> perturb -> restore -> identical params
     path = solver.save()
     before = np.asarray(solver.params["fc"]["w"])

@@ -49,6 +49,8 @@ class Batch:
     # host-only per-question answer-type codes (prepare.ANSWER_TYPE_CODES;
     # -1 unknown) for the official per-type eval breakdown
     answer_types: Optional[np.ndarray] = None  # [B] int32
+    # host-only VQA question ids for the leaderboard-submission export
+    question_ids: Optional[np.ndarray] = None  # [B] int64
     # int8 stores: per-(sample, channel) f16 dequant scales; the solver
     # dequantises ON DEVICE (int8 crosses host->device, 4x less traffic
     # than the f32 feed, 2x less than f16)
@@ -135,6 +137,8 @@ class VqaBatches:
                     if self.split.soft_n is not None else None),
             answer_types=(self.split.answer_types[idx].astype(np.int32)
                           if self.split.answer_types is not None else None),
+            question_ids=(self.split.question_ids[idx].astype(np.int64)
+                          if self.split.question_ids is not None else None),
             feature_scale=scale,
         )
 

@@ -193,6 +193,10 @@ class QASplit:
     # official per-type eval breakdown. None on artifacts written before the
     # field existed, or when the source annotations lack ``answer_type``.
     answer_types: Optional[np.ndarray] = None  # [N] int32
+    # VQA question ids, so full eval can export predictions in the official
+    # leaderboard submission schema [{"question_id", "answer"}]. None on
+    # artifacts written before the field existed.
+    question_ids: Optional[np.ndarray] = None  # [N] int64
 
     def __len__(self) -> int:
         return int(self.questions.shape[0])
@@ -238,7 +242,7 @@ def _encode_split(
     a plausible-looking 0.0 instead of being absent."""
     unk = question_vocab["UNK"]
     rows_q, rows_len, rows_a, rows_img = [], [], [], []
-    rows_sidx, rows_sval, rows_sn, rows_at = [], [], [], []
+    rows_sidx, rows_sval, rows_sn, rows_at, rows_qid = [], [], [], [], []
     saw_answer_type = False
     for q, a in zip(questions, annotations):
         _check_pairing(q, a)
@@ -264,6 +268,7 @@ def _encode_split(
             rows_sn.append(soft_counts.get(a["question_id"], 0))
         saw_answer_type |= "answer_type" in a
         rows_at.append(ANSWER_TYPE_CODES.get(a.get("answer_type"), -1))
+        rows_qid.append(a["question_id"])
 
     n = len(rows_q)
     return QASplit(
@@ -279,6 +284,7 @@ def _encode_split(
         # lack answer_type — same absent-vs-sentinel rule as soft_n
         answer_types=(np.asarray(rows_at, dtype=np.int32)
                       if saw_answer_type else None),
+        question_ids=np.asarray(rows_qid, dtype=np.int64),
     )
 
 
@@ -369,6 +375,8 @@ def save_qa_data(data: QAData, base_path: str) -> None:
             arrays[f"{split_name}_soft_n"] = split.soft_n
         if split.answer_types is not None:
             arrays[f"{split_name}_answer_types"] = split.answer_types
+        if split.question_ids is not None:
+            arrays[f"{split_name}_question_ids"] = split.question_ids
     np.savez_compressed(base_path + ".npz", **arrays)
     with open(base_path + ".vocab.json", "w") as f:
         json.dump(
@@ -400,6 +408,8 @@ def load_qa_data(base_path: str) -> QAData:
                     if f"{split_name}_soft_n" in arrays else None),
             answer_types=(arrays[f"{split_name}_answer_types"]
                           if f"{split_name}_answer_types" in arrays else None),
+            question_ids=(arrays[f"{split_name}_question_ids"]
+                          if f"{split_name}_question_ids" in arrays else None),
         )
     return QAData(
         train=splits["train"],
@@ -421,7 +431,7 @@ def make_synthetic_qa_data(
 ) -> QAData:
     """Tiny synthetic QAData for tests and the end-to-end smoke slice."""
 
-    def _split(n: int) -> QASplit:
+    def _split(n: int, qid_start: int = 0) -> QASplit:
         lengths = rng.integers(3, max_len + 1, size=n).astype(np.int32)
         questions = np.zeros((n, max_len), dtype=np.int32)
         for i, l in enumerate(lengths):
@@ -447,6 +457,7 @@ def make_synthetic_qa_data(
             # deterministic spread over the three official types so the
             # per-type eval breakdown is exercised on synthetic data
             answer_types=(answers % 3).astype(np.int32),
+            question_ids=np.arange(qid_start, qid_start + n, dtype=np.int64),
         )
 
     question_vocab = {f"w{i}": i + 1 for i in range(q_vocab_words)}
@@ -455,7 +466,7 @@ def make_synthetic_qa_data(
     answer_vocab["UNK"] = num_answers - 1
     return QAData(
         train=_split(n_train),
-        val=_split(n_val),
+        val=_split(n_val, qid_start=n_train),
         answer_vocab=answer_vocab,
         question_vocab=question_vocab,
         max_question_length=max_len,

@@ -199,6 +199,12 @@ class Solver:
         self._train_step = jax.jit(self._train_step_fn, donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._eval_step_fn)
 
+        # inverse answer vocab, for the official leaderboard-submission
+        # predictions export ({"question_id", "answer"} rows in val(full=True))
+        self._answer_words = {
+            idx: word for word, idx in qa_data.answer_vocab.items()
+        }
+
         # early stopping state (solver.py:42-45)
         self.min_val_loss = float("inf")
         self.best_val_acc = -1.0
@@ -490,6 +496,7 @@ class Solver:
         type_n = np.zeros(n_types)
         type_correct = np.zeros(n_types)
         type_consensus = np.zeros(n_types)
+        predictions: list = []
         total_valid = 0
         n_batches = 0
         loss = loss_sum = 0.0
@@ -513,12 +520,22 @@ class Solver:
             host_metrics = (
                 full and jax.process_count() == 1
                 and (batch.soft_n is not None
-                     or batch.answer_types is not None)
+                     or batch.answer_types is not None
+                     or batch.question_ids is not None)
             )
             scores = None
             if host_metrics:
                 preds = np.asarray(preds_d)
                 valid_np = np.asarray(batch.valid)
+            if host_metrics and batch.question_ids is not None:
+                # official VQA submission rows (valid rows only; pad rows of
+                # the final batch carry repeated ids)
+                for qid, p in zip(batch.question_ids[valid_np],
+                                  preds[valid_np]):
+                    predictions.append({
+                        "question_id": int(qid),
+                        "answer": self._answer_words.get(int(p), "UNK"),
+                    })
             if host_metrics and batch.soft_n is not None:
                 # official VQA accuracy (leave-one-out consensus) from the
                 # sparse annotator data, for every model family
@@ -591,6 +608,16 @@ class Solver:
                         for t in range(n_types) if type_n[t] > 0
                     }
                 json.dump(record, f)
+            if predictions:
+                # official VQA leaderboard submission schema: a JSON list of
+                # {"question_id": int, "answer": str} — uploadable as-is
+                sub_path = os.path.join(
+                    cfg.results_dir, cfg.model_name + "_predictions.json"
+                )
+                with open(sub_path, "w") as f:
+                    json.dump(predictions, f)
+                print(f"Wrote {len(predictions)} predictions in the official "
+                      f"submission format: {sub_path}")
             print(f"Evaluation accuracy: {acc_ref:.6f} (exact {acc_exact:.6f},"
                   f" top-3 {top3:.6f}{consensus_note})")
             if have_types:
