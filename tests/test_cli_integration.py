@@ -82,7 +82,39 @@ def test_train_evaluate_predict_cli(workspace, tmp_path, monkeypatch):
         "--model_dir", "./models",
         "--vocab", qa_artifact_path(data_dir, 2, 5) + ".vocab.json",
         "--question", "What color is the cat?",
+        # iBOWIMG exposes no attention maps: the flag must no-op cleanly
+        "--dump_attention", str(tmp_path / "att.npz"),
     ])
+    assert not os.path.exists(tmp_path / "att.npz")
+
+
+def test_predict_dumps_attention_maps(tmp_path):
+    """--dump_attention writes the family's aux maps (hieCoAtten av/aq)."""
+    import argparse
+
+    import jax
+
+    from vqa_attention_networks_tpu.cli.predict import _predict
+    from vqa_attention_networks_tpu.config import Config
+    from vqa_attention_networks_tpu.models import get_model
+
+    cfg = Config(
+        model_name="hieCoAtten", q_vocab_size=20, a_vocab_size=6,
+        hidden_dim=8, emb_dim=8, embed_size=8, img_feature_channel=16,
+        max_question_length=5, mfb_factor=5, mfb_out=8,
+    ).validate()
+    model = get_model("hieCoAtten")
+    params = model.init(jax.random.PRNGKey(0), cfg)
+    feats = np.zeros((1, 196, 16), np.float32)
+    ids = np.asarray([[3, 4, 0, 0, 0]], np.int32)
+    qlen = np.asarray([2], np.int32)
+    out = tmp_path / "att.npz"
+    args = argparse.Namespace(topk=2, dump_attention=str(out))
+    _predict(args, model, params, cfg, feats, ids, qlen,
+             {i: f"a{i}" for i in range(6)})
+    maps = np.load(out)
+    assert maps["av"].shape == (196,)
+    assert maps["aq"].shape == (5,)
 
 
 def test_torch_checkpoint_through_cli(workspace, tmp_path):

@@ -41,6 +41,11 @@ def main(argv=None) -> None:
     parser.add_argument("--weights", type=str, default=None,
                         help=".npz of torchvision backbone state_dict")
     parser.add_argument("--topk", type=int, default=5)
+    parser.add_argument("--dump_attention", type=str, default=None,
+                        help="write the model's attention maps (whatever "
+                             "the family exposes in aux: hieCoAtten av/aq "
+                             "region/word maps, mfb/mhb_coAtt glimpse "
+                             "logits) to this .npz for visualisation")
     parser.add_argument("--image_first", type=int, default=0,
                         help="MUST match the flag the checkpoint was "
                              "trained with (visLstm token order)")
@@ -160,7 +165,7 @@ def main(argv=None) -> None:
 
 
 def _predict(args, model, params, cfg, feats, ids, qlen, ans_of) -> None:
-    logits, _ = model.apply(params, cfg, feats, ids, ques_length=qlen)
+    logits, aux = model.apply(params, cfg, feats, ids, ques_length=qlen)
     probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
     order = np.argsort(-probs)
 
@@ -168,6 +173,23 @@ def _predict(args, model, params, cfg, feats, ids, qlen, ans_of) -> None:
     print("Top Answers")
     for i in order[: args.topk]:
         print(f"  {ans_of[int(i)]}  ({probs[i]:.4f})")
+
+    if args.dump_attention:
+        # everything the family exposes except training-only BN stats
+        # (hieCoAtten: av [196] region / aq [T] word maps — the reference's
+        # returned attention maps, hieCoAtten.py:55; mfb/mhb_coAtt: the
+        # 2-glimpse attention logits)
+        maps = {
+            k: np.asarray(v)[0]
+            for k, v in aux.items() if k != "batch_stats"
+        }
+        if maps:
+            np.savez(args.dump_attention, **maps)
+            shapes = ", ".join(f"{k} {v.shape}" for k, v in maps.items())
+            print(f"Attention maps -> {args.dump_attention} ({shapes})")
+        else:
+            print(f"{cfg.model_name} exposes no attention maps; "
+                  "nothing written")
 
 
 if __name__ == "__main__":
