@@ -116,6 +116,21 @@ def test_predict_dumps_attention_maps(tmp_path):
     assert maps["av"].shape == (196,)
     assert maps["aq"].shape == (5,)
 
+    # mhb_coAtt's fused eval path returns None aux entries (train-only
+    # captures): the flag must no-op, not crash on np.asarray(None)
+    cfg2 = Config(
+        model_name="mhb_coAtt", q_vocab_size=20, a_vocab_size=6,
+        hidden_dim=8, emb_dim=8, embed_size=8, img_feature_channel=16,
+        max_question_length=5, mfb_factor=5, mfb_out=8,
+    ).validate()
+    model2 = get_model("mhb_coAtt")
+    params2 = model2.init(jax.random.PRNGKey(0), cfg2)
+    out2 = tmp_path / "att2.npz"
+    args2 = argparse.Namespace(topk=2, dump_attention=str(out2))
+    _predict(args2, model2, params2, cfg2, feats, ids, qlen,
+             {i: f"a{i}" for i in range(6)})
+    assert not out2.exists()
+
 
 def test_torch_checkpoint_through_cli(workspace, tmp_path):
     """A reference-layout .pth drives evaluation directly

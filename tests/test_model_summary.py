@@ -1,11 +1,14 @@
 """tools/model_summary.py: XLA cost analysis per family at tiny dims."""
 
 import json
+import os
 import sys
 
 import pytest
 
-sys.path.insert(0, "tools")
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+)
 
 from vqa_attention_networks_tpu.config import Config
 
@@ -72,3 +75,10 @@ def test_main_writes_artifacts(tmp_path, capsys):
     assert [m["model"] for m in data["models"]] == ["iBOWIMG", "visLstm"]
     md = (tmp_path / "MODELS.md").read_text()
     assert "| iBOWIMG |" in md and "| visLstm |" in md
+
+
+def test_main_rejects_glove_on_non_flagship(tmp_path):
+    from model_summary import main
+
+    with pytest.raises(SystemExit, match="only mhb_coAtt"):
+        main(["--families", "mfb+glove", "--out_dir", str(tmp_path)])

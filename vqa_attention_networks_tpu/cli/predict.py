@@ -42,10 +42,11 @@ def main(argv=None) -> None:
                         help=".npz of torchvision backbone state_dict")
     parser.add_argument("--topk", type=int, default=5)
     parser.add_argument("--dump_attention", type=str, default=None,
-                        help="write the model's attention maps (whatever "
-                             "the family exposes in aux: hieCoAtten av/aq "
-                             "region/word maps, mfb/mhb_coAtt glimpse "
-                             "logits) to this .npz for visualisation")
+                        help="write the attention maps the family exposes "
+                             "at eval time (hieCoAtten av/aq region/word "
+                             "maps, mfb glimpse logits) to this .npz; "
+                             "mhb_coAtt's fused eval path does not "
+                             "materialise its glimpse logits")
     parser.add_argument("--image_first", type=int, default=0,
                         help="MUST match the flag the checkpoint was "
                              "trained with (visLstm token order)")
@@ -177,11 +178,13 @@ def _predict(args, model, params, cfg, feats, ids, qlen, ans_of) -> None:
     if args.dump_attention:
         # everything the family exposes except training-only BN stats
         # (hieCoAtten: av [196] region / aq [T] word maps — the reference's
-        # returned attention maps, hieCoAtten.py:55; mfb/mhb_coAtt: the
-        # 2-glimpse attention logits)
+        # returned attention maps, hieCoAtten.py:55; mfb: the 2-glimpse
+        # attention logits). None entries are train-only captures the eval
+        # graph skips (mhb_coAtt's fused attention never materialises them).
         maps = {
             k: np.asarray(v)[0]
-            for k, v in aux.items() if k != "batch_stats"
+            for k, v in aux.items()
+            if k != "batch_stats" and v is not None
         }
         if maps:
             np.savez(args.dump_attention, **maps)

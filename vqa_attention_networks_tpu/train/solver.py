@@ -548,11 +548,9 @@ class Solver:
             if host_metrics and batch.answer_types is not None:
                 # per-answer-type breakdown (yes/no, number, other — the
                 # official leaderboard split); exact-match against the same
-                # labels the device metric scores (_labels)
-                labels = (
-                    batch.soft_answers.argmax(axis=1)
-                    if cfg.soft_answer and batch.soft_answers is not None
-                    else batch.answers
+                # labels the device metric scores (one definition: _labels)
+                labels = np.asarray(
+                    self._labels(batch.answers, batch.soft_answers)
                 )
                 hit = (preds == labels) & valid_np
                 for t in range(n_types):
