@@ -11,8 +11,14 @@ from vqa_attention_networks_tpu.ops import pallas_fusion as pf
 from vqa_attention_networks_tpu.ops.fusion import grid_fuse_weight_contracted
 
 
-def main() -> None:
-    batch, k = 1024, 5
+def main(argv=None) -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument("--batch", type=int, default=1024)
+    args = parser.parse_args(argv)
+
+    batch, k = args.batch, 5
     k0, k1, k2 = jax.random.split(jax.random.PRNGKey(1), 3)
     img = jax.random.normal(k0, (batch, 196, 2048), jnp.bfloat16)
     w = jax.random.normal(k1, (2048, 5000), jnp.bfloat16) * 0.02
