@@ -179,3 +179,57 @@ def test_remat_and_grad_accum_compose_with_spmd(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g8)):
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-6)
+
+
+def test_full_val_host_metrics_on_mesh(tmp_path):
+    # the host-side eval metrics (official consensus, per-answer-type
+    # breakdown, submission export) must survive SPMD: fetching the
+    # per-sample preds of a (4,2)-sharded eval step is a cross-shard
+    # gather, and every figure must match the (1,1) run exactly
+    import json
+    import os
+
+    from vqa_attention_networks_tpu.data.feature_store import (
+        make_synthetic_feature_store,
+    )
+    from vqa_attention_networks_tpu.data.prepare import make_synthetic_qa_data
+    from vqa_attention_networks_tpu.train.solver import Solver
+
+    records = []
+    for sub, shape in (("single", (1, 1)), ("mesh", (4, 2))):
+        rng = np.random.default_rng(0)
+        qa = make_synthetic_qa_data(rng, n_train=32, n_val=24, num_images=4)
+        store = make_synthetic_feature_store(
+            str(tmp_path / sub / "feat"),
+            image_ids=sorted(set(qa.train.image_ids) | set(qa.val.image_ids)),
+            num_regions=196, channels=32,
+        )
+        cfg = Config(
+            model_name="mhb_coAtt", q_vocab_size=qa.q_vocab_size,
+            a_vocab_size=qa.a_vocab_size, hidden_dim=16, emb_dim=8,
+            img_feature_channel=32,
+            max_question_length=qa.max_question_length, mfb_factor=5,
+            mfb_out=8, batch_size=8, num_epoch=1, checkpoint_every_steps=0,
+            data_parallel=shape[0], model_parallel=shape[1],
+            out_dir=str(tmp_path / sub / "models"),
+            results_dir=str(tmp_path / sub / "results"),
+        ).validate()
+        mesh = make_mesh(data=shape[0], model=shape[1])
+        solver = Solver(cfg, qa, store, mesh=mesh,
+                        log_dir=str(tmp_path / sub / "runs"))
+        solver.val(full=True)
+        rdir = tmp_path / sub / "results"
+        record = json.loads((rdir / "mhb_coAtt.json").read_text())
+        preds = json.loads((rdir / "mhb_coAtt_predictions.json").read_text())
+        records.append((record, preds))
+
+    (rec1, preds1), (rec8, preds8) = records
+    assert rec1["num_examples"] == rec8["num_examples"] == 24
+    assert "vqa_consensus_accuracy" in rec1
+    assert set(rec1["per_answer_type"]) == set(rec8["per_answer_type"])
+    np.testing.assert_allclose(rec1["accuracy"], rec8["accuracy"], atol=1e-9)
+    np.testing.assert_allclose(
+        rec1["vqa_consensus_accuracy"], rec8["vqa_consensus_accuracy"],
+        atol=1e-9,
+    )
+    assert preds1 == preds8  # identical ids AND identical answer strings
