@@ -50,6 +50,33 @@ def test_render_mfb_glimpse_logits(tmp_path):
     assert out.exists()
 
 
+def test_long_question_truncates_to_map_length(tmp_path):
+    # a question longer than the dump's T must render (truncated like the
+    # model's encode), not crash the bar chart with a shape mismatch
+    from attention_viz import main
+
+    np.savez(tmp_path / "att.npz",
+             av=np.ones(196, np.float32),
+             aq=np.asarray([0.5, 0.5], np.float32))
+    out = tmp_path / "viz.png"
+    main(["--image", _image(tmp_path),
+          "--attention", str(tmp_path / "att.npz"),
+          "--question", "what color is the big cat on the mat",
+          "--out", str(out)])
+    assert out.exists()
+
+
+def test_uniform_quirk_flag_labels_glimpses(tmp_path):
+    from attention_viz import region_maps
+
+    maps = {
+        "co_att_logits": np.random.default_rng(3).random((196, 2)),
+        "uniform_quirk": np.asarray(True),
+    }
+    titles = [t for t, _ in region_maps(maps)]
+    assert all("POOLED UNIFORMLY" in t for t in titles)
+
+
 def test_no_region_maps_is_explicit(tmp_path):
     from attention_viz import main
 

@@ -21,8 +21,6 @@ one panel per glimpse).
 from __future__ import annotations
 
 import argparse
-import os
-import sys
 
 import numpy as np
 
@@ -42,8 +40,13 @@ def region_maps(maps: dict) -> list:
         out.append(("visual attention", np.asarray(maps["av"], np.float64)))
     if "co_att_logits" in maps:  # [196, n_glimpse] logits
         logits = np.asarray(maps["co_att_logits"], np.float64)
+        # honesty flag written by cli.predict: under the preserved
+        # reference quirk mfb POOLS UNIFORMLY — the logits are what the
+        # attention submodule computed, not the applied pooling weights
+        quirk = bool(maps.get("uniform_quirk", False))
+        tag = " — POOLED UNIFORMLY (quirk); logits shown" if quirk else ""
         for g in range(logits.shape[-1]):
-            out.append((f"glimpse {g}", _softmax(logits[:, g])))
+            out.append((f"glimpse {g}{tag}", _softmax(logits[:, g])))
     return out
 
 
@@ -72,6 +75,9 @@ def render(image_path: str, maps: dict, question: str, out: str) -> None:
         )
     words = question.split()
     wq = word_weights(maps, len(words)) if words else None
+    if wq is not None and len(words) > len(wq):
+        # the model truncates questions at max_question_length; mirror that
+        words = words[: len(wq)]
 
     n_panels = len(regions) + (1 if wq is not None else 0)
     fig, axes = plt.subplots(1, n_panels, figsize=(4 * n_panels, 4))

@@ -186,6 +186,13 @@ def _predict(args, model, params, cfg, feats, ids, qlen, ans_of) -> None:
             for k, v in aux.items()
             if k != "batch_stats" and v is not None
         }
+        if maps and cfg.model_name in ("mfb", "mfb-multilayer") \
+                and cfg.keep_reference_quirks:
+            # under the preserved reference quirk the glimpse pooling is
+            # UNIFORM (softmax over a singleton axis, mfb.py:84,118) — flag
+            # the dump so viewers don't present the logits as the weights
+            # the model actually pooled with
+            maps["uniform_quirk"] = np.asarray(True)
         if maps:
             np.savez(args.dump_attention, **maps)
             shapes = ", ".join(f"{k} {v.shape}" for k, v in maps.items())
