@@ -59,6 +59,12 @@ def test_train_evaluate_predict_cli(workspace, tmp_path, monkeypatch):
     sidecar = json.load(open("results/iBOWIMG.json"))
     assert 0.0 <= sidecar["accuracy"] <= 1.0
     assert "top3_accuracy" in sidecar
+    # official perQuestionType breakdown (fixture carries question_type);
+    # counts reconcile with the split size
+    per_q = sidecar["per_question_type"]
+    assert set(per_q) <= {"how many", "is the", "what color is the"}
+    assert (sum(v["num_examples"] for v in per_q.values())
+            == sidecar["num_examples"])
 
     # predict on a generated image with a tiny random backbone
     from PIL import Image

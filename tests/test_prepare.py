@@ -30,9 +30,10 @@ def _mini_vqa_json(tmp_path, version=2):
                     "image_id": img,
                     "multiple_choice_answer": ans,
                     "answer_type": atype,
+                    "question_type": qtype,
                     "answers": [{"answer": a} for a in ten],
                 }
-                for qid, img, ans, atype, ten in rows
+                for qid, img, ans, atype, qtype, ten in rows
             ]
         }
 
@@ -52,19 +53,22 @@ def _mini_vqa_json(tmp_path, version=2):
         (7, 14, "Is the sky blue?", None),
     ]
     train_ann = [
-        (1, 10, "black", "other", ["black"] * 7 + ["gray"] * 3),
-        (2, 11, "yes", "yes/no", ["yes"] * 10),
-        (3, 10, "two", "number", ["two"] * 6 + ["three"] * 4),
-        (4, 12, "blue", "other", ["blue"] * 9 + ["rainbowish"] * 1),
-        (7, 14, "no", "yes/no", ["no"] * 10),
+        (1, 10, "black", "other", "what color is the",
+         ["black"] * 7 + ["gray"] * 3),
+        (2, 11, "yes", "yes/no", "is the", ["yes"] * 10),
+        (3, 10, "two", "number", "how many", ["two"] * 6 + ["three"] * 4),
+        (4, 12, "blue", "other", "what color is the",
+         ["blue"] * 9 + ["rainbowish"] * 1),
+        (7, 14, "no", "yes/no", "is the", ["no"] * 10),
     ]
     val_rows = [
         (5, 13, "Is the cat black?", None),
         (6, 13, "What color is the dog?", None),
     ]
     val_ann = [
-        (5, 13, "yes", "yes/no", ["yes"] * 8 + ["no"] * 2),
-        (6, 13, "black", "other", ["black"] * 5 + ["brown"] * 5),
+        (5, 13, "yes", "yes/no", "is the", ["yes"] * 8 + ["no"] * 2),
+        (6, 13, "black", "other", "what color is the",
+         ["black"] * 5 + ["brown"] * 5),
     ]
 
     for split, q_rows, a_rows in (("train", train_rows, train_ann),
@@ -127,6 +131,12 @@ def test_prepare_roundtrip(tmp_path):
     # question ids survive encoding (the submission-export key)
     np.testing.assert_array_equal(data.train.question_ids, [1, 2, 3, 4])
     np.testing.assert_array_equal(data.val.question_ids, [5, 6])
+    # question-type table is sorted-deterministic and codes match it
+    assert data.question_type_names == [
+        "how many", "is the", "what color is the"
+    ]
+    np.testing.assert_array_equal(data.train.question_types, [2, 1, 0, 2])
+    np.testing.assert_array_equal(data.val.question_types, [1, 2])
 
     # reload from disk == in-memory
     loaded = load_qa_data(qa_artifact_path(data_dir, 2, 5))
@@ -138,6 +148,9 @@ def test_prepare_roundtrip(tmp_path):
                                   data.val.answer_types)
     np.testing.assert_array_equal(loaded.val.question_ids,
                                   data.val.question_ids)
+    np.testing.assert_array_equal(loaded.val.question_types,
+                                  data.val.question_types)
+    assert loaded.question_type_names == data.question_type_names
     assert loaded.answer_vocab == data.answer_vocab
 
 

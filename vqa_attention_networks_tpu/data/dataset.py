@@ -51,6 +51,9 @@ class Batch:
     answer_types: Optional[np.ndarray] = None  # [B] int32
     # host-only VQA question ids for the leaderboard-submission export
     question_ids: Optional[np.ndarray] = None  # [B] int64
+    # host-only question-type codes (QAData.question_type_names) for the
+    # official perQuestionType eval breakdown
+    question_types: Optional[np.ndarray] = None  # [B] int32
     # int8 stores: per-(sample, channel) f16 dequant scales; the solver
     # dequantises ON DEVICE (int8 crosses host->device, 4x less traffic
     # than the f32 feed, 2x less than f16)
@@ -139,6 +142,9 @@ class VqaBatches:
                           if self.split.answer_types is not None else None),
             question_ids=(self.split.question_ids[idx].astype(np.int64)
                           if self.split.question_ids is not None else None),
+            question_types=(self.split.question_types[idx].astype(np.int32)
+                            if self.split.question_types is not None
+                            else None),
             feature_scale=scale,
         )
 

@@ -197,6 +197,10 @@ class QASplit:
     # leaderboard submission schema [{"question_id", "answer"}]. None on
     # artifacts written before the field existed.
     question_ids: Optional[np.ndarray] = None  # [N] int64
+    # per-question question-type code into QAData.question_type_names (the
+    # official eval's perQuestionType breakdown, ~65 types in VQA v2; -1 =
+    # annotation had no/unknown type). None when the source lacks the field.
+    question_types: Optional[np.ndarray] = None  # [N] int32
 
     def __len__(self) -> int:
         return int(self.questions.shape[0])
@@ -215,6 +219,9 @@ class QAData:
     answer_vocab: Dict[str, int]
     question_vocab: Dict[str, int]
     max_question_length: int
+    # code -> name table for QASplit.question_types (None on old artifacts
+    # or sources without the annotation field)
+    question_type_names: Optional[List[str]] = None
 
     @property
     def q_vocab_size(self) -> int:
@@ -234,6 +241,7 @@ def _encode_split(
     question_vocab: Dict[str, int],
     max_len: int,
     soft_counts: Optional[Dict[int, int]] = None,
+    qtype_codes: Optional[Dict[str, int]] = None,
 ) -> QASplit:
     """Encode one split into packed arrays (the loop at utils.py:177-196).
 
@@ -242,7 +250,8 @@ def _encode_split(
     a plausible-looking 0.0 instead of being absent."""
     unk = question_vocab["UNK"]
     rows_q, rows_len, rows_a, rows_img = [], [], [], []
-    rows_sidx, rows_sval, rows_sn, rows_at, rows_qid = [], [], [], [], []
+    rows_sidx, rows_sval, rows_sn, rows_at = [], [], [], []
+    rows_qid, rows_qt = [], []
     saw_answer_type = False
     for q, a in zip(questions, annotations):
         _check_pairing(q, a)
@@ -269,6 +278,8 @@ def _encode_split(
         saw_answer_type |= "answer_type" in a
         rows_at.append(ANSWER_TYPE_CODES.get(a.get("answer_type"), -1))
         rows_qid.append(a["question_id"])
+        if qtype_codes is not None:
+            rows_qt.append(qtype_codes.get(a.get("question_type"), -1))
 
     n = len(rows_q)
     return QASplit(
@@ -285,6 +296,8 @@ def _encode_split(
         answer_types=(np.asarray(rows_at, dtype=np.int32)
                       if saw_answer_type else None),
         question_ids=np.asarray(rows_qid, dtype=np.int64),
+        question_types=(np.asarray(rows_qt, dtype=np.int32)
+                        if qtype_codes is not None else None),
     )
 
 
@@ -335,18 +348,29 @@ def prepare_training_data(
         all_questions, all_annotations, answer_vocab
     )
 
+    # question-type table (official perQuestionType breakdown): sorted for
+    # a deterministic code assignment; None when the source lacks the field
+    qtype_names = sorted({
+        a["question_type"] for a in all_annotations if "question_type" in a
+    }) or None
+    qtype_codes = (
+        {name: i for i, name in enumerate(qtype_names)}
+        if qtype_names else None
+    )
+
     data = QAData(
         train=_encode_split(
             *splits["train"], answer_vocab, soft_answers, question_vocab,
-            max_len, soft_counts
+            max_len, soft_counts, qtype_codes
         ),
         val=_encode_split(
             *splits["val"], answer_vocab, soft_answers, question_vocab,
-            max_len, soft_counts
+            max_len, soft_counts, qtype_codes
         ),
         answer_vocab=answer_vocab,
         question_vocab=question_vocab,
         max_question_length=max_len,
+        question_type_names=qtype_names,
     )
 
     out_dir = out_dir or data_dir
@@ -377,16 +401,18 @@ def save_qa_data(data: QAData, base_path: str) -> None:
             arrays[f"{split_name}_answer_types"] = split.answer_types
         if split.question_ids is not None:
             arrays[f"{split_name}_question_ids"] = split.question_ids
+        if split.question_types is not None:
+            arrays[f"{split_name}_question_types"] = split.question_types
     np.savez_compressed(base_path + ".npz", **arrays)
     with open(base_path + ".vocab.json", "w") as f:
-        json.dump(
-            {
-                "answer_vocab": data.answer_vocab,
-                "question_vocab": data.question_vocab,
-                "max_question_length": data.max_question_length,
-            },
-            f,
-        )
+        vocab_record = {
+            "answer_vocab": data.answer_vocab,
+            "question_vocab": data.question_vocab,
+            "max_question_length": data.max_question_length,
+        }
+        if data.question_type_names is not None:
+            vocab_record["question_type_names"] = data.question_type_names
+        json.dump(vocab_record, f)
 
 
 def load_qa_data(base_path: str) -> QAData:
@@ -410,6 +436,9 @@ def load_qa_data(base_path: str) -> QAData:
                           if f"{split_name}_answer_types" in arrays else None),
             question_ids=(arrays[f"{split_name}_question_ids"]
                           if f"{split_name}_question_ids" in arrays else None),
+            question_types=(arrays[f"{split_name}_question_types"]
+                            if f"{split_name}_question_types" in arrays
+                            else None),
         )
     return QAData(
         train=splits["train"],
@@ -417,6 +446,7 @@ def load_qa_data(base_path: str) -> QAData:
         answer_vocab=vocab["answer_vocab"],
         question_vocab=vocab["question_vocab"],
         max_question_length=vocab["max_question_length"],
+        question_type_names=vocab.get("question_type_names"),
     )
 
 

@@ -204,6 +204,8 @@ class Solver:
         self._answer_words = {
             idx: word for word, idx in qa_data.answer_vocab.items()
         }
+        # code -> question-type name, for the perQuestionType breakdown
+        self._question_type_names = qa_data.question_type_names
 
         # early stopping state (solver.py:42-45)
         self.min_val_loss = float("inf")
@@ -496,6 +498,7 @@ class Solver:
         type_n = np.zeros(n_types)
         type_correct = np.zeros(n_types)
         type_consensus = np.zeros(n_types)
+        qtype_stats: dict = {}  # code -> [n, correct]
         predictions: list = []
         total_valid = 0
         n_batches = 0
@@ -521,7 +524,8 @@ class Solver:
                 full and jax.process_count() == 1
                 and (batch.soft_n is not None
                      or batch.answer_types is not None
-                     or batch.question_ids is not None)
+                     or batch.question_ids is not None
+                     or batch.question_types is not None)
             )
             scores = None
             if host_metrics:
@@ -545,14 +549,21 @@ class Solver:
                 )
                 total_consensus += float((scores * valid_np).sum())
                 have_consensus = True
-            if host_metrics and batch.answer_types is not None:
-                # per-answer-type breakdown (yes/no, number, other — the
-                # official leaderboard split); exact-match against the same
-                # labels the device metric scores (one definition: _labels)
+            want_qtypes = (
+                batch.question_types is not None
+                and self._question_type_names is not None
+            )
+            if host_metrics and (batch.answer_types is not None
+                                 or want_qtypes):
+                # exact-match against the same labels the device metric
+                # scores (one definition: _labels)
                 labels = np.asarray(
                     self._labels(batch.answers, batch.soft_answers)
                 )
                 hit = (preds == labels) & valid_np
+            if host_metrics and batch.answer_types is not None:
+                # per-answer-type breakdown (yes/no, number, other — the
+                # official leaderboard split)
                 for t in range(n_types):
                     mask = (batch.answer_types == t) & valid_np
                     type_n[t] += mask.sum()
@@ -560,6 +571,16 @@ class Solver:
                     if scores is not None:
                         type_consensus[t] += float((scores * mask).sum())
                 have_types = True
+            if host_metrics and want_qtypes:
+                # perQuestionType breakdown (~65 types in VQA v2) — JSON
+                # record only, too wide for stdout
+                for t in np.unique(batch.question_types[valid_np]):
+                    if t < 0:
+                        continue
+                    mask = (batch.question_types == t) & valid_np
+                    d = qtype_stats.setdefault(int(t), [0.0, 0.0])
+                    d[0] += float(mask.sum())
+                    d[1] += float((hit & mask).sum())
             total_valid += n_valid
             n_batches += 1
             if not full:
@@ -604,6 +625,18 @@ class Solver:
                                if have_consensus else {}),
                         }
                         for t in range(n_types) if type_n[t] > 0
+                    }
+                if qtype_stats:
+                    names = self._question_type_names
+                    record["per_question_type"] = {
+                        names[t]: {
+                            "accuracy": c / max(n, 1),
+                            "num_examples": int(n),
+                        }
+                        for t, (n, c) in sorted(
+                            qtype_stats.items(),
+                            key=lambda kv: names[kv[0]],
+                        )
                     }
                 json.dump(record, f)
             if predictions:
