@@ -65,6 +65,17 @@ def test_train_evaluate_predict_cli(workspace, tmp_path, monkeypatch):
     assert set(per_q) <= {"how many", "is the", "what color is the"}
     assert (sum(v["num_examples"] for v in per_q.values())
             == sidecar["num_examples"])
+    # consensus buckets reconcile with the split-level consensus (the
+    # official accPerQuesType metric)
+    consensus_sum = sum(
+        v["vqa_consensus_accuracy"] * v["num_examples"]
+        for v in per_q.values()
+    )
+    np.testing.assert_allclose(
+        consensus_sum,
+        sidecar["vqa_consensus_accuracy"] * sidecar["num_examples"],
+        atol=1e-6,
+    )
 
     # predict on a generated image with a tiny random backbone
     from PIL import Image

@@ -578,9 +578,13 @@ class Solver:
                     if t < 0:
                         continue
                     mask = (batch.question_types == t) & valid_np
-                    d = qtype_stats.setdefault(int(t), [0.0, 0.0])
+                    d = qtype_stats.setdefault(int(t), [0.0, 0.0, 0.0])
                     d[0] += float(mask.sum())
                     d[1] += float((hit & mask).sum())
+                    if scores is not None:
+                        # the official accPerQuesType is consensus-based —
+                        # bucket the already-computed per-sample scores
+                        d[2] += float((scores * mask).sum())
             total_valid += n_valid
             n_batches += 1
             if not full:
@@ -632,8 +636,11 @@ class Solver:
                         names[t]: {
                             "accuracy": c / max(n, 1),
                             "num_examples": int(n),
+                            # the official breakdown's metric
+                            **({"vqa_consensus_accuracy": cons / max(n, 1)}
+                               if have_consensus else {}),
                         }
-                        for t, (n, c) in sorted(
+                        for t, (n, c, cons) in sorted(
                             qtype_stats.items(),
                             key=lambda kv: names[kv[0]],
                         )
