@@ -185,6 +185,27 @@ def soak_family(family, qa, store, args, log_dir):
     return result
 
 
+def enforced_gate(result, enforce):
+    """Which gate binds for one family's run.
+
+    auto: convergence for runs long enough to demand it (>= 8 epochs,
+    VERDICT r2 item 8's tier split), drift otherwise. The explicit modes
+    exist so a merged report (families soaked at different lengths) can
+    be held to a single standard: --enforce convergence fails any family
+    that has not demonstrated learning, regardless of run length.
+    """
+    n = len(result.get("epochs") or [])
+    if enforce == "convergence" or (enforce == "auto" and n >= 8):
+        return "convergence"
+    return "drift"
+
+
+def enforced_ok(result, enforce):
+    if enforced_gate(result, enforce) == "convergence":
+        return bool(result["converged"])
+    return bool(result["drift_ok"])
+
+
 def assess(epochs, num_answer, gate):
     """Scale-invariant health gates over one family's per-epoch curves
     (shared by fresh runs and --redoc re-derivation)."""
@@ -213,12 +234,11 @@ def assess(epochs, num_answer, gate):
     }
 
 
-def write_docs(results, config):
+def write_docs(results, config, enforce="auto"):
     path_json = os.path.join(REPO, "docs", "soak_results.json")
     with open(path_json, "w") as f:
         json.dump({"config": config, "results": results}, f, indent=1)
 
-    strict = config["epochs"] >= 8
     lines = [
         "# Convergence soak report",
         "",
@@ -228,39 +248,60 @@ def write_docs(results, config):
         "invariant): **drift** = all scalars finite and final train loss "
         "< 0.97x first epoch (gradients downhill, no bf16 blowup); "
         "**convergence** = final < 0.6x first OR final train accuracy >= "
-        "20x chance. Short runs (< 8 epochs) enforce the drift gate and "
-        "report convergence as informational — 4 epochs at production dims "
-        "is too few for the slower families (the reference trains 18+); "
-        "per-family gradient correctness is separately pinned by "
-        "tests/test_train_dynamics.py.",
+        "20x chance (direct evidence of learning, robust to the mhb "
+        "family's KLD loss normalization). The *enforced* column is the "
+        "gate each family's exit code was held to; per-family gradient "
+        "correctness is separately pinned by tests/test_train_dynamics.py.",
         "",
         f"Platform: **{config['platform']}** | dtype: "
         f"**{config['compute_dtype']}** | batch {config['batch_size']} | "
-        f"{config['epochs']} epochs x {config['n_train']} samples | "
-        f"{config['num_answer']} answers | enforced gate: "
-        f"**{'convergence' if strict else 'drift'}**",
+        f"{config['n_train']} samples | "
+        f"{config['num_answer']} answers | enforcement mode: "
+        f"**{enforce}**",
         "",
-        "| family | loss first→final | train acc (x chance) | qa-pairs/s "
-        "| wall (s) | drift | converged |",
-        "|---|---|---|---|---|---|---|",
+        "| family | epochs | loss first→final | train acc (x chance) | "
+        "qa-pairs/s | wall (s) | drift | converged | enforced |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     def _f(v, spec):
         return format(v, spec) if v is not None else "—"
 
     for r in results:
         acc = r.get("final_train_acc") or 0.0
+        gate = enforced_gate(r, enforce)
+        ok = enforced_ok(r, enforce)
         lines.append(
-            f"| {r['family']} | {_f(r['first_train_loss'], '.4f')} → "
+            f"| {r['family']} | {len(r.get('epochs') or [])} | "
+            f"{_f(r['first_train_loss'], '.4f')} → "
             f"{_f(r['final_train_loss'], '.4f')} | {acc:.3f} "
             f"({acc * config['num_answer']:.0f}x) | "
             f"{r['qa_pairs_per_sec']:.0f} | {r['wall_s']} | "
             f"{'PASS' if r['drift_ok'] else 'FAIL'} | "
-            f"{'yes' if r['converged'] else 'not yet'} |"
+            f"{'yes' if r['converged'] else 'not yet'} | "
+            f"{gate}: {'PASS' if ok else 'FAIL'} |"
         )
     lines += ["", "Per-epoch curves: `docs/soak_results.json`.", ""]
     with open(os.path.join(REPO, "docs", "SOAK.md"), "w") as f:
         f.write("\n".join(lines))
     print(f"wrote docs/SOAK.md and {path_json}")
+
+
+def merge_results(new_results, path_json):
+    """Replace re-run families in a stored report, keep the rest.
+
+    A partial re-run (e.g. the 4 convergence laggards at 12 epochs,
+    VERDICT r3 item 4) must not clobber the other families' curves.
+    Family order follows FAMILIES so the report stays stable.
+    """
+    stored = {}
+    if os.path.exists(path_json):
+        with open(path_json) as f:
+            stored = {r["family"]: r
+                      for r in json.load(f).get("results", [])}
+    stored.update({r["family"]: r for r in new_results})
+    order = {f: i for i, f in enumerate(FAMILIES)}
+    return sorted(stored.values(),
+                  key=lambda r: order.get(r["family"], len(order)))
 
 
 def main(argv=None):
@@ -287,6 +328,15 @@ def main(argv=None):
     p.add_argument("--smoke", action="store_true",
                    help="tiny dims for a CPU smoke run")
     p.add_argument("--no_docs", action="store_true")
+    p.add_argument("--merge", action="store_true",
+                   help="merge this run's families into the existing "
+                        "docs/soak_results.json instead of replacing the "
+                        "whole report (partial re-runs)")
+    p.add_argument("--enforce", default="auto",
+                   choices=["auto", "drift", "convergence"],
+                   help="which gate binds the exit code per family: auto "
+                        "= convergence for >=8-epoch runs, drift below; "
+                        "convergence = every family must show learning")
     p.add_argument("--redoc", default=None, metavar="RESULTS_JSON",
                    help="re-derive docs + gates from a stored "
                         "soak_results.json without retraining")
@@ -301,9 +351,8 @@ def main(argv=None):
             r = dict(r)
             r.update(assess(r["epochs"], config["num_answer"], args.gate))
             results.append(r)
-        write_docs(results, config)
-        strict = config["epochs"] >= 8
-        ok = all(r["converged" if strict else "drift_ok"] for r in results)
+        write_docs(results, config, enforce=args.enforce)
+        ok = all(enforced_ok(r, args.enforce) for r in results)
         print(f"SOAK {'PASS' if ok else 'FAIL'} (redoc): "
               f"{sum(r['drift_ok'] for r in results)}/{len(results)} drift-"
               f"ok, {sum(r['converged'] for r in results)} converged")
@@ -351,22 +400,24 @@ def main(argv=None):
         print(json.dumps({k: v for k, v in r.items() if k != "epochs"}),
               flush=True)
         results.append(r)
-        # smoke (3 tiny epochs) checks the harness + numerics; short
-        # production-dims runs enforce the drift gate; long runs (>= 8
-        # epochs, i.e. the TPU soak) enforce full convergence
+        # smoke (3 tiny epochs) checks the harness + numerics; otherwise
+        # the per-family enforced gate binds (convergence for >=8-epoch
+        # runs under auto — the tier split from VERDICT r2 item 8)
         if args.smoke:
             ok &= r["finite"]
-        elif args.epochs >= 8:
-            ok &= r["converged"]
         else:
-            ok &= r["drift_ok"]
+            ok &= enforced_ok(r, args.enforce)
 
     if not args.no_docs:
-        write_docs(results, {
+        doc_results = results
+        if args.merge:
+            doc_results = merge_results(
+                results, os.path.join(REPO, "docs", "soak_results.json"))
+        write_docs(doc_results, {
             "epochs": args.epochs, "batch_size": args.batch_size,
             "compute_dtype": args.compute_dtype, "n_train": args.n_train,
             "num_answer": args.num_answer, "platform": args.platform_seen,
-        })
+        }, enforce=args.enforce)
     print(f"SOAK {'PASS' if ok else 'FAIL'}: "
           f"{sum(r['drift_ok'] for r in results)}/{len(results)} families "
           f"drift-ok, {sum(r['converged'] for r in results)} converged")
