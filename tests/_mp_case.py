@@ -44,3 +44,43 @@ def make_case():
         "grad_fn": jax.jit(jax.value_and_grad(loss_fn)),
         "mesh_fn": lambda: make_mesh(model=1),
     }
+
+
+def make_eval_solver(workdir, store_sub, results_sub, data_axis):
+    """Deterministic Solver for the multi-process full-eval parity test.
+
+    Same seed-0 synthetic data + flagship config on every caller, so the
+    2-process val(full=True) and the single-process ground truth compute
+    over byte-identical inputs. ``store_sub`` must be per-process (the
+    synthetic store writes files); ``results_sub`` is shared — only the
+    primary host writes results artifacts.
+    """
+    import os
+
+    from vqa_attention_networks_tpu.config import Config
+    from vqa_attention_networks_tpu.data.feature_store import (
+        make_synthetic_feature_store,
+    )
+    from vqa_attention_networks_tpu.data.prepare import make_synthetic_qa_data
+    from vqa_attention_networks_tpu.parallel import make_mesh
+    from vqa_attention_networks_tpu.train.solver import Solver
+
+    rng = np.random.default_rng(0)
+    qa = make_synthetic_qa_data(rng, n_train=32, n_val=24, num_images=4)
+    store = make_synthetic_feature_store(
+        os.path.join(workdir, store_sub, "feat"),
+        image_ids=sorted(set(qa.train.image_ids) | set(qa.val.image_ids)),
+        num_regions=196, channels=32,
+    )
+    cfg = Config(
+        model_name="mhb_coAtt", q_vocab_size=qa.q_vocab_size,
+        a_vocab_size=qa.a_vocab_size, hidden_dim=16, emb_dim=8,
+        img_feature_channel=32,
+        max_question_length=qa.max_question_length, mfb_factor=5,
+        mfb_out=8, batch_size=8, num_epoch=1, checkpoint_every_steps=0,
+        out_dir=os.path.join(workdir, store_sub, "models"),
+        results_dir=os.path.join(workdir, results_sub, "results"),
+    ).validate()
+    mesh = make_mesh(data=data_axis, model=1)
+    return Solver(cfg, qa, store, mesh=mesh,
+                  log_dir=os.path.join(workdir, store_sub, "runs"))

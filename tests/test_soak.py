@@ -129,6 +129,52 @@ def test_blowup_recorded_not_fatal(tmp_path, monkeypatch):
     assert r["drift_ok"] is False and r["converged"] is False
 
 
+def test_enforced_gate_modes():
+    """Per-family gate binding: auto demands convergence only of runs long
+    enough (>= 8 epochs) to be entitled to it; the explicit modes hold every
+    family to one standard regardless of length (VERDICT r3 item 4)."""
+    soak = _load_soak_module()
+    short = {"epochs": [{}] * 4, "drift_ok": True, "converged": False}
+    long_run = {"epochs": [{}] * 12, "drift_ok": True, "converged": False}
+    assert soak.enforced_gate(short, "auto") == "drift"
+    assert soak.enforced_gate(long_run, "auto") == "convergence"
+    assert soak.enforced_ok(short, "auto") is True
+    assert soak.enforced_ok(long_run, "auto") is False
+    assert soak.enforced_ok(short, "convergence") is False
+    assert soak.enforced_ok(long_run, "drift") is True
+    converged_short = dict(short, converged=True)
+    assert soak.enforced_ok(converged_short, "convergence") is True
+
+
+def test_merge_results_replaces_rerun_families(tmp_path):
+    """A partial re-run merges into the stored report: re-run families are
+    replaced, the rest keep their curves, order follows FAMILIES."""
+    soak = _load_soak_module()
+    path = tmp_path / "soak_results.json"
+    path.write_text(json.dumps({
+        "config": {},
+        "results": [
+            {"family": "iBOWIMG", "epochs": [{}] * 4, "tag": "old"},
+            {"family": "mfb", "epochs": [{}] * 4, "tag": "old"},
+        ],
+    }))
+    merged = soak.merge_results(
+        [{"family": "mfb", "epochs": [{}] * 12, "tag": "new"}], str(path)
+    )
+    by_family = {r["family"]: r for r in merged}
+    assert by_family["mfb"]["tag"] == "new"
+    assert len(by_family["mfb"]["epochs"]) == 12
+    assert by_family["iBOWIMG"]["tag"] == "old"
+    # report order is FAMILIES order: mfb before iBOWIMG
+    assert [r["family"] for r in merged] == ["mfb", "iBOWIMG"]
+
+    # no stored file: the new results stand alone
+    alone = soak.merge_results(
+        [{"family": "visLstm", "epochs": []}], str(tmp_path / "missing.json")
+    )
+    assert [r["family"] for r in alone] == ["visLstm"]
+
+
 def test_redoc_rederives_report(tmp_path, monkeypatch):
     """--redoc regenerates docs + gates from stored curves without
     retraining (lets a gate fix reinterpret an expensive finished run)."""

@@ -488,6 +488,8 @@ def make_synthetic_qa_data(
             # per-type eval breakdown is exercised on synthetic data
             answer_types=(answers % 3).astype(np.int32),
             question_ids=np.arange(qid_start, qid_start + n, dtype=np.int64),
+            # and over a few question types for the perQuestionType path
+            question_types=(answers % 4).astype(np.int32),
         )
 
     question_vocab = {f"w{i}": i + 1 for i in range(q_vocab_words)}
@@ -500,4 +502,5 @@ def make_synthetic_qa_data(
         answer_vocab=answer_vocab,
         question_vocab=question_vocab,
         max_question_length=max_len,
+        question_type_names=["what is", "what color", "how many", "is the"],
     )

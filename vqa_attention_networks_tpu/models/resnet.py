@@ -140,8 +140,23 @@ def convert_torchvision_resnet152(state_dict: Dict[str, np.ndarray]) -> Dict:
         )
         return {"w": w, "scale": scale, "bias": bias}
 
+    # stage depths come from the checkpoint itself, not the STAGES
+    # constant: the converter then accepts any torchvision-layout bottleneck
+    # ResNet (e.g. the depth-reduced trunks tests use for 448-res runs),
+    # and a truncated/corrupt resnet152 .pth still fails loudly below on
+    # its first missing block key
+    stages = tuple(
+        1 + max((int(k.split(".")[1]) for k in state_dict
+                 if k.startswith(f"layer{s + 1}.")), default=-1)
+        for s in range(4)
+    )
+    if 0 in stages:
+        raise ValueError(
+            f"state_dict is missing an entire residual stage: {stages}"
+        )
+
     params: Dict = {"stem": conv_bn("conv1.weight", "bn1")}
-    for s, n_blocks in enumerate(STAGES):
+    for s, n_blocks in enumerate(stages):
         layer: List[Dict] = []
         for b in range(n_blocks):
             pre = f"layer{s + 1}.{b}"

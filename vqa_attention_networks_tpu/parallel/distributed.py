@@ -67,3 +67,25 @@ def initialize_distributed(
 def is_primary() -> bool:
     """True on the host that should write checkpoints/metrics."""
     return jax.process_index() == 0
+
+
+def host_fetch(x: jax.Array):
+    """Fetch a (possibly process-sharded) device array to every host.
+
+    Single process: a plain device→host copy. Multi-process: the array's
+    shards live on other hosts' devices and ``np.asarray`` would raise on
+    the non-addressable ones, so gather it to every host first. Used by
+    the full-eval host-side metrics (train/solver.py val): the per-batch
+    cost is one [B] int vector over ICI/DCN — negligible next to the eval
+    step that produced it, and it makes the official consensus /
+    per-type / submission metrics identical on every host (the host-side
+    batch fields already are: every host assembles the same global batch,
+    parallel/sharding.py shard_batch).
+    """
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

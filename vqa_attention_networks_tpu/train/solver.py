@@ -57,7 +57,10 @@ from vqa_attention_networks_tpu.train.losses import (
     vqa_consensus_scores,
 )
 from vqa_attention_networks_tpu.utils import checkpoint as ckpt
-from vqa_attention_networks_tpu.parallel.distributed import is_primary
+from vqa_attention_networks_tpu.parallel.distributed import (
+    host_fetch,
+    is_primary,
+)
 from vqa_attention_networks_tpu.utils.logging import MetricWriter, NullMetricWriter
 from vqa_attention_networks_tpu.utils.timer import Timer
 
@@ -159,7 +162,10 @@ class Solver:
         else:
             schedule = cfg.lr
         self.tx = optax.adam(schedule)
-        self.opt_state = jax.device_put(self.tx.init(self.params))
+        # jitted init: moment shardings propagate from the params — a bare
+        # device_put would fail on multi-process meshes (params shards on
+        # other hosts are non-addressable; caught by test_multiprocess.py)
+        self.opt_state = jax.jit(self.tx.init)(self.params)
 
         # data pipelines (the counterpart of solver.py:39-41). With a bf16
         # compute dtype the features ship as f16 (same store dtype) and the
@@ -516,12 +522,14 @@ class Solver:
             total_correct += float(correct_d)
             total_top3 += float(top3_d)
             # Host-side per-sample metrics (official VQA consensus +
-            # per-answer-type breakdown). Multi-host runs skip them:
-            # fetching the [B] preds array would touch non-addressable
-            # shards (the scalar metrics above come back replicated; a
-            # per-sample fetch does not).
+            # per-answer-type breakdown). Multi-host runs gather the [B]
+            # preds to every host (host_fetch — the scalar metrics above
+            # come back replicated, a per-sample fetch would touch
+            # non-addressable shards without the gather); the host-side
+            # batch fields are already identical on every host, so every
+            # host accumulates the same figures and the primary writes.
             host_metrics = (
-                full and jax.process_count() == 1
+                full
                 and (batch.soft_n is not None
                      or batch.answer_types is not None
                      or batch.question_ids is not None
@@ -529,7 +537,7 @@ class Solver:
             )
             scores = None
             if host_metrics:
-                preds = np.asarray(preds_d)
+                preds = host_fetch(preds_d)
                 valid_np = np.asarray(batch.valid)
             if host_metrics and batch.question_ids is not None:
                 # official VQA submission rows (valid rows only; pad rows of
