@@ -268,8 +268,13 @@ def main(argv=None):
             "|---|---|",
             f"| device-only full-val sweep | {bare['wall_s']} s |",
             f"| full official-metrics sweep | {full['wall_s']} s |",
-            f"| **host metric loop** (difference) | **{host_loop_s:.2f} s**"
-            f" ({summary['host_metric_us_per_question']} µs/question) |",
+            (f"| **host metric loop** (difference) | **{host_loop_s:.2f} s**"
+             f" ({summary['host_metric_us_per_question']} µs/question) |"
+             if full["wall_s"] > bare["wall_s"] else
+             "| **host metric loop** (difference) | **below run-to-run "
+             "noise** — the full sweep measured "
+             f"{bare['wall_s'] - full['wall_s']:.1f} s *faster* than the "
+             "device-only sweep |"),
             f"| submission rows validated | {n_rows} "
             "(schema + unique ids) |",
             f"| perQuestionType entries | {n_qt} |",
