@@ -1,0 +1,117 @@
+"""The VQA_PALLAS_INTERPRET CPU execution proxy (ops/pallas_wq_fusion).
+
+Off-TPU the kernel dispatch gates are closed, so the flip-rate gate
+(benchmarks/bench_precision.py) is vacuous without hardware. The proxy opens
+the gates and executes the kernels in Pallas interpret mode — dtype-faithful
+to the TPU kernels (every bf16 cast / f32 accumulation point is explicit in
+the kernel bodies); only the MXU's f32 accumulation order is not reproduced.
+These tests pin the plumbing: gating, AOT-export interaction, determinism,
+and closeness to the composed twin.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqa_attention_networks_tpu.config import Config
+from vqa_attention_networks_tpu.models import get_model
+from vqa_attention_networks_tpu.ops import pallas_wq_fusion as wqf
+
+
+def _flagship(channel=128):
+    cfg = Config(
+        model_name="mhb_coAtt", q_vocab_size=25, a_vocab_size=11,
+        hidden_dim=16, emb_dim=8, img_feature_channel=channel,
+        max_question_length=7, mfb_factor=5, mfb_out=8,
+        compute_dtype="bfloat16",
+    ).validate()
+    model = get_model("mhb_coAtt")
+    params = model.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(
+        np.maximum(rng.standard_normal((4, 196, channel)), 0.0), jnp.bfloat16
+    )
+    ques = jnp.asarray(rng.integers(0, 25, size=(4, 7)).astype(np.int32))
+    return model, cfg, params, img, ques
+
+
+def test_gate_opens_only_under_env(monkeypatch):
+    model, cfg, params, img, ques = _flagship()
+    w = params["img_conv1d"]["w"]
+
+    monkeypatch.delenv("VQA_PALLAS_INTERPRET", raising=False)
+    assert not wqf.supported(img, w, cfg.mfb_factor)  # CPU: closed
+
+    monkeypatch.setenv("VQA_PALLAS_INTERPRET", "1")
+    assert wqf.interpret_proxy()
+    assert wqf.supported(img, w, cfg.mfb_factor)  # proxy: open
+    # the kill switch still wins
+    monkeypatch.setenv("VQA_DISABLE_PALLAS", "1")
+    assert not wqf.supported(img, w, cfg.mfb_factor)
+
+
+def test_aot_tpu_lowering_never_interprets(monkeypatch):
+    """platforms=["tpu"] exports from a CPU build box must lower through
+    Mosaic even when the proxy env is set: interpret-mode lowering baked
+    into a serving artifact would run the interpreter ON the TPU box."""
+    monkeypatch.setenv("VQA_PALLAS_INTERPRET", "1")
+    assert wqf._interpret_flag()
+    with wqf.tpu_lowering():
+        assert not wqf._interpret_flag()
+        assert wqf._dispatch_target()
+    assert wqf._interpret_flag()
+
+
+def test_proxy_executes_kernel_deterministically(monkeypatch):
+    model, cfg, params, img, ques = _flagship()
+
+    # composed twin (gate closed, no env)
+    monkeypatch.delenv("VQA_PALLAS_INTERPRET", raising=False)
+    composed, _ = model.apply(params, cfg, img, ques, train=False)
+
+    monkeypatch.setenv("VQA_PALLAS_INTERPRET", "1")
+    t0 = wqf.kernel_trace_count()
+    proxy1, _ = model.apply(params, cfg, img, ques, train=False)
+    assert wqf.kernel_trace_count() > t0  # the kernel branch was traced
+    proxy2, _ = model.apply(params, cfg, img, ques, train=False)
+
+    proxy1, proxy2, composed = map(np.asarray, (proxy1, proxy2, composed))
+    np.testing.assert_array_equal(proxy1, proxy2)  # deterministic
+    # bf16 kernel vs composed bf16: small but generally nonzero deltas
+    np.testing.assert_allclose(proxy1, composed, atol=0.05)
+
+
+def test_bench_precision_proxy_smoke(capsys, monkeypatch):
+    """--interpret_proxy on CPU: kernel arms run, the verdict is labeled
+    PROXY (never the bare hardware PASS/FAIL wording)."""
+    monkeypatch.delenv("VQA_PALLAS_INTERPRET", raising=False)
+    from benchmarks import bench_precision as bp
+
+    code = 0
+    try:
+        bp.main([
+            "--batch", "8", "--batches", "2",
+            "--q_vocab", "25", "--a_vocab", "11", "--interpret_proxy",
+        ])
+    except SystemExit as e:  # a breached gate exits 1; plumbing still pinned
+        code = e.code
+    finally:
+        monkeypatch.delenv("VQA_PALLAS_INTERPRET", raising=False)
+    out = capsys.readouterr().out
+    assert "INTERPRET-MODE PROXY" in out
+    assert "pallas_bf16 vs composed_bf16" in out
+    assert "flip-rate gate" in out and "PROXY" in out
+    assert code in (0, 1)
+
+
+@pytest.mark.skipif(jax.default_backend() == "tpu",
+                    reason="proxy is a CPU-side construct")
+def test_proxy_is_inert_on_tpu_backend(monkeypatch):
+    """interpret_proxy() must report False when the backend is TPU (the
+    real kernels run); emulated here by asserting the backend check is
+    consulted at all."""
+    monkeypatch.setenv("VQA_PALLAS_INTERPRET", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert not wqf.interpret_proxy()
+    assert not wqf._interpret_flag()

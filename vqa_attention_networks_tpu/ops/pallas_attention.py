@@ -35,6 +35,14 @@ from vqa_attention_networks_tpu.ops.fusion import two_glimpse_pool
 _NB = 8  # samples per kernel instance
 
 
+def _interpret() -> bool:
+    # interpret= for the pallas_call: True only under the VQA_PALLAS_INTERPRET
+    # CPU execution proxy (see pallas_wq_fusion.interpret_proxy)
+    from vqa_attention_networks_tpu.ops.pallas_wq_fusion import _interpret_flag
+
+    return _interpret_flag()
+
+
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, v_ref, out_ref,
             *, uniform_quirk: bool):
     # x [NB, P, C]; w1 [C, A]; b1 [1, A]; w2 [A, G]; b2 [1, G];
@@ -100,6 +108,7 @@ def _glimpse_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        interpret=_interpret(),
     )(x, w1.astype(dt), b1.reshape(1, -1), w2.astype(dt), b2.reshape(1, -1), v)
 
 
@@ -152,10 +161,12 @@ def glimpse_attention(
     """
     import os
 
-    from vqa_attention_networks_tpu.ops.pallas_wq_fusion import _target_is_tpu
+    from vqa_attention_networks_tpu.ops.pallas_wq_fusion import (
+        _dispatch_target,
+    )
 
     use_pallas = (
-        _target_is_tpu()  # honors the AOT build-box tpu_lowering override
+        _dispatch_target()  # AOT tpu_lowering override + interpret proxy
         and x.dtype == jnp.bfloat16
         and x.shape[0] % _NB == 0
         and os.environ.get("VQA_PALLAS_GLIMPSE")

@@ -34,6 +34,14 @@ from jax.experimental.pallas import tpu as pltpu
 _NB = 8
 
 
+def _interpret() -> bool:
+    # interpret= for the pallas_call: True only under the VQA_PALLAS_INTERPRET
+    # CPU execution proxy (see pallas_wq_fusion.interpret_proxy)
+    from vqa_attention_networks_tpu.ops.pallas_wq_fusion import _interpret_flag
+
+    return _interpret_flag()
+
+
 def _dg(a, b, dims, out_dtype=jnp.float32):
     return jax.lax.dot_general(
         a, b, dimension_numbers=(dims, ((), ())),
@@ -88,11 +96,14 @@ def supported(n: int, dtype, train: bool) -> bool:
 
     if train or os.environ.get("VQA_DISABLE_PALLAS"):
         return False
-    # _target_is_tpu: honors the AOT build-box override (a CPU host
+    # _dispatch_target: honors the AOT build-box override (a CPU host
     # exporting platforms=["tpu"] must trace the same graph a TPU would)
-    from vqa_attention_networks_tpu.ops.pallas_wq_fusion import _target_is_tpu
+    # and the VQA_PALLAS_INTERPRET execution proxy
+    from vqa_attention_networks_tpu.ops.pallas_wq_fusion import (
+        _dispatch_target,
+    )
 
-    if not _target_is_tpu():
+    if not _dispatch_target():
         return False
     return jnp.dtype(dtype) == jnp.bfloat16 and n % _NB == 0
 
@@ -141,6 +152,7 @@ def coattention_core_pallas(img, que, cv, cq, img_w, que_w, whv, whq,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        interpret=_interpret(),
     )(img, que, cv.astype(dt), cq.astype(dt), img_w.astype(dt),
       que_w.astype(dt), whv.astype(dt), whq.astype(dt))
     return v, q, av[..., 0], aq[..., 0]

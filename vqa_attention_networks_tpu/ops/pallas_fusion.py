@@ -63,6 +63,14 @@ _NB = 4
 _TF = 1280
 
 
+def _interpret() -> bool:
+    # interpret= for the pallas_call: True only under the VQA_PALLAS_INTERPRET
+    # CPU execution proxy (see pallas_wq_fusion.interpret_proxy)
+    from vqa_attention_networks_tpu.ops.pallas_wq_fusion import _interpret_flag
+
+    return _interpret_flag()
+
+
 def _kernel(img_ref, w_ref, b_ref, q_ref, out_ref, *, k: int):
     # img [NB, L, D]; w [D, k, TO]; b [1, k, TO]; q [NB, k, TO];
     # out [NB, L, TO].  The k factor lives on its own (full) sublane axis, so
@@ -133,6 +141,7 @@ def _grid_fuse_pallas(
                             + n * l * o_pad * 4),
             transcendentals=0,
         ),
+        interpret=_interpret(),
     )(img, w3, b3, q3)
     return out[..., :o] if o_pad != o else out
 
@@ -186,11 +195,14 @@ def pallas_supported(n: int, f: int, k: int = 5, nb: int = _NB,
 
     if os.environ.get("VQA_DISABLE_PALLAS"):  # A/B kill switch for benchmarks
         return False
-    # _target_is_tpu: honors the AOT build-box override (a CPU host
+    # _dispatch_target: honors the AOT build-box override (a CPU host
     # exporting platforms=["tpu"] must trace the same graph a TPU would)
-    from vqa_attention_networks_tpu.ops.pallas_wq_fusion import _target_is_tpu
+    # and the VQA_PALLAS_INTERPRET execution proxy
+    from vqa_attention_networks_tpu.ops.pallas_wq_fusion import (
+        _dispatch_target,
+    )
 
-    if not _target_is_tpu():
+    if not _dispatch_target():
         return False
     # layout contract of the kernel's refactor/BlockSpecs (the assert at
     # _grid_fuse_pallas): reject what cannot compile so the dispatcher

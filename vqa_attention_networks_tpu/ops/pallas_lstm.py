@@ -123,10 +123,13 @@ def _lstm_scan_pallas(
 def supported(x: jnp.ndarray, hdim: int) -> bool:
     if os.environ.get("VQA_DISABLE_PALLAS"):
         return False
-    # honors the AOT build-box tpu_lowering override (pallas_wq_fusion)
-    from vqa_attention_networks_tpu.ops.pallas_wq_fusion import _target_is_tpu
+    # honors the AOT build-box tpu_lowering override and the
+    # VQA_PALLAS_INTERPRET execution proxy (pallas_wq_fusion)
+    from vqa_attention_networks_tpu.ops.pallas_wq_fusion import (
+        _dispatch_target,
+    )
 
-    if not _target_is_tpu():
+    if not _dispatch_target():
         return False
     return x.dtype == jnp.bfloat16 and hdim % _LANE == 0
 

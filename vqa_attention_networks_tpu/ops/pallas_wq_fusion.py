@@ -530,7 +530,7 @@ def _wq_partitioned(k: int):
     def run(img, w, b, q_proj):
         return _wq_grid_fuse_pallas(
             img, w, b, q_proj, k,
-            interpret=not _target_is_tpu(),
+            interpret=_interpret_flag(),
         )
 
     cp = custom_partitioning(run)
@@ -566,7 +566,7 @@ def _make_stage1_partitioned(kernel_of_n):
             g = c2w.shape[1]
             out = kernel_of_n(n)(
                 img, w, b, q_proj, c1w, c1b, c2w, c2b, k,
-                interpret=not _target_is_tpu(),
+                interpret=_interpret_flag(),
             )
             return out.reshape(n, g * d)
 
@@ -698,6 +698,44 @@ def _target_is_tpu() -> bool:
     return _FORCE_TPU_LOWERING > 0 or jax.default_backend() == "tpu"
 
 
+def interpret_proxy() -> bool:
+    """``VQA_PALLAS_INTERPRET=1``: open the kernel dispatch gates on a
+    non-TPU backend and EXECUTE the kernels in Pallas interpret mode.
+
+    The kernels' numerics (where values round to bf16, where accumulation
+    is f32 — every cast is explicit in the kernel bodies) are reproduced
+    faithfully by the interpreter; the only divergence from Mosaic-on-TPU
+    is f32 accumulation *order* inside ``jnp.dot`` (MXU systolic order vs
+    the host BLAS), orders of magnitude below the bf16 casts that dominate
+    the kernel-vs-composed gap. This makes a CPU flip-rate measurement
+    (benchmarks/bench_precision.py --interpret_proxy) a meaningful PROXY
+    for the TPU gate — clearly labeled as such, never a substitute for the
+    hardware verdict. No effect when the backend already is TPU (the real
+    kernels run)."""
+    return (
+        bool(os.environ.get("VQA_PALLAS_INTERPRET"))
+        and jax.default_backend() != "tpu"
+    )
+
+
+def _dispatch_target() -> bool:
+    """supported()-style gates pass when lowering for TPU OR executing the
+    interpret-mode proxy."""
+    return _target_is_tpu() or interpret_proxy()
+
+
+def _interpret_flag() -> bool:
+    """``interpret=`` value for every kernel's pallas_call, decided at trace
+    time: interpret whenever we are NOT lowering for a real TPU target —
+    the VQA_PALLAS_INTERPRET proxy and the CPU-mesh SPMD tests (which call
+    the kernel wrappers directly) both execute on backends where Mosaic
+    cannot run. On-device TPU runs and tpu_lowering() AOT exports lower
+    through Mosaic. The env var only opens the dispatch gates
+    (supported()); it never changes how an already-dispatched kernel
+    lowers."""
+    return not _target_is_tpu()
+
+
 def kernel_trace_count() -> int:
     """Monotonic count of Pallas fast-path traces (see _KERNEL_TRACES).
     aot.save_serving_artifact snapshots this around export to record
@@ -708,7 +746,7 @@ def kernel_trace_count() -> int:
 def supported(img: jnp.ndarray, w: jnp.ndarray, k: int) -> bool:
     if os.environ.get("VQA_DISABLE_PALLAS"):
         return False
-    if not _target_is_tpu():
+    if not _dispatch_target():
         return False
     d, f = w.shape
     if f % k:
