@@ -83,6 +83,37 @@ def test_assess_gates_are_scale_invariant():
     assert not r["finite"] and not r["drift_ok"]
 
 
+def test_learnable_qa_key_token_v2_invariants():
+    """Task key-token-v2 (VERDICT r3 item 4 follow-up): the answer key must
+    be content-identifiable, not only position-encoded — hieCoAtten's
+    reference-faithful architecture (co-attention over raw word embeddings,
+    reference hieCoAtten.py:25-28) has no positional channel, so a task
+    keyed purely on position 0 is outside its function class."""
+    import numpy as np
+
+    soak = _load_soak_module()
+    rng = np.random.default_rng(3)
+    vocab_words, num_answers, num_images = 5000, 1000, 512
+    qa = soak.make_learnable_qa(rng, 512, 128, q_vocab_words=vocab_words,
+                                num_answers=num_answers, max_len=22,
+                                num_images=num_images)
+    n_keys = 64
+    for split in (qa.train, qa.val):
+        keys = split.questions[:, 0]
+        # key range: dedicated, small, dense gradient per key embedding
+        assert keys.min() >= 1 and keys.max() <= n_keys
+        assert len(np.unique(keys)) > n_keys // 2
+        # fillers: disjoint range above the keys (0 = padding)
+        fillers = split.questions[:, 1:]
+        fillers = fillers[fillers != 0]
+        assert fillers.min() > n_keys
+        assert fillers.max() <= vocab_words + 1
+        # answers follow the documented formula
+        expect = (keys.astype(np.int64) * 7
+                  + split.image_ids * 13) % num_answers
+        assert np.array_equal(split.answers, expect.astype(np.int32))
+
+
 def test_blowup_recorded_not_fatal(tmp_path, monkeypatch):
     """A non-finite train loss aborts the Solver with FloatingPointError —
     the soak's primary detection target. The soak must record that family

@@ -8,9 +8,11 @@ counterpart of the reference's epoch loop (/root/reference/solver.py:52-117).
 
 Unlike make_synthetic_qa_data (random labels — loss plateaus at uniform),
 the soak dataset is LEARNABLE: the answer is a deterministic function of
-(first question token, image id), and each image id has a fixed random
+(key question token, image id), and each image id has a fixed random
 feature grid, so a converging model must drive train loss well below the
-uniform-entropy floor.
+uniform-entropy floor. The key token is both position-0 AND drawn from a
+small dedicated vocab range (task "key-token-v2" — see make_learnable_qa
+for why content-identifiability is required for architecture fairness).
 
 Two-tier gate (both scale-invariant, so they work for the mhb family's
 KLD-style loss — normalized by a_vocab_size, it starts at ln(V)/V ~ 0.007
@@ -60,18 +62,46 @@ FAMILIES = [
 ]
 
 
+SOAK_TASK = "key-token-v2"
+
+
 def make_learnable_qa(rng, n_train, n_val, q_vocab_words, num_answers,
                       max_len, num_images):
-    """QAData whose answers are predictable from (token_0, image_id)."""
+    """QAData whose answers are predictable from (key_token, image_id).
+
+    Task v2 ("key-token-v2"): the answer-determining KEY token sits at
+    position 0 AND is drawn from a small dedicated vocab range
+    [1, n_keys], with filler tokens from the disjoint range above it.
+    Task v1 keyed the answer on position 0 alone (key drawn from the
+    full vocab), which is *provably unlearnable* for position-blind
+    families: hieCoAtten — faithful to the reference architecture
+    (hieCoAtten.py:25-28) — attends over raw word embeddings with no
+    LSTM and no positional encoding, so nothing in its function class
+    can distinguish token 0 from the other fillers; its v1 soak result
+    of exactly-chance train accuracy was a task-architecture mismatch,
+    not a model bug. v2 makes the key content-identifiable — the
+    property real VQA questions have (the informative word is a *word*,
+    not a position) — while staying position-0 so recurrent families
+    see an unchanged task. The small key range also gives every key
+    embedding dense gradient (each key recurs ~n/n_keys times) instead
+    of the one-shot-memorization regime of a 5000-word key space.
+    """
     from vqa_attention_networks_tpu.data.prepare import (
         QAData, QASplit, SOFT_WIDTH,
     )
+
+    n_keys = min(64, q_vocab_words)
 
     def _split(n):
         lengths = rng.integers(3, max_len + 1, size=n).astype(np.int32)
         questions = np.zeros((n, max_len), dtype=np.int32)
         for i, l in enumerate(lengths):
-            questions[i, :l] = rng.integers(1, q_vocab_words + 2, size=l)
+            # fillers come from (n_keys, q_vocab_words+1] — disjoint from
+            # the key range so the key is identifiable by content alone
+            questions[i, 1:l] = rng.integers(
+                n_keys + 1, q_vocab_words + 2, size=int(l) - 1
+            )
+        questions[:, 0] = rng.integers(1, n_keys + 1, size=n)
         image_ids = rng.integers(0, num_images, size=n).astype(np.int64)
         answers = (
             (questions[:, 0].astype(np.int64) * 7 + image_ids * 13)
@@ -171,6 +201,7 @@ def soak_family(family, qa, store, args, log_dir):
     qps_seen = [q for q in qps if q]
     result = {
         "family": family,
+        "task": SOAK_TASK,
         "compute_dtype": args.compute_dtype,
         "epochs": epochs,
         "final_val_acc": epochs[-1].get("val_acc") if epochs else None,
@@ -253,15 +284,26 @@ def write_docs(results, config, enforce="auto"):
         "gate each family's exit code was held to; per-family gradient "
         "correctness is separately pinned by tests/test_train_dynamics.py.",
         "",
+        "The *task* column is the learnable-data version the family was "
+        "soaked on. `pos0-v1` keyed the answer on the position-0 token "
+        "drawn from the full vocab — provably unlearnable for hieCoAtten, "
+        "whose reference-faithful architecture (co-attention over raw "
+        "word embeddings, hieCoAtten.py:25-28) has no positional channel "
+        "at all, and needlessly slow for every family (a 5000-word key "
+        "space puts memorization in the one-shot regime). `key-token-v2` "
+        "keeps the key at position 0 but draws it from a dedicated "
+        "64-token range disjoint from the fillers, making it "
+        "content-identifiable — the property the real VQA task has.",
+        "",
         f"Platform: **{config['platform']}** | dtype: "
         f"**{config['compute_dtype']}** | batch {config['batch_size']} | "
         f"{config['n_train']} samples | "
         f"{config['num_answer']} answers | enforcement mode: "
         f"**{enforce}**",
         "",
-        "| family | epochs | loss first→final | train acc (x chance) | "
+        "| family | task | epochs | loss first→final | train acc (x chance) | "
         "qa-pairs/s | wall (s) | drift | converged | enforced |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     def _f(v, spec):
         return format(v, spec) if v is not None else "—"
@@ -271,7 +313,8 @@ def write_docs(results, config, enforce="auto"):
         gate = enforced_gate(r, enforce)
         ok = enforced_ok(r, enforce)
         lines.append(
-            f"| {r['family']} | {len(r.get('epochs') or [])} | "
+            f"| {r['family']} | {r.get('task', 'pos0-v1')} | "
+            f"{len(r.get('epochs') or [])} | "
             f"{_f(r['first_train_loss'], '.4f')} → "
             f"{_f(r['final_train_loss'], '.4f')} | {acc:.3f} "
             f"({acc * config['num_answer']:.0f}x) | "
