@@ -68,7 +68,10 @@ def make_val_scale_qa(rng, n_val, num_answers, q_vocab_words, max_len,
         rest = 10 - primary
         for j in range(1, 4):
             take = np.minimum(rest, rng.integers(0, 4, size=n))
-            runner = (answers + j * rng.integers(1, num_answers, size=n)) \
+            # offset in [1, num_answers-1] guarantees runner != primary
+            # (j * offset could be ≡ 0 mod num_answers, silently turning a
+            # "split" row into reinforced unanimity)
+            runner = (answers + rng.integers(1, num_answers, size=n)) \
                 % num_answers
             has = take > 0
             soft_idx[has, j] = runner[has]

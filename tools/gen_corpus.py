@@ -53,8 +53,15 @@ def make_rows(rng, n, qid0, img0):
         else:
             q = f"Does the {obj} look {rng.choice(VERBS)}?"
             ans, atype, qtype = rng.choice(["yes", "no"]), "yes/no", "does the"
+        # dissenters drawn INDIVIDUALLY from a pool that includes yes/no:
+        # real annotator lists carry 3-way splits and yes-vs-no
+        # disagreement, and those are exactly the c-in-{1..9} partial-
+        # credit branches of the leave-one-out consensus metric this
+        # corpus exists to exercise
         k = rng.randrange(6, 11)
-        ten = [ans] * k + [rng.choice(COLORS + COUNTS + VERBS)] * (10 - k)
+        pool = COLORS + COUNTS + VERBS + ["yes", "no"]
+        ten = [ans] * k + [rng.choice(pool) for _ in range(10 - k)]
+        rng.shuffle(ten)
         rows.append((qid, img, q, ans, atype, qtype, ten))
     return rows
 

@@ -90,7 +90,10 @@ def make_learnable_qa(rng, n_train, n_val, q_vocab_words, num_answers,
         QAData, QASplit, SOFT_WIDTH,
     )
 
-    n_keys = min(64, q_vocab_words)
+    # key range capped well below the vocab so the filler range keeps real
+    # width (--smoke sets q_vocab_words=64: min(64, vocab) would collapse
+    # every filler to the single UNK id)
+    n_keys = min(64, max(8, q_vocab_words // 4))
 
     def _split(n):
         lengths = rng.integers(3, max_len + 1, size=n).astype(np.int32)
@@ -202,6 +205,12 @@ def soak_family(family, qa, store, args, log_dir):
     result = {
         "family": family,
         "task": SOAK_TASK,
+        # assessment context pinned per family: a --merge partial re-run
+        # overwrites the stored top-level config, so --redoc and the
+        # report's "x chance" column must not assess kept families
+        # against the re-run's num_answer/gate
+        "num_answer": args.num_answer,
+        "gate_threshold": args.gate,
         "compute_dtype": args.compute_dtype,
         "epochs": epochs,
         "final_val_acc": epochs[-1].get("val_acc") if epochs else None,
@@ -312,12 +321,13 @@ def write_docs(results, config, enforce="auto"):
         acc = r.get("final_train_acc") or 0.0
         gate = enforced_gate(r, enforce)
         ok = enforced_ok(r, enforce)
+        num_answer = r.get("num_answer", config["num_answer"])
         lines.append(
             f"| {r['family']} | {r.get('task', 'pos0-v1')} | "
             f"{len(r.get('epochs') or [])} | "
             f"{_f(r['first_train_loss'], '.4f')} → "
             f"{_f(r['final_train_loss'], '.4f')} | {acc:.3f} "
-            f"({acc * config['num_answer']:.0f}x) | "
+            f"({acc * num_answer:.0f}x) | "
             f"{r['qa_pairs_per_sec']:.0f} | {r['wall_s']} | "
             f"{'PASS' if r['drift_ok'] else 'FAIL'} | "
             f"{'yes' if r['converged'] else 'not yet'} | "
@@ -392,7 +402,11 @@ def main(argv=None):
         results = []
         for r in stored["results"]:
             r = dict(r)
-            r.update(assess(r["epochs"], config["num_answer"], args.gate))
+            r.update(assess(
+                r["epochs"],
+                r.get("num_answer", config["num_answer"]),
+                r.get("gate_threshold", args.gate),
+            ))
             results.append(r)
         write_docs(results, config, enforce=args.enforce)
         ok = all(enforced_ok(r, args.enforce) for r in results)

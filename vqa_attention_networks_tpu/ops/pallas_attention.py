@@ -31,16 +31,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vqa_attention_networks_tpu.ops.fusion import two_glimpse_pool
+from vqa_attention_networks_tpu.ops.pallas_wq_fusion import _interpret_flag
 
 _NB = 8  # samples per kernel instance
 
-
-def _interpret() -> bool:
-    # interpret= for the pallas_call: True only under the VQA_PALLAS_INTERPRET
-    # CPU execution proxy (see pallas_wq_fusion.interpret_proxy)
-    from vqa_attention_networks_tpu.ops.pallas_wq_fusion import _interpret_flag
-
-    return _interpret_flag()
 
 
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, v_ref, out_ref,
@@ -108,7 +102,7 @@ def _glimpse_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=_interpret(),
+        interpret=_interpret_flag(),
     )(x, w1.astype(dt), b1.reshape(1, -1), w2.astype(dt), b2.reshape(1, -1), v)
 
 

@@ -31,15 +31,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vqa_attention_networks_tpu.ops.pallas_wq_fusion import _interpret_flag
+
 _NB = 8
 
-
-def _interpret() -> bool:
-    # interpret= for the pallas_call: True only under the VQA_PALLAS_INTERPRET
-    # CPU execution proxy (see pallas_wq_fusion.interpret_proxy)
-    from vqa_attention_networks_tpu.ops.pallas_wq_fusion import _interpret_flag
-
-    return _interpret_flag()
 
 
 def _dg(a, b, dims, out_dtype=jnp.float32):
@@ -152,7 +147,7 @@ def coattention_core_pallas(img, que, cv, cq, img_w, que_w, whv, whq,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=_interpret(),
+        interpret=_interpret_flag(),
     )(img, que, cv.astype(dt), cq.astype(dt), img_w.astype(dt),
       que_w.astype(dt), whv.astype(dt), whq.astype(dt))
     return v, q, av[..., 0], aq[..., 0]

@@ -47,6 +47,7 @@ from vqa_attention_networks_tpu.models.layers import (
     matmul_precision,
     signed_sqrt,
 )
+from vqa_attention_networks_tpu.ops.pallas_wq_fusion import _interpret_flag
 from vqa_attention_networks_tpu.ops.fusion import (
     grid_fuse_weight_contracted,
     mfb_sumpool,
@@ -62,13 +63,6 @@ from vqa_attention_networks_tpu.ops.fusion import (
 _NB = 4
 _TF = 1280
 
-
-def _interpret() -> bool:
-    # interpret= for the pallas_call: True only under the VQA_PALLAS_INTERPRET
-    # CPU execution proxy (see pallas_wq_fusion.interpret_proxy)
-    from vqa_attention_networks_tpu.ops.pallas_wq_fusion import _interpret_flag
-
-    return _interpret_flag()
 
 
 def _kernel(img_ref, w_ref, b_ref, q_ref, out_ref, *, k: int):
@@ -141,7 +135,7 @@ def _grid_fuse_pallas(
                             + n * l * o_pad * 4),
             transcendentals=0,
         ),
-        interpret=_interpret(),
+        interpret=_interpret_flag(),
     )(img, w3, b3, q3)
     return out[..., :o] if o_pad != o else out
 
