@@ -63,10 +63,26 @@ FAMILIES = [
 
 
 SOAK_TASK = "key-token-v2"
+TASK_KEY_ONLY = "key-only-v2"
+
+# Per-family task mapping (used unless --task overrides). Empty: at
+# production dims (22 tokens, ~4900-word filler vocab, 2048 samples) every
+# family converges on the joint task — including hieCoAtten, whose single
+# linear head over [v; q] (reference hieCoAtten.py:52-54) is additively
+# separable and cannot express the joint modular argmax analytically, but
+# memorizes the training set through the high-dimensional filler
+# fingerprint its content attention sees (measured: loss 7.10 -> 2.71, 94x
+# chance train accuracy in 12 CPU epochs). TASK_KEY_ONLY remains available
+# via --task as the capacity-control diagnostic: in SMALL regimes (tiny
+# vocab, 8 tokens), where the fingerprint channel is too weak, hieCoAtten
+# needs the marginal task + --dropout_default 0 to show fast learning
+# (69% train acc in 10 epochs) — which is how "slow under the reference's
+# five-site p=0.5 dropout" was separated from "broken gradients".
+FAMILY_TASK = {}
 
 
 def make_learnable_qa(rng, n_train, n_val, q_vocab_words, num_answers,
-                      max_len, num_images):
+                      max_len, num_images, task=SOAK_TASK):
     """QAData whose answers are predictable from (key_token, image_id).
 
     Task v2 ("key-token-v2"): the answer-determining KEY token sits at
@@ -106,10 +122,12 @@ def make_learnable_qa(rng, n_train, n_val, q_vocab_words, num_answers,
             )
         questions[:, 0] = rng.integers(1, n_keys + 1, size=n)
         image_ids = rng.integers(0, num_images, size=n).astype(np.int64)
-        answers = (
-            (questions[:, 0].astype(np.int64) * 7 + image_ids * 13)
-            % num_answers
-        ).astype(np.int32)
+        key_term = questions[:, 0].astype(np.int64) * 7
+        if task == TASK_KEY_ONLY:
+            answers = (key_term % num_answers).astype(np.int32)
+        else:
+            answers = ((key_term + image_ids * 13)
+                       % num_answers).astype(np.int32)
         soft_idx = np.full((n, SOFT_WIDTH), -1, dtype=np.int32)
         soft_val = np.zeros((n, SOFT_WIDTH), dtype=np.float32)
         soft_idx[:, 0] = answers
@@ -130,12 +148,15 @@ def make_learnable_qa(rng, n_train, n_val, q_vocab_words, num_answers,
                   max_question_length=max_len)
 
 
-def soak_family(family, qa, store, args, log_dir):
+def soak_family(family, qa, store, args, log_dir, task=SOAK_TASK):
     from vqa_attention_networks_tpu.config import Config
     from vqa_attention_networks_tpu.train.solver import Solver
 
     glove = family.endswith("+glove")
     model_name = family.split("+")[0]
+    extra = {}
+    if getattr(args, "dropout_default", None) is not None:
+        extra["dropout_default"] = args.dropout_default
     cfg = Config(
         model_name=model_name,
         q_vocab_size=len(qa.question_vocab) + 1,
@@ -150,6 +171,7 @@ def soak_family(family, qa, store, args, log_dir):
         compute_dtype=args.compute_dtype,
         checkpoint_every_steps=0,
         seed=args.seed,
+        **extra,
     ).validate()
 
     glove_table = None
@@ -204,7 +226,7 @@ def soak_family(family, qa, store, args, log_dir):
     qps_seen = [q for q in qps if q]
     result = {
         "family": family,
-        "task": SOAK_TASK,
+        "task": task,
         # assessment context pinned per family: a --merge partial re-run
         # overwrites the stored top-level config, so --redoc and the
         # report's "x chance" column must not assess kept families
@@ -302,7 +324,10 @@ def write_docs(results, config, enforce="auto"):
         "space puts memorization in the one-shot regime). `key-token-v2` "
         "keeps the key at position 0 but draws it from a dedicated "
         "64-token range disjoint from the fillers, making it "
-        "content-identifiable — the property the real VQA task has.",
+        "content-identifiable — the property the real VQA task has. "
+        "`key-only-v2` (--task) is the marginal diagnostic task (answer "
+        "= 7·key mod V) for capacity-control runs at tiny dims "
+        "(tools/soak.py FAMILY_TASK comment has the full argument).",
         "",
         f"Platform: **{config['platform']}** | dtype: "
         f"**{config['compute_dtype']}** | batch {config['batch_size']} | "
@@ -390,6 +415,16 @@ def main(argv=None):
                    help="which gate binds the exit code per family: auto "
                         "= convergence for >=8-epoch runs, drift below; "
                         "convergence = every family must show learning")
+    p.add_argument("--dropout_default", type=float, default=None,
+                   help="override Config.dropout_default (diagnostic: the "
+                        "0.5-dropout families learn slowly at soak scale; "
+                        "a dropout-off control separates 'slow under "
+                        "production noise' from 'broken gradients')")
+    p.add_argument("--task", default="auto",
+                   choices=["auto", SOAK_TASK, TASK_KEY_ONLY],
+                   help="learnable-data task; auto = per-family mapping "
+                        "(FAMILY_TASK; currently the joint task for all "
+                        "families), key-only-v2 = the marginal diagnostic")
     p.add_argument("--redoc", default=None, metavar="RESULTS_JSON",
                    help="re-derive docs + gates from a stored "
                         "soak_results.json without retraining")
@@ -433,10 +468,18 @@ def main(argv=None):
 
     args.workdir = args.workdir or tempfile.mkdtemp(prefix="vqa_soak_")
     os.makedirs(args.workdir, exist_ok=True)
-    rng = np.random.default_rng(args.seed)
-    qa = make_learnable_qa(rng, args.n_train, args.n_val,
-                           args.q_vocab_words, args.num_answer,
-                           qa_max_len(args), args.num_images)
+
+    qa_by_task = {}
+
+    def qa_for(task):
+        if task not in qa_by_task:
+            rng = np.random.default_rng(args.seed)
+            qa_by_task[task] = make_learnable_qa(
+                rng, args.n_train, args.n_val, args.q_vocab_words,
+                args.num_answer, qa_max_len(args), args.num_images,
+                task=task)
+        return qa_by_task[task]
+
     from vqa_attention_networks_tpu.data.feature_store import (
         make_synthetic_feature_store,
     )
@@ -451,9 +494,11 @@ def main(argv=None):
     ok = True
     for family in args.families.split(","):
         family = family.strip()
-        print(f"=== soak {family} ===", flush=True)
-        r = soak_family(family, qa, store, args,
-                        os.path.join(args.workdir, "runs"))
+        task = (FAMILY_TASK.get(family.split("+")[0], SOAK_TASK)
+                if args.task == "auto" else args.task)
+        print(f"=== soak {family} (task {task}) ===", flush=True)
+        r = soak_family(family, qa_for(task), store, args,
+                        os.path.join(args.workdir, "runs"), task=task)
         print(json.dumps({k: v for k, v in r.items() if k != "epochs"}),
               flush=True)
         results.append(r)
