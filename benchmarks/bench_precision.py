@@ -390,6 +390,23 @@ def main(argv=None) -> None:
           f"{args.batches * args.batch} samples{tag}):")
     print(f"  kernel flips vs composed bf16: {kernel_flip:.5f}"
           f"  (budget {FLIP_BUDGET})")
+    # one-sided 95% upper bound on the true flip rate, so the verdict
+    # carries its own statistical resolution: zero observed flips over N
+    # samples only bounds the rate to ~3/N (rule of three) — a PASS at
+    # N=512 is far weaker evidence than a PASS at N=8192
+    n_samples = args.batches * args.batch
+    k_flips = kernel_flip * n_samples
+    if k_flips < 0.5:
+        upper = 3.0 / n_samples
+    else:
+        z = 1.645
+        ph = kernel_flip
+        upper = (ph + z * z / (2 * n_samples)
+                 + z * (ph * (1 - ph) / n_samples
+                        + z * z / (4 * n_samples ** 2)) ** 0.5) \
+            / (1 + z * z / n_samples)
+    print(f"  95% upper bound on the true kernel flip rate: {upper:.5f} "
+          f"(N={n_samples})")
     print(f"  total  flips vs composed f32:  {total_flip:.5f}")
     # the PROXY tag rides the verdict line itself, not only the header:
     # scripts that grep for the verdict must never record an unqualified

@@ -235,6 +235,33 @@ def main(argv=None):
         with open(SUMMARY, "w") as f:
             json.dump(summary, f, indent=1)
         any_fail |= not rec["ok"]
+
+        # VERDICT r3 item 2 contingency: a flip-rate breach (bench_precision
+        # exits 1 when the kernel's argmax flips exceed the 0.1% budget)
+        # invalidates any kernel-path headline — an accuracy-invalid number
+        # is worth less than an accuracy-valid smaller one. Re-land the
+        # headline on the composed path immediately and flag it. (A
+        # non-gate crash also lands here; the composed re-measure is then
+        # merely redundant, never wrong.)
+        if (name == "precision" and rec["exit"] not in (None, 0)
+                and not relay_lost):
+            crec = run_step(
+                "bench_composed", [PY, "bench.py"], 2400,
+                {"VQA_DISABLE_PALLAS": "1"},
+            )
+            if not probe_tpu():
+                crec["ok"] = False
+                crec["error"] = ("relay unreachable after step — "
+                                 "result suspect")
+            summary["steps"]["bench_composed"] = crec
+            summary["headline_note"] = (
+                "flip-rate gate breached: the composed-path number in "
+                "bench_composed is the accuracy-valid headline "
+                "(config fast_path policy: serve with composed)"
+            )
+            summary["updated_utc"] = crec["finished_utc"]
+            with open(SUMMARY, "w") as f:
+                json.dump(summary, f, indent=1)
         if relay_lost:
             # no point launching the remaining steps against a dead relay —
             # each would burn its full timeout (hours) producing suspect
