@@ -114,6 +114,21 @@ def test_learnable_qa_key_token_v2_invariants():
         assert np.array_equal(split.answers, expect.astype(np.int32))
 
 
+def test_learnable_qa_key_only_task():
+    """--task key-only-v2 (the capacity-control diagnostic): answers follow
+    the marginal formula and ignore image ids entirely."""
+    import numpy as np
+
+    soak = _load_soak_module()
+    rng = np.random.default_rng(5)
+    qa = soak.make_learnable_qa(rng, 256, 64, q_vocab_words=512,
+                                num_answers=100, max_len=8, num_images=16,
+                                task=soak.TASK_KEY_ONLY)
+    for split in (qa.train, qa.val):
+        expect = (split.questions[:, 0].astype(np.int64) * 7) % 100
+        assert np.array_equal(split.answers, expect.astype(np.int32))
+
+
 def test_blowup_recorded_not_fatal(tmp_path, monkeypatch):
     """A non-finite train loss aborts the Solver with FloatingPointError —
     the soak's primary detection target. The soak must record that family
