@@ -131,6 +131,42 @@ def test_resumable_skips_recorded_ok(monkeypatch, tmp_path):
     assert summary["steps"]["a"]["finished_utc"] != "2026-01-01"
 
 
+def test_flip_gate_breach_relands_composed_headline(monkeypatch, tmp_path):
+    """bench_precision exiting 1 (flip-rate budget breached) must trigger
+    the composed-path headline re-measure (VERDICT r3 item 2: an accuracy-
+    invalid kernel number must never stand as the headline), record it as
+    bench_composed, and write the headline_note."""
+    mod = _load(monkeypatch, tmp_path)
+    monkeypatch.setattr(mod, "probe_tpu", lambda *a, **kw: True)
+    fail = ("precision", [sys.executable, "-c",
+                          "import sys; print('gate'); sys.exit(1)"], 30, {})
+    monkeypatch.setattr(mod, "STEPS", [_echo_step("bench"), fail])
+    monkeypatch.setattr(
+        mod, "COMPOSED_BENCH",
+        ("bench_composed",
+         [sys.executable, "-c",
+          "import os; assert os.environ['VQA_DISABLE_PALLAS'] == '1'; "
+          "print('{\"metric\": \"m\", \"value\": 2.0}')"],
+         30, {"VQA_DISABLE_PALLAS": "1"}),
+    )
+    assert mod.main([]) == 1  # precision failed -> overall fail
+    summary = json.load(open(mod.SUMMARY))
+    crec = summary["steps"]["bench_composed"]
+    assert crec["ok"] is True
+    assert {"metric": "m", "value": 2.0} in crec["json"]
+    assert "composed" in summary["headline_note"]
+
+    # a PASSING precision step must NOT trigger the contingency
+    ok_steps = [_echo_step("precision")]
+    monkeypatch.setattr(mod, "STEPS", ok_steps)
+    with open(mod.SUMMARY, "w") as f:
+        json.dump({"steps": {}}, f)
+    assert mod.main([]) == 0
+    summary = json.load(open(mod.SUMMARY))
+    assert "bench_composed" not in summary["steps"]
+    assert "headline_note" not in summary
+
+
 def test_json_line_extraction(monkeypatch, tmp_path):
     mod = _load(monkeypatch, tmp_path)
     code = ("print('noise'); "

@@ -72,6 +72,11 @@ STEPS = [
       "--workdir", "/tmp/soak_tpu"], 6 * 3600, {}),
 ]
 
+# Contingency step (not part of the regular list): run when the flip-rate
+# gate breaches — the composed-path headline replaces the kernel-path one.
+COMPOSED_BENCH = ("bench_composed", [PY, "bench.py"], 2400,
+                  {"VQA_DISABLE_PALLAS": "1"})
+
 
 def _env(extra):
     env = dict(os.environ)
@@ -245,15 +250,13 @@ def main(argv=None):
         # merely redundant, never wrong.)
         if (name == "precision" and rec["exit"] not in (None, 0)
                 and not relay_lost):
-            crec = run_step(
-                "bench_composed", [PY, "bench.py"], 2400,
-                {"VQA_DISABLE_PALLAS": "1"},
-            )
+            cname, cargv, ctimeout, cenv = COMPOSED_BENCH
+            crec = run_step(cname, cargv, ctimeout, cenv)
             if not probe_tpu():
                 crec["ok"] = False
                 crec["error"] = ("relay unreachable after step — "
                                  "result suspect")
-            summary["steps"]["bench_composed"] = crec
+            summary["steps"][cname] = crec
             summary["headline_note"] = (
                 "flip-rate gate breached: the composed-path number in "
                 "bench_composed is the accuracy-valid headline "
