@@ -162,6 +162,22 @@ def _train_params(model, cfg32, params, train_data, steps: int, batch: int):
     return params
 
 
+def flip_rate_upper_bound(observed_rate: float, n: int) -> float:
+    """One-sided 95% upper bound on the true flip rate, so the verdict
+    carries its own statistical resolution: zero observed flips over N
+    samples only bounds the rate to ~3/N (rule of three) — a PASS at
+    N=512 (bound 5.9e-3) is far weaker evidence than a PASS at N=8192
+    (bound 3.7e-4 < the 1e-3 budget). Wilson upper bound when flips were
+    actually observed."""
+    if observed_rate * n < 0.5:
+        return 3.0 / n
+    z = 1.645
+    ph = observed_rate
+    return (ph + z * z / (2 * n)
+            + z * (ph * (1 - ph) / n + z * z / (4 * n * n)) ** 0.5) \
+        / (1 + z * z / n)
+
+
 def main(argv=None) -> None:
     import benchmarks.common  # noqa: F401 — runtime preamble
     parser = argparse.ArgumentParser()
@@ -390,21 +406,8 @@ def main(argv=None) -> None:
           f"{args.batches * args.batch} samples{tag}):")
     print(f"  kernel flips vs composed bf16: {kernel_flip:.5f}"
           f"  (budget {FLIP_BUDGET})")
-    # one-sided 95% upper bound on the true flip rate, so the verdict
-    # carries its own statistical resolution: zero observed flips over N
-    # samples only bounds the rate to ~3/N (rule of three) — a PASS at
-    # N=512 is far weaker evidence than a PASS at N=8192
     n_samples = args.batches * args.batch
-    k_flips = kernel_flip * n_samples
-    if k_flips < 0.5:
-        upper = 3.0 / n_samples
-    else:
-        z = 1.645
-        ph = kernel_flip
-        upper = (ph + z * z / (2 * n_samples)
-                 + z * (ph * (1 - ph) / n_samples
-                        + z * z / (4 * n_samples ** 2)) ** 0.5) \
-            / (1 + z * z / n_samples)
+    upper = flip_rate_upper_bound(kernel_flip, n_samples)
     print(f"  95% upper bound on the true kernel flip rate: {upper:.5f} "
           f"(N={n_samples})")
     print(f"  total  flips vs composed f32:  {total_flip:.5f}")

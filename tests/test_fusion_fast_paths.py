@@ -124,6 +124,25 @@ def test_fast_path_policy_gates_wq_dispatch(monkeypatch):
         cfg.replace(fast_path="fast").validate()
 
 
+def test_flip_rate_upper_bound():
+    """The gate's statistical-resolution line: rule of three at zero
+    observed flips, Wilson above; the binding-run design point (N=8192,
+    0 flips) must bound the true rate below the 1e-3 budget while a
+    too-small PASS (N=512) must not."""
+    from benchmarks.bench_precision import flip_rate_upper_bound
+
+    assert flip_rate_upper_bound(0.0, 8192) == 3.0 / 8192 < 1e-3
+    assert flip_rate_upper_bound(0.0, 512) > 1e-3
+    # observed flips: Wilson upper bound sits above the point estimate
+    # and shrinks with N
+    u1 = flip_rate_upper_bound(0.001, 8192)
+    u2 = flip_rate_upper_bound(0.001, 64 * 8192)
+    assert u1 > 0.001 and u2 > 0.001
+    assert u2 < u1
+    # monotone in the observed rate
+    assert flip_rate_upper_bound(0.01, 8192) > u1
+
+
 def test_bench_precision_trained_gate_smoke(capsys):
     """CPU smoke of the flip-rate methodology: tiny dims, a few train
     steps; on CPU the kernel is not dispatched so the gate reports itself
