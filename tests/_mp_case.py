@@ -46,14 +46,17 @@ def make_case():
     }
 
 
-def make_eval_solver(workdir, store_sub, results_sub, data_axis):
+def make_eval_solver(workdir, store_sub, results_sub, data_axis, n_val=24):
     """Deterministic Solver for the multi-process full-eval parity test.
 
     Same seed-0 synthetic data + flagship config on every caller, so the
-    2-process val(full=True) and the single-process ground truth compute
-    over byte-identical inputs. ``store_sub`` must be per-process (the
-    synthetic store writes files); ``results_sub`` is shared — only the
-    primary host writes results artifacts.
+    multi-process val(full=True) and the single-process ground truth
+    compute over byte-identical inputs. ``store_sub`` must be per-process
+    (the synthetic store writes files); ``results_sub`` is shared — only
+    the primary host writes results artifacts. ``n_val`` not divisible by
+    the batch size (8) exercises the padded final batch: pad rows carry
+    repeated question ids and must be masked out of every host-side
+    metric by the valid mask.
     """
     import os
 
@@ -66,7 +69,7 @@ def make_eval_solver(workdir, store_sub, results_sub, data_axis):
     from vqa_attention_networks_tpu.train.solver import Solver
 
     rng = np.random.default_rng(0)
-    qa = make_synthetic_qa_data(rng, n_train=32, n_val=24, num_images=4)
+    qa = make_synthetic_qa_data(rng, n_train=32, n_val=n_val, num_images=4)
     store = make_synthetic_feature_store(
         os.path.join(workdir, store_sub, "feat"),
         image_ids=sorted(set(qa.train.image_ids) | set(qa.val.image_ids)),

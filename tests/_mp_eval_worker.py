@@ -24,6 +24,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 pid, nproc, port, outdir = (
     int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
 )
+# optional: val-split size (a non-multiple of the batch size exercises the
+# padded final batch across the process-sharded mesh)
+n_val = int(sys.argv[5]) if len(sys.argv) > 5 else 24
 
 import jax
 
@@ -49,7 +52,7 @@ from tests._mp_case import make_eval_solver
 
 solver = make_eval_solver(
     outdir, store_sub=f"store_p{pid}", results_sub="mp",
-    data_axis=2 * nproc,
+    data_axis=2 * nproc, n_val=n_val,
 )
 loss, acc = solver.val(full=True)
 solver.close()

@@ -31,7 +31,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(script, nproc, tmp_path, timeout=420):
+def _run_workers(script, nproc, tmp_path, timeout=420, extra_args=()):
     port = _free_port()
     env = {
         k: v for k, v in os.environ.items()
@@ -44,7 +44,8 @@ def _run_workers(script, nproc, tmp_path, timeout=420):
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tests", script),
-             str(pid), str(nproc), str(port), str(tmp_path)],
+             str(pid), str(nproc), str(port), str(tmp_path),
+             *map(str, extra_args)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
@@ -162,3 +163,57 @@ def test_two_process_full_eval_official_metrics_match_single_process(
     )
     assert preds_mp == preds_1
     assert len(preds_mp) == 24
+
+
+@pytest.mark.slow
+def test_four_process_eval_padded_final_batch(tmp_path):
+    """4 processes (8-device mesh) and a val split that does NOT divide the
+    batch size: the padded final batch's pad rows (repeated question ids)
+    must be masked out of the gathered per-sample metrics on every host,
+    and the 4-way process_allgather must agree with single-process. The
+    2-process test can't see either failure mode."""
+    nproc, n_val = 4, 26
+    _run_workers("_mp_eval_worker.py", nproc, tmp_path, timeout=600,
+                 extra_args=(n_val,))
+
+    from tests._mp_case import make_eval_solver
+
+    solver = make_eval_solver(
+        str(tmp_path), store_sub="store_single", results_sub="single",
+        data_axis=1, n_val=n_val,
+    )
+    loss_1, acc_1 = solver.val(full=True)
+    solver.close()
+
+    for pid in range(nproc):
+        with open(tmp_path / f"proc{pid}_eval.json") as f:
+            got = json.load(f)
+        np.testing.assert_allclose(got["loss"], float(loss_1), rtol=1e-5)
+        np.testing.assert_allclose(got["acc"], float(acc_1), atol=1e-9)
+
+    rec_mp = json.loads(
+        (tmp_path / "mp" / "results" / "mhb_coAtt.json").read_text()
+    )
+    rec_1 = json.loads(
+        (tmp_path / "single" / "results" / "mhb_coAtt.json").read_text()
+    )
+    assert rec_mp["num_examples"] == n_val
+    np.testing.assert_allclose(
+        rec_mp["vqa_consensus_accuracy"], rec_1["vqa_consensus_accuracy"],
+        atol=1e-12,
+    )
+    assert rec_mp["per_answer_type"] == rec_1["per_answer_type"]
+
+    preds_mp = json.loads(
+        (tmp_path / "mp" / "results"
+         / "mhb_coAtt_predictions.json").read_text()
+    )
+    preds_1 = json.loads(
+        (tmp_path / "single" / "results"
+         / "mhb_coAtt_predictions.json").read_text()
+    )
+    assert preds_mp == preds_1
+    # exactly one row per REAL question — pad rows exported by mistake
+    # would show up as extra/duplicate ids
+    assert len(preds_mp) == n_val
+    assert len({r["question_id"] for r in preds_mp}) == n_val
