@@ -30,7 +30,10 @@ trained data. ``--checkpoint DIR`` loads real weights instead.
 THE GATE: the kernel's own decision-flip rate (argmax flips of pallas_bf16
 vs composed_bf16, isolating the weight-contracted math from bf16 itself)
 must stay within FLIP_BUDGET = 0.1% — the BASELINE.md accuracy budget. A
-breach exits 1 and the fix is ``--fast_path composed`` (config.py policy).
+breach exits GATE_BREACH_EXIT (4 — distinct from an ordinary crash's 1)
+and the fix is ``--fast_path composed`` (config.py policy). A PASS
+requires the one-sided 95% upper bound on the true rate to clear the
+budget too; a clean-but-undersized run prints UNDERPOWERED instead.
 
 INTERPRET-MODE PROXY (``--interpret_proxy``, non-TPU backends): opens the
 kernel dispatch gates and EXECUTES the kernels in Pallas interpret mode
@@ -61,6 +64,10 @@ from vqa_attention_networks_tpu.config import Config
 from vqa_attention_networks_tpu.models import get_model
 
 FLIP_BUDGET = 0.001  # BASELINE.md: accuracy within 0.1% of the reference
+# Distinct exit code for a MEASURED gate breach (vs an ordinary crash's
+# exit 1): lets tools/hw_remeasure.py's composed-headline contingency fire
+# only on real flip-rate evidence.
+GATE_BREACH_EXIT = 4
 
 
 def _metrics(logits_a: jnp.ndarray, logits_ref: jnp.ndarray) -> dict:
@@ -179,6 +186,23 @@ def flip_rate_upper_bound(observed_rate: float, n: int) -> float:
 
 
 def main(argv=None) -> None:
+    """CLI entry: restores VQA_PALLAS_INTERPRET afterwards — --interpret_proxy
+    sets it mid-run, and leaking it would half-open the kernel dispatch gate
+    for any LATER non-proxy call in the same process (observed: a subsequent
+    gate run KeyErrors because supported() says dispatched while the kernel
+    arms were skipped)."""
+    prev = os.environ.get("VQA_PALLAS_INTERPRET")
+    try:
+        return _main(argv)
+    finally:
+        if os.environ.get("VQA_PALLAS_INTERPRET") != prev:
+            if prev is None:
+                os.environ.pop("VQA_PALLAS_INTERPRET", None)
+            else:
+                os.environ["VQA_PALLAS_INTERPRET"] = prev
+
+
+def _main(argv=None) -> None:
     import benchmarks.common  # noqa: F401 — runtime preamble
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=1024)
@@ -411,18 +435,28 @@ def main(argv=None) -> None:
     print(f"  95% upper bound on the true kernel flip rate: {upper:.5f} "
           f"(N={n_samples})")
     print(f"  total  flips vs composed f32:  {total_flip:.5f}")
-    # the PROXY tag rides the verdict line itself, not only the header:
-    # scripts that grep for the verdict must never record an unqualified
-    # policy decision from non-hardware numbers
-    label = "PROXY-PASS" if proxy else "PASS"
-    if kernel_flip <= FLIP_BUDGET:
-        print(f"  {label} — fast_path='auto' keeps the kernel default-on"
+    # Three-way verdict, bound-aware: a PASS must mean the EVIDENCE bounds
+    # the true rate under budget, not merely that no flip happened in a
+    # sample too small to see one. The PROXY tag rides the verdict line
+    # itself, not only the header: scripts that grep for the verdict must
+    # never record an unqualified policy decision from non-hardware
+    # numbers. Gate breach exits with a DISTINCT code (4) so callers
+    # (tools/hw_remeasure.py contingency) can tell a measured breach from
+    # an ordinary crash's exit 1.
+    tagp = "PROXY-" if proxy else ""
+    if kernel_flip > FLIP_BUDGET:
+        print(f"  {tagp}FAIL — serve with --fast_path composed until the "
+              "kernel is fixed (config.py fast_path policy)")
+        sys.exit(GATE_BREACH_EXIT)
+    elif upper <= FLIP_BUDGET:
+        print(f"  {tagp}PASS — fast_path='auto' keeps the kernel default-on"
               + (" (pending the hardware gate)" if proxy else ""))
     else:
-        label = "PROXY-FAIL" if proxy else "FAIL"
-        print(f"  {label} — serve with --fast_path composed until the "
-              "kernel is fixed (config.py fast_path policy)")
-        sys.exit(1)
+        need = int(np.ceil(3.0 / FLIP_BUDGET))
+        print(f"  {tagp}UNDERPOWERED — observed rate {kernel_flip:.5f} is "
+              f"within budget, but N={n_samples} bounds the true rate only "
+              f"to {upper:.5f} > {FLIP_BUDGET}; not a binding PASS "
+              f"(need N >= {need})")
 
 
 if __name__ == "__main__":

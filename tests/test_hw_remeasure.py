@@ -132,33 +132,61 @@ def test_resumable_skips_recorded_ok(monkeypatch, tmp_path):
 
 
 def test_flip_gate_breach_relands_composed_headline(monkeypatch, tmp_path):
-    """bench_precision exiting 1 (flip-rate budget breached) must trigger
-    the composed-path headline re-measure (VERDICT r3 item 2: an accuracy-
-    invalid kernel number must never stand as the headline), record it as
-    bench_composed, and write the headline_note."""
+    """bench_precision exiting GATE_BREACH_EXIT=4 (a MEASURED flip-rate
+    breach) must trigger the composed-path headline re-measure (VERDICT r3
+    item 2: an accuracy-invalid kernel number must never stand as the
+    headline), record it as bench_composed, and write the headline_note.
+    An ordinary exit-1 crash must NOT demote the headline, the contingency
+    is resumable, and a later PASSING gate clears the stale note."""
     mod = _load(monkeypatch, tmp_path)
     monkeypatch.setattr(mod, "probe_tpu", lambda *a, **kw: True)
-    fail = ("precision", [sys.executable, "-c",
-                          "import sys; print('gate'); sys.exit(1)"], 30, {})
-    monkeypatch.setattr(mod, "STEPS", [_echo_step("bench"), fail])
-    monkeypatch.setattr(
-        mod, "COMPOSED_BENCH",
-        ("bench_composed",
-         [sys.executable, "-c",
-          "import os; assert os.environ['VQA_DISABLE_PALLAS'] == '1'; "
-          "print('{\"metric\": \"m\", \"value\": 2.0}')"],
-         30, {"VQA_DISABLE_PALLAS": "1"}),
+    breach = ("precision", [sys.executable, "-c",
+                            "import sys; print('gate'); sys.exit(4)"],
+              30, {})
+    crash = ("precision", [sys.executable, "-c",
+                           "import sys; print('boom'); sys.exit(1)"],
+             30, {})
+    composed = (
+        "bench_composed",
+        [sys.executable, "-c",
+         "import os; assert os.environ['VQA_DISABLE_PALLAS'] == '1'; "
+         "print('{\"metric\": \"m\", \"value\": 2.0}')"],
+        30, {"VQA_DISABLE_PALLAS": "1"},
     )
+    monkeypatch.setattr(mod, "COMPOSED_BENCH", composed)
+
+    # 1) an ordinary crash (exit 1) must not trigger the contingency
+    monkeypatch.setattr(mod, "STEPS", [crash])
+    assert mod.main([]) == 1
+    summary = json.load(open(mod.SUMMARY))
+    assert "bench_composed" not in summary["steps"]
+    assert "headline_note" not in summary
+
+    # 2) a measured breach (exit 4) triggers it
+    monkeypatch.setattr(mod, "STEPS", [_echo_step("bench"), breach])
     assert mod.main([]) == 1  # precision failed -> overall fail
     summary = json.load(open(mod.SUMMARY))
     crec = summary["steps"]["bench_composed"]
     assert crec["ok"] is True
     assert {"metric": "m", "value": 2.0} in crec["json"]
     assert "composed" in summary["headline_note"]
+    first_utc = crec["finished_utc"]
 
-    # a PASSING precision step must NOT trigger the contingency
-    ok_steps = [_echo_step("precision")]
-    monkeypatch.setattr(mod, "STEPS", ok_steps)
+    # 3) resumed run (no --force — the watcher never passes it; the failed
+    # precision step re-runs automatically): the recorded-ok composed
+    # bench is skipped, the note stays
+    assert mod.main(["--only", "precision"]) == 1
+    summary = json.load(open(mod.SUMMARY))
+    assert summary["steps"]["bench_composed"]["finished_utc"] == first_utc
+    assert "headline_note" in summary
+
+    # 4) the gate passes on a later run: the stale note is cleared
+    monkeypatch.setattr(mod, "STEPS", [_echo_step("precision")])
+    assert mod.main(["--only", "precision"]) == 0
+    summary = json.load(open(mod.SUMMARY))
+    assert "headline_note" not in summary
+
+    # 5) a PASSING precision run from scratch creates nothing
     with open(mod.SUMMARY, "w") as f:
         json.dump({"steps": {}}, f)
     assert mod.main([]) == 0

@@ -227,6 +227,10 @@ def soak_family(family, qa, store, args, log_dir, task=SOAK_TASK):
     result = {
         "family": family,
         "task": task,
+        # diagnostic-arm honesty: a dropout-off run must be visibly
+        # non-production in the stored report, like the task arm already is
+        **({"dropout_default": args.dropout_default}
+           if getattr(args, "dropout_default", None) is not None else {}),
         # assessment context pinned per family: a --merge partial re-run
         # overwrites the stored top-level config, so --redoc and the
         # report's "x chance" column must not assess kept families
@@ -347,8 +351,11 @@ def write_docs(results, config, enforce="auto"):
         gate = enforced_gate(r, enforce)
         ok = enforced_ok(r, enforce)
         num_answer = r.get("num_answer", config["num_answer"])
+        task_label = r.get("task", "pos0-v1")
+        if r.get("dropout_default") is not None:
+            task_label += f" (dropout={r['dropout_default']:g})"
         lines.append(
-            f"| {r['family']} | {r.get('task', 'pos0-v1')} | "
+            f"| {r['family']} | {task_label} | "
             f"{len(r.get('epochs') or [])} | "
             f"{_f(r['first_train_loss'], '.4f')} → "
             f"{_f(r['final_train_loss'], '.4f')} | {acc:.3f} "
