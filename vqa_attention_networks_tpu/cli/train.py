@@ -116,7 +116,7 @@ def main(argv=None) -> None:
                              "of the reference's 4 DataLoader workers, "
                              "cfg.py:6); 1 = single-producer prefetch")
     parser.add_argument("--rng_impl", type=str, default="threefry2x32",
-                        help="threefry2x32 (reproducible) | rbg (~30% faster "
+                        help="threefry2x32 (reproducible) | rbg (~30%% faster "
                              "train steps on TPU)")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest checkpoint")
