@@ -117,7 +117,8 @@ def main(argv=None):
     got = np.asarray(jax.jit(
         lambda *a: fused_stage1_coattention_pallas_pair(*a, k)
     )(img[:small], w, b, q[:small], c1w, c1b, c2w, c2b), np.float32)
-    err = np.abs(got - np.asarray(want, np.float32))
+    # pair kernel emits [N, G, D]; the composed reference is flat [N, G*D]
+    err = np.abs(got.reshape(small, -1) - np.asarray(want, np.float32))
     print(f"pair kernel vs f32-composed: mean|err| {err.mean():.2e}",
           flush=True)
 
