@@ -150,7 +150,9 @@ def _train_params(model, cfg32, params, train_data, steps: int, batch: int):
 
         def loss_fn(p):
             logits, _ = model.apply(
-                p, cfg32, bi, bq, ques_length=bl, train=True, rng=k_d
+                # f16->f32 cast on DEVICE: batches stay device-resident
+                p, cfg32, bi.astype(jnp.float32), bq, ques_length=bl,
+                train=True, rng=k_d,
             )
             return soft_cross_entropy(logits, bs)
 
@@ -158,13 +160,25 @@ def _train_params(model, cfg32, params, train_data, steps: int, batch: int):
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o, k, loss
 
+    # Ship each train batch through the relay ONCE (f16 image halves the
+    # transfer) and keep it device-resident; the old per-step
+    # img.astype(np.float32) re-uploaded 1.6 GB every step AND — because
+    # nothing in the loop blocked — async dispatch ran hundreds of steps
+    # ahead, pinning every in-flight argument buffer in host RAM
+    # (observed: +3.5 GB/min RSS on the relayed backend until OOM).
+    dev_data = [
+        tuple(jax.device_put(a) for a in batch) for batch in train_data
+    ]
     for s in range(steps):
-        img, ques, qlen, soft = train_data[s % len(train_data)]
+        img, ques, qlen, soft = dev_data[s % len(dev_data)]
         params, opt_state, key, loss = step(
-            params, opt_state, key, img.astype(np.float32), ques, qlen, soft
+            params, opt_state, key, img, ques, qlen, soft
         )
+        if (s + 1) % 10 == 0 or s == steps - 1:
+            # bound dispatch runahead (and make progress observable)
+            loss = float(loss)
         if (s + 1) % 50 == 0 or s == steps - 1:
-            print(f"  train step {s + 1}/{steps} loss {float(loss):.4f}",
+            print(f"  train step {s + 1}/{steps} loss {loss:.4f}",
                   flush=True)
     return params
 
@@ -309,13 +323,14 @@ def _main(argv=None) -> None:
             # the trained weights keep the dirichlet candidates' logits
             # close, the regime where flips change accuracy (fresh batch
             # indices — disjoint from the train batches by construction)
-            img, ques_np, qlen_np, _ = _fixed_batch(
+            img_host, ques_np, qlen_np, _ = _fixed_batch(
                 cfg16, args.batch, 10_000 + b
             )
-            img16 = jnp.asarray(img, jnp.bfloat16)
+            img16 = jnp.asarray(img_host, jnp.bfloat16)
             ques = jnp.asarray(ques_np)
             qlen = jnp.asarray(qlen_np)
         else:
+            img_host = None
             rng = jax.random.PRNGKey(100 + b)
             k_i, k_q, k_l = jax.random.split(rng, 3)
             # post-relu gaussian: real grid features are relu outputs
@@ -345,7 +360,11 @@ def _main(argv=None) -> None:
                 quantize_features,
             )
 
-            qrows, scale, _ = quantize_features(np.asarray(img16, np.float32))
+            # quantize from the host copy when one exists — np.asarray on a
+            # relayed device array round-trips 1.6 GB/batch through the relay
+            src = (img_host.astype(np.float32) if img_host is not None
+                   else np.asarray(img16, np.float32))
+            qrows, scale, _ = quantize_features(src)
             dt = jnp.bfloat16
             img_deq = (jnp.asarray(qrows).astype(dt)
                        * jnp.asarray(scale)[:, None, :].astype(dt))

@@ -46,9 +46,12 @@ PY = sys.executable
 STEPS = [
     ("bench", [PY, "bench.py"], 2400, {}),
     ("wq_kernel", [PY, "-m", "benchmarks.bench_wq_kernel"], 2700, {}),
+    # 16 batches = 16,384 held-out samples: zero-flip 95% bound 1.8e-4,
+    # comfortably inside the 1e-3 budget, at a third of the default-50
+    # relay traffic (each batch ships 800 MB bf16 through the relay)
     ("precision",
      [PY, "-m", "benchmarks.bench_precision", "--train_steps", "300",
-      "--int8_feed"], 5400, {}),
+      "--batches", "16", "--int8_feed"], 5400, {}),
     ("train_1024",
      [PY, "-m", "benchmarks.bench_train", "--batch", "1024"], 2700, {}),
     ("train_256", [PY, "-m", "benchmarks.bench_train"], 2400, {}),
