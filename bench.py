@@ -83,13 +83,16 @@ def main() -> None:
         logits, _ = model.apply(params, cfg, img, ques, train=False)
         return jnp.argmax(logits, axis=-1)
 
-    # Two-samples-per-instance kernel arm (Config.fast_path docs): bit-exact
-    # vs the default kernel, so the better-measuring arm is the headline.
-    cfg_pair = cfg.replace(fast_path="pallas_pair")
+    # A/B control arm: "auto" promotes the two-samples-per-instance pair
+    # kernel on even batches (r4 hardware win, Config.fast_path docs), so
+    # the alternate arm forces the SINGLE-sample kernel. Bit-exact either
+    # way — the better-measuring arm is the headline, and a single-arm win
+    # here is the signal that the promotion regressed on a new toolchain.
+    cfg_single = cfg.replace(fast_path="pallas")
 
     @jax.jit
-    def fwd_pair(params, img, ques):
-        logits, _ = model.apply(params, cfg_pair, img, ques, train=False)
+    def fwd_single(params, img, ques):
+        logits, _ = model.apply(params, cfg_single, img, ques, train=False)
         return jnp.argmax(logits, axis=-1)
 
     rng = jax.random.PRNGKey(1)
@@ -129,22 +132,26 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return batch * iters / best
 
-    qps, arm = measure(fwd), "single"
+    qps, arm = measure(fwd), "pair"  # auto == pair at this (even) batch
     if jax.default_backend() == "tpu":
-        # The pair arm is an A/B candidate, never a liability: any failure
+        # The control arm is diagnostic, never a liability: any failure
         # (e.g. a Mosaic regression on new toolchains) leaves the default
         # arm's number as the headline.
         import sys
 
         try:
-            qps_pair = measure(fwd_pair)
-            print(f"arm single: {qps:.1f} qa-pairs/s, "
-                  f"arm pair: {qps_pair:.1f} qa-pairs/s", file=sys.stderr)
-            if qps_pair > qps:
-                qps, arm = qps_pair, "pair"
+            qps_single = measure(fwd_single)
+            print(f"arm pair(auto): {qps:.1f} qa-pairs/s, "
+                  f"arm single: {qps_single:.1f} qa-pairs/s",
+                  file=sys.stderr)
+            if qps_single > qps:
+                qps, arm = qps_single, "single"
+                print("WARNING: single-sample kernel beat the promoted "
+                      "pair arm — revisit the auto promotion "
+                      "(models/mhb_coatt.py)", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — diagnostic arm only
-            print(f"pair arm failed ({type(e).__name__}: {e}); "
-                  "keeping single-arm result", file=sys.stderr)
+            print(f"single control arm failed ({type(e).__name__}: {e}); "
+                  "keeping auto(pair) result", file=sys.stderr)
 
     print(
         json.dumps(

@@ -232,9 +232,20 @@ def _main(argv=None) -> None:
                              "training")
     parser.add_argument("--train_batches", type=int, default=8,
                         help="distinct synthetic train batches kept "
-                             "resident under --train_steps (~400 MB each "
-                             "at batch 1024); measurement batches are "
-                             "generated on demand and held out")
+                             "resident under --train_steps; measurement "
+                             "batches are generated on demand and held "
+                             "out")
+    parser.add_argument("--train_batch", type=int, default=None,
+                        help="batch size for the TRAINING phase only "
+                             "(default: min(--batch, 256)). "
+                             "The measurement batch stays --batch: the "
+                             "gate needs trained-LIKE weights, not a "
+                             "specific train batch, and batch-1024 f32 "
+                             "training plus 8 parked 822 MB feature "
+                             "batches RESOURCE_EXHAUSTs a 16 GB v5e "
+                             "(observed on the r4 hardware remeasure); "
+                             "at 256 the parked set is 1.6 GB and the "
+                             "f32 step fits with headroom")
     parser.add_argument("--q_vocab", type=int, default=15881)
     parser.add_argument("--a_vocab", type=int, default=1000)
     parser.add_argument("--interpret_proxy", action="store_true",
@@ -248,6 +259,8 @@ def _main(argv=None) -> None:
                              "argmax flip rate vs the f32 feed (runs on "
                              "any backend — the dequant is plain XLA)")
     args = parser.parse_args(argv)
+    if args.train_batch is None:
+        args.train_batch = min(args.batch, 256)
 
     model = get_model(args.model)
     cfg16 = Config(
@@ -265,14 +278,18 @@ def _main(argv=None) -> None:
         print(f"loaded trained weights from {args.checkpoint}")
         trained = True
     elif args.train_steps:
+        # train batches keep the low idx range (0..train_batches); the
+        # measurement loop draws from 10_000+b — disjoint by construction
         train_data = [
-            _fixed_batch(cfg16, args.batch, i)
+            _fixed_batch(cfg16, args.train_batch, i)
             for i in range(args.train_batches)
         ]
         print(f"training {args.train_steps} steps on the fixed synthetic "
-              f"dataset ({args.train_batches}x{args.batch} samples)...")
+              f"dataset ({args.train_batches}x{args.train_batch} "
+              f"samples)...")
         params = _train_params(
-            model, cfg32, params, train_data, args.train_steps, args.batch
+            model, cfg32, params, train_data, args.train_steps,
+            args.train_batch,
         )
         del train_data
         trained = True

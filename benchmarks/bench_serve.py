@@ -11,7 +11,15 @@ overhead a deployment actually pays (the reference has no serving path at
 all; its closest analog is the one-image predict script,
 predict_pytorch.py:15-94).
 
+The ``--input_dtype int8`` arm measures the engine's quantized feed
+(int8 rows + per-sample f16 scales, the quantized feature store's native
+output): HALF the H2D bytes of the f16 feed — decisive when transfer
+dominates (the relayed dev backend ships ~800 MB/batch at f16; a real
+TPU-VM's PCIe pays the same 2x), at the int8 flip-rate cost
+bench_precision.py measures.
+
 Usage: python -m benchmarks.bench_serve [--batch 1024] [--batches 16]
+           [--input_dtype float16|int8]
 """
 
 from __future__ import annotations
@@ -33,6 +41,8 @@ def main(argv=None) -> None:
     parser.add_argument("--batch", type=int, default=1024)
     parser.add_argument("--batches", type=int, default=16)
     parser.add_argument("--model", type=str, default="mhb_coAtt")
+    parser.add_argument("--input_dtype", choices=("float16", "int8"),
+                        default="float16")
     args = parser.parse_args(argv)
 
     cfg = Config(
@@ -41,19 +51,21 @@ def main(argv=None) -> None:
     ).validate()
     model = get_model(args.model)
     params = model.init(jax.random.PRNGKey(0), cfg)
-    engine = InferenceEngine(cfg, params, batch_size=args.batch)
+    engine = InferenceEngine(
+        cfg, params, batch_size=args.batch, input_dtype=args.input_dtype
+    )
 
     # pre-assembled host batches: this isolates the ENGINE's overhead from
     # feature-store IO (bench_host_pipeline.py covers batch assembly)
     rng = np.random.default_rng(0)
-    feats = [
+    feats_f32 = [
         np.maximum(
             rng.standard_normal(
                 (args.batch, cfg.img_feature_dim, cfg.img_feature_channel),
                 dtype=np.float32,
             ),
             0.0,
-        ).astype(np.float16)
+        )
         for _ in range(2)
     ]
     ques = rng.integers(
@@ -61,9 +73,28 @@ def main(argv=None) -> None:
     )
     qlen = rng.integers(1, 23, (args.batch,), dtype=np.int32)
 
-    def stream(n):
-        for i in range(n):
-            yield feats[i % 2], ques, qlen
+    if args.input_dtype == "int8":
+        # THE writer's quantization (shared with the store) — rows [n,L,D]
+        # int8 + per-sample [n,D] f16 scales, the gather_quantized layout
+        from vqa_attention_networks_tpu.data.feature_store import (
+            quantize_features,
+        )
+
+        quantized = []
+        for f in feats_f32:
+            qrows, scale, _ = quantize_features(f)
+            quantized.append((qrows, scale.astype(np.float16)))
+
+        def stream(n):
+            for i in range(n):
+                qrows, scale = quantized[i % 2]
+                yield qrows, ques, qlen, scale
+    else:
+        feats = [f.astype(np.float16) for f in feats_f32]
+
+        def stream(n):
+            for i in range(n):
+                yield feats[i % 2], ques, qlen
 
     # warmup (compile)
     for _ in engine.predict_stream(stream(2)):

@@ -113,11 +113,19 @@ def test_fast_path_policy_gates_wq_dispatch(monkeypatch):
     assert not calls and logits.shape == (2, 11)
 
     # auto/pallas dispatch (the fake raises to prove it was reached);
-    # pallas_pair additionally selects the two-samples-per-instance kernel
+    # auto promotes the pair kernel on EVEN batches (r4 hardware A/B win),
+    # "pallas" forces single, "pallas_pair" forces pair
     for mode in ("auto", "pallas", "pallas_pair"):
         with np.testing.assert_raises(RuntimeError):
             model.apply(params, cfg.replace(fast_path=mode), img, ques)
-    assert calls == [False, False, True]
+    assert calls == [True, False, True]
+
+    # odd batch under auto: the direct (non-SPMD) pair kernel needs an even
+    # batch, so auto falls back to the single-sample kernel at trace time
+    calls.clear()
+    with np.testing.assert_raises(RuntimeError):
+        model.apply(params, cfg, img[:1], ques[:1])
+    assert calls == [False]
 
     # unknown policy values are rejected at validate()
     with np.testing.assert_raises(ValueError):

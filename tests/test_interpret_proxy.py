@@ -105,6 +105,34 @@ def test_bench_precision_proxy_smoke(capsys, monkeypatch):
     assert code in (0, 4)
 
 
+def test_bench_precision_trained_mode_smaller_train_batch(capsys,
+                                                          monkeypatch):
+    """--train_steps with --train_batch < --batch: the training phase runs
+    at train_batch while measurement stays at --batch (the r4 hardware
+    remeasure OOM fix — batch-1024 f32 training plus 8 parked feature
+    batches exhausted the v5e; the gate only needs trained-LIKE weights)."""
+    monkeypatch.delenv("VQA_PALLAS_INTERPRET", raising=False)
+    from benchmarks import bench_precision as bp
+
+    code = 0
+    try:
+        bp.main([
+            "--batch", "8", "--batches", "1",
+            "--train_steps", "2", "--train_batch", "4",
+            "--train_batches", "2",
+            "--q_vocab", "25", "--a_vocab", "11", "--interpret_proxy",
+        ])
+    except SystemExit as e:
+        code = e.code
+    finally:
+        monkeypatch.delenv("VQA_PALLAS_INTERPRET", raising=False)
+    out = capsys.readouterr().out
+    assert "training 2 steps" in out and "2x4 samples" in out
+    # measurement runs at --batch on held-out indices, trained-weight label
+    assert "flip-rate gate" in out
+    assert code in (0, 4)
+
+
 @pytest.mark.skipif(jax.default_backend() == "tpu",
                     reason="proxy is a CPU-side construct")
 def test_proxy_is_inert_on_tpu_backend(monkeypatch):

@@ -150,8 +150,11 @@ def test_prep_shapes():
 
 
 def test_dispatch_gating(monkeypatch):
-    # default-on for TPU, but never on the CPU test backend
-    assert not supported(8, 0.1)
+    # default-on for TPU, but never on the CPU test backend — the same
+    # assertion must hold under VQA_TEST_PLATFORM=tpu (hw_remeasure's
+    # tpu_tests leg), where supported() is expected True
+    on_tpu = jax.default_backend() == "tpu"
+    assert supported(8, 0.1) == on_tpu
     # kill switches force the composed chain everywhere
     monkeypatch.setenv("VQA_DISABLE_PALLAS", "1")
     assert not supported(8, 0.1)

@@ -56,6 +56,12 @@ STEPS = [
      [PY, "-m", "benchmarks.bench_train", "--batch", "1024"], 2700, {}),
     ("train_256", [PY, "-m", "benchmarks.bench_train"], 2400, {}),
     ("serve", [PY, "-m", "benchmarks.bench_serve"], 2400, {}),
+    # the quantized feed: half the H2D bytes — on the relayed dev backend
+    # (~23 MB/s effective H2D) serving is transfer-bound, so this arm is
+    # the production answer there and a PCIe-halving win on real hosts
+    ("serve_int8",
+     [PY, "-m", "benchmarks.bench_serve", "--input_dtype", "int8"],
+     2400, {}),
     ("host_pipeline", [PY, "-m", "benchmarks.bench_host_pipeline"],
      3600, {}),
     ("tpu_tests",

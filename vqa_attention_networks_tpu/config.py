@@ -114,23 +114,29 @@ class Config:
     # --- bf16 inference fast-path policy -------------------------------------
     # Dispatch of the VMEM-resident wq kernel (ops/pallas_wq_fusion.py) on the
     # bf16 eval forward:
-    #   "auto"     — kernel when supported (TPU, bf16, lane-aligned shapes).
-    #                The weight-contracted formulation admits ~p99 5% relative
-    #                logit error vs the f32 composed chain under signed-sqrt
-    #                (ops/fusion.py); "auto" is correct while the measured
-    #                argmax FLIP RATE vs the composed bf16 path stays within
-    #                the 0.1% accuracy budget (BASELINE.md). bench_precision
+    #   "auto"     — kernel when supported (TPU, bf16, lane-aligned shapes);
+    #                the PAIR variant on even batches (promoted r4: the
+    #                hardware A/B measured pair faster on both the headline
+    #                — 60,964 vs 59,814 qa-pairs/s, bench.py — and the
+    #                micro — 69,418 vs 68,146, bench_wq_kernel; bit-exact
+    #                vs the single-sample kernel). The weight-contracted
+    #                formulation admits ~p99 5% relative logit error vs the
+    #                f32 composed chain under signed-sqrt (ops/fusion.py);
+    #                "auto" is correct while the measured argmax FLIP RATE
+    #                vs the composed bf16 path stays within the 0.1%
+    #                accuracy budget (BASELINE.md). bench_precision
     #                --train_steps N measures and GATES exactly this.
     #   "composed" — always the XLA-composed chain (the accuracy reference at
     #                this dtype): the fallback whenever a measured flip rate
     #                exceeds the budget on real trained weights.
-    #   "pallas"   — force the kernel (still requires supported() shapes).
-    #   "pallas_pair" — the two-samples-per-instance kernel variant
+    #   "pallas"   — force the SINGLE-sample kernel (still requires
+    #                supported() shapes); the A/B control arm.
+    #   "pallas_pair" — force the two-samples-per-instance kernel variant
     #                (ops/pallas_wq_fusion.py fused_stage1_coattention_
     #                pallas_pair): interleaves two samples' VPU/MXU phases
     #                per grid instance so the scheduler can overlap them.
-    #                Bit-exact vs "pallas"; promoted to the default only on
-    #                a measured hardware win (bench.py A/Bs both arms).
+    #                Bit-exact vs "pallas"; odd SPMD shards fall back to
+    #                the single kernel inside the partitioned twin.
     # VQA_DISABLE_PALLAS=1 remains the process-wide emergency kill switch.
     fast_path: str = "auto"
 

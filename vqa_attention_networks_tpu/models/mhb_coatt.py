@@ -158,10 +158,19 @@ def apply(
         and wqf.supported(img_features, params["img_conv1d"]["w"],
                           cfg.mfb_factor)
     ):
+        # "auto" promotes the pair kernel on even batches: the r4 hardware
+        # A/B measured it faster on both the headline (60,964 vs 59,814
+        # qa-pairs/s, bench.py) and the micro (69,418 vs 68,146 qa-pairs/s,
+        # bench_wq_kernel) — bit-exact vs the single-sample kernel, so no
+        # accuracy implication. Odd batches (static at trace time) and
+        # fast_path="pallas" take the single-sample kernel.
+        use_pair = cfg.fast_path == "pallas_pair" or (
+            cfg.fast_path == "auto" and img_features.shape[0] % 2 == 0
+        )
         v_att_feature = wqf.stage1_coattention(
             img_features, params["img_conv1d"], q_proj,
             params["co_att_conv1"], params["co_att_conv2"], cfg.mfb_factor,
-            pair=cfg.fast_path == "pallas_pair",
+            pair=use_pair,
         )
     else:
         fused = grid_fuse(
