@@ -114,6 +114,21 @@ def main(argv=None) -> None:
         flush=True,
     )
 
+    # Interpretation aid: when this number sits far below bench.py's
+    # device-resident rate, the gap is the host->device link, not the
+    # engine. Print the implied feature-feed bandwidth so a reader can
+    # tell a ~23 MB/s dev relay from a >= 16 GB/s PCIe host at a glance.
+    feat_elems = args.batch * cfg.img_feature_dim * cfg.img_feature_channel
+    bytes_per_batch = feat_elems * (1 if args.input_dtype == "int8" else 2)
+    gbps = bytes_per_batch * args.batches / dt / 1e9
+    print(
+        f"  feature feed: {bytes_per_batch / 1e6:,.0f} MB/batch "
+        f"({args.input_dtype}) -> implied H2D {gbps:.3f} GB/s; "
+        f"device forward is ~15 ms/batch (bench.py) — "
+        f"if H2D GB/s is small, this measures the link, not the engine",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()
