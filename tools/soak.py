@@ -238,6 +238,9 @@ def soak_family(family, qa, store, args, log_dir, task=SOAK_TASK):
         "num_answer": args.num_answer,
         "gate_threshold": args.gate,
         "compute_dtype": args.compute_dtype,
+        # per-family platform: a --merge'd report can mix CPU and TPU
+        # runs, so the table must say which chip each row ran on
+        "platform": getattr(args, "platform_seen", "unknown"),
         "epochs": epochs,
         "final_val_acc": epochs[-1].get("val_acc") if epochs else None,
         "qa_pairs_per_sec": float(np.median(qps_seen)) if qps_seen else 0.0,
@@ -333,15 +336,17 @@ def write_docs(results, config, enforce="auto"):
         "= 7·key mod V) for capacity-control runs at tiny dims "
         "(tools/soak.py FAMILY_TASK comment has the full argument).",
         "",
-        f"Platform: **{config['platform']}** | dtype: "
+        f"Platform: per-row column (this run: **{config['platform']}**) | "
+        f"dtype: "
         f"**{config['compute_dtype']}** | batch {config['batch_size']} | "
         f"{config['n_train']} samples | "
         f"{config['num_answer']} answers | enforcement mode: "
         f"**{enforce}**",
         "",
-        "| family | task | epochs | loss first→final | train acc (x chance) | "
+        "| family | task | platform | epochs | loss first→final | "
+        "train acc (x chance) | "
         "qa-pairs/s | wall (s) | drift | converged | enforced |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     def _f(v, spec):
         return format(v, spec) if v is not None else "—"
@@ -356,6 +361,9 @@ def write_docs(results, config, enforce="auto"):
             task_label += f" (dropout={r['dropout_default']:g})"
         lines.append(
             f"| {r['family']} | {task_label} | "
+            # pre-r4 stored entries predate the per-family field; they
+            # were all CPU runs
+            f"{r.get('platform', 'cpu')} | "
             f"{len(r.get('epochs') or [])} | "
             f"{_f(r['first_train_loss'], '.4f')} → "
             f"{_f(r['final_train_loss'], '.4f')} | {acc:.3f} "
@@ -516,6 +524,21 @@ def main(argv=None):
             ok &= r["finite"]
         else:
             ok &= enforced_ok(r, args.enforce)
+        # under --merge, land each family as it completes: a multi-hour
+        # TPU soak killed mid-list must keep its finished families
+        # (docs are rewritten from the merged store, so this is
+        # idempotent and the final write below stays correct)
+        if args.merge and not args.no_docs:
+            write_docs(
+                merge_results(
+                    results,
+                    os.path.join(REPO, "docs", "soak_results.json")),
+                {"epochs": args.epochs, "batch_size": args.batch_size,
+                 "compute_dtype": args.compute_dtype,
+                 "n_train": args.n_train,
+                 "num_answer": args.num_answer,
+                 "platform": args.platform_seen},
+                enforce=args.enforce)
 
     if not args.no_docs:
         doc_results = results
