@@ -257,3 +257,40 @@ def test_redoc_rederives_report(tmp_path, monkeypatch):
     )
     assert rederived["results"][0]["drift_ok"] is True
     assert rederived["results"][0]["converged"] is True
+
+
+def test_merge_lands_each_family_incrementally(tmp_path, monkeypatch):
+    """Under --merge a multi-hour soak killed mid-list must keep every
+    finished family: docs are rewritten after each one (the TPU soak is
+    relay-transfer-bound, ~9 h for the full list — see OPERATIONS.md)."""
+    import pytest
+
+    soak = _load_soak_module()
+    monkeypatch.setattr(soak, "REPO", str(tmp_path))
+    (tmp_path / "docs").mkdir()
+
+    def fake_family(family, qa, store, args, log_dir, task=None):
+        if family == "mfb":
+            raise KeyboardInterrupt  # the mid-list kill
+        return {
+            "family": family, "task": task, "num_answer": args.num_answer,
+            "gate_threshold": args.gate,
+            "compute_dtype": args.compute_dtype, "platform": "tpu",
+            "epochs": [{"step": 0, "train_loss": 7.0, "train_acc": 0.0},
+                       {"step": 1, "train_loss": 2.0, "train_acc": 0.5}],
+            "final_val_acc": 0.0, "qa_pairs_per_sec": 10.0, "wall_s": 1.0,
+            "error": None, "finite": True, "drift_ok": True,
+            "converged": True, "first_train_loss": 7.0,
+            "final_train_loss": 2.0, "final_train_acc": 0.5,
+        }
+
+    monkeypatch.setattr(soak, "soak_family", fake_family)
+    with pytest.raises(KeyboardInterrupt):
+        soak.main(["--smoke", "--merge", "--families", "iBOWIMG,mfb",
+                   "--workdir", str(tmp_path / "wd")])
+
+    report = json.loads(
+        (tmp_path / "docs" / "soak_results.json").read_text())
+    assert [r["family"] for r in report["results"]] == ["iBOWIMG"]
+    md = (tmp_path / "docs" / "SOAK.md").read_text()
+    assert "iBOWIMG" in md and "| tpu |" in md
