@@ -202,3 +202,33 @@ def test_json_line_extraction(monkeypatch, tmp_path):
     rec = mod.run_step("jl", [sys.executable, "-c", code], 30, {})
     assert rec["ok"] is True
     assert {"metric": "m", "value": 1.5} in rec["json"]
+
+
+def test_hw_results_md_renders():
+    """The human-readable view of the remeasure ledger must render every
+    step row and survive missing fields (a step with no tail, a summary
+    with a headline_note)."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "vqa_hw_results_md", os.path.join(repo, "tools", "hw_results_md.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    md = mod.render({
+        "updated_utc": "2026-08-18T00:00:00Z",
+        "headline_note": "composed-path re-land",
+        "steps": {
+            "bench": {"ok": True, "seconds": 12.1, "tail": ["x: 1"],
+                      "finished_utc": "2026-08-18T00:00:00Z"},
+            "soak": {"ok": False, "timed_out": True, "seconds": 21600.0},
+            "precision": {"ok": False, "exit": 4, "seconds": 10.0},
+        },
+    })
+    assert "| bench |" in md and "| ok |" in md
+    assert "TIMEOUT" in md and "FAIL (exit 4)" in md
+    assert "composed-path re-land" in md
+    assert "(no output captured)" in md
