@@ -137,9 +137,11 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return n * iters / best
 
-    # auto == pair at this (even) batch
-    qps, arm = measure(fwd, imgs, ques, batch), "pair"
-    if jax.default_backend() == "tpu":
+    on_tpu = jax.default_backend() == "tpu"
+    # auto == pair kernel at this (even) batch on TPU; composed elsewhere
+    qps, arm = measure(fwd, imgs, ques, batch), (
+        "pair" if on_tpu else "composed(auto)")
+    if on_tpu:
         # The control arms below are diagnostic, never a liability: any
         # failure (e.g. a Mosaic regression on a new toolchain, or an OOM
         # at the large batch) leaves the default arm's number standing.
