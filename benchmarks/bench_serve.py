@@ -43,7 +43,17 @@ def main(argv=None) -> None:
     parser.add_argument("--model", type=str, default="mhb_coAtt")
     parser.add_argument("--input_dtype", choices=("float16", "int8"),
                         default="float16")
+    parser.add_argument("--by_id", action="store_true",
+                        help="serve from the device-resident feature bank "
+                        "(DeviceFeatureCache) with VQA-like repeat-image "
+                        "traffic: steady state ships ZERO feature bytes "
+                        "host->device (implies --input_dtype int8)")
+    parser.add_argument("--unique_images", type=int, default=2048,
+                        help="--by_id image pool (= bank capacity; "
+                        "production cost ~392 KB HBM per image)")
     args = parser.parse_args(argv)
+    if args.by_id:
+        args.input_dtype = "int8"
 
     cfg = Config(
         model_name=args.model, q_vocab_size=15881, a_vocab_size=1000,
@@ -54,6 +64,10 @@ def main(argv=None) -> None:
     engine = InferenceEngine(
         cfg, params, batch_size=args.batch, input_dtype=args.input_dtype
     )
+
+    if args.by_id:
+        _bench_by_id(args, cfg, engine)
+        return
 
     # pre-assembled host batches: this isolates the ENGINE's overhead from
     # feature-store IO (bench_host_pipeline.py covers batch assembly)
@@ -126,6 +140,59 @@ def main(argv=None) -> None:
         f"({args.input_dtype}) -> implied H2D {gbps:.3f} GB/s; "
         f"device forward is ~15 ms/batch (bench.py) — "
         f"if H2D GB/s is small, this measures the link, not the engine",
+        flush=True,
+    )
+
+
+def _bench_by_id(args, cfg, engine) -> None:
+    """Device-bank serving: upload the image pool once (cold), then time
+    VQA-like repeat traffic — steady state gathers features in-graph, so
+    the link carries only questions + top-k (the measured transfer-bound
+    serve arms motivate exactly this: f16 29 qa-pairs/s / int8 94 on the
+    ~23-38 MB/s dev relay, docs/BENCHMARKS.md serving section)."""
+    import time as _time
+
+    rng = np.random.default_rng(0)
+    u = args.unique_images
+    l, d = cfg.img_feature_dim, cfg.img_feature_channel
+    rows = rng.integers(-127, 128, size=(u, l, d), dtype=np.int8)
+    scale = (rng.random((u, d)).astype(np.float32) * 0.05 + 0.01).astype(
+        np.float16
+    )
+    cache = engine.attach_feature_cache(
+        capacity=u, fetch=lambda ids: (rows[ids], scale[ids])
+    )
+    ques = rng.integers(
+        0, cfg.q_vocab_size, (args.batch, 22), dtype=np.int32
+    )
+    qlen = rng.integers(1, 23, (args.batch,), dtype=np.int32)
+
+    # warm: compile + upload the whole pool (the cold-start cost a real
+    # deployment pays once per hot set)
+    t0 = _time.perf_counter()
+    for start in range(0, u, args.batch):
+        ids = np.arange(start, min(start + args.batch, u))
+        engine.predict_batch_by_id(ids, ques[: len(ids)], qlen[: len(ids)])
+    warm_s = _time.perf_counter() - t0
+    assert cache.misses == u, (cache.misses, u)
+
+    def stream(n):
+        for _ in range(n):
+            yield rng.integers(0, u, size=args.batch), ques, qlen
+
+    t0 = _time.perf_counter()
+    total = 0
+    for preds in engine.predict_stream_by_id(stream(args.batches)):
+        total += len(preds)
+    dt = _time.perf_counter() - t0
+
+    print(
+        f"{args.model} serve-by-id @ batch {args.batch}, "
+        f"{u}-image device bank: {total} predictions in {dt:.2f} s = "
+        f"{total / dt:,.0f} qa-pairs/s (steady-state hit rate "
+        f"{cache.hits / max(cache.hits + cache.misses, 1):.3f}; "
+        f"cold pool upload {u * rows.itemsize * l * d / 1e6:,.0f} MB "
+        f"in {warm_s:.1f} s)",
         flush=True,
     )
 

@@ -136,3 +136,128 @@ def test_data_parallel_int8_feed_matches_single_device():
     for x, y in zip(a, b):
         assert x.answer_id == y.answer_id
         np.testing.assert_array_equal(x.top_ids, y.top_ids)
+
+
+def _int8_engine(batch_size=8):
+    cfg = Config(
+        model_name="iBOWIMG", q_vocab_size=30, a_vocab_size=12,
+        hidden_dim=16, emb_dim=8, embed_size=16, img_feature_channel=32,
+        max_question_length=7,
+    )
+    params = get_model("iBOWIMG").init(jax.random.PRNGKey(0), cfg)
+    return InferenceEngine(
+        cfg, params, batch_size=batch_size, topk=3, input_dtype="int8"
+    ), cfg
+
+
+def _quantized_pool(rng, n_images, cfg):
+    from vqa_attention_networks_tpu.data.feature_store import (
+        quantize_features,
+    )
+
+    feats = rng.standard_normal(
+        (n_images, 196, cfg.img_feature_channel)
+    ).astype(np.float32)
+    rows, scale, _ = quantize_features(feats)
+    return rows, scale.astype(np.float16)
+
+
+def test_device_cache_matches_per_request_int8_feed():
+    """predict_batch_by_id (device-bank gather) must equal predict_batch
+    fed the same quantized rows — hits and misses alike."""
+    engine, cfg = _int8_engine()
+    rng = np.random.default_rng(3)
+    rows, scale = _quantized_pool(rng, 6, cfg)
+
+    fetch_calls = []
+
+    def fetch(ids):
+        fetch_calls.append(list(ids))
+        return rows[ids], scale[ids]
+
+    cache = engine.attach_feature_cache(capacity=6, fetch=fetch)
+    ids = np.array([0, 1, 1, 4, 0], dtype=np.int64)
+    ques = rng.integers(0, cfg.q_vocab_size, size=(5, 7)).astype(np.int32)
+
+    by_id = engine.predict_batch_by_id(ids, ques)
+    direct = engine.predict_batch(
+        rows[ids], ques, feature_scale=scale[ids]
+    )
+    for a, b in zip(by_id, direct):
+        assert a.answer_id == b.answer_id
+        np.testing.assert_array_equal(a.top_ids, b.top_ids)
+        np.testing.assert_allclose(a.top_probs, b.top_probs, rtol=1e-6)
+    # one fetch, only the distinct missing ids
+    assert fetch_calls == [[0, 1, 4]]
+    assert cache.misses == 3 and cache.hits == 2
+
+    # second call: all hits, no fetch
+    by_id2 = engine.predict_batch_by_id(ids, ques)
+    assert fetch_calls == [[0, 1, 4]]
+    assert cache.hits == 7
+    for a, b in zip(by_id2, by_id):
+        assert a.answer_id == b.answer_id
+
+
+def test_device_cache_lru_eviction_and_refetch():
+    engine, cfg = _int8_engine()
+    rng = np.random.default_rng(4)
+    rows, scale = _quantized_pool(rng, 5, cfg)
+    fetched = []
+
+    def fetch(ids):
+        fetched.extend(ids)
+        return rows[ids], scale[ids]
+
+    cache = engine.attach_feature_cache(capacity=2, fetch=fetch)
+    ques = rng.integers(0, cfg.q_vocab_size, size=(1, 7)).astype(np.int32)
+
+    engine.predict_batch_by_id([0], ques)   # bank: {0}
+    engine.predict_batch_by_id([1], ques)   # bank: {0, 1}
+    engine.predict_batch_by_id([0], ques)   # touch 0 -> LRU victim is 1
+    engine.predict_batch_by_id([2], ques)   # evicts 1; bank: {0, 2}
+    assert cache.evictions == 1
+    preds_1 = engine.predict_batch_by_id([1], ques)  # re-fetch 1, evicts 0
+    assert fetched == [0, 1, 2, 1]
+    # parity survives eviction + re-fetch
+    direct = engine.predict_batch(rows[[1]], ques, feature_scale=scale[[1]])
+    assert preds_1[0].answer_id == direct[0].answer_id
+
+    # a batch with more distinct images than capacity must refuse
+    import pytest
+
+    with pytest.raises(ValueError, match="distinct images"):
+        engine.predict_batch_by_id([0, 1, 2], np.repeat(ques, 3, axis=0))
+
+
+def test_device_cache_stream_matches_batch():
+    engine, cfg = _int8_engine()
+    rng = np.random.default_rng(5)
+    rows, scale = _quantized_pool(rng, 8, cfg)
+
+    def fetch(ids):
+        return rows[ids], scale[ids]
+
+    engine.attach_feature_cache(capacity=8, fetch=fetch)
+    reqs = []
+    for _ in range(3):
+        ids = rng.integers(0, 8, size=(8,))
+        ques = rng.integers(0, cfg.q_vocab_size, size=(8, 7)).astype(
+            np.int32
+        )
+        reqs.append((ids, ques))
+    direct = [engine.predict_batch_by_id(i, q) for i, q in reqs]
+    streamed = list(
+        engine.predict_stream_by_id((i, q, None) for i, q in reqs)
+    )
+    for batch_a, batch_b in zip(direct, streamed):
+        for a, b in zip(batch_a, batch_b):
+            assert a.answer_id == b.answer_id
+
+
+def test_device_cache_requires_int8_jit_engine():
+    import pytest
+
+    engine_f16, _ = _engine()
+    with pytest.raises(ValueError, match="int8"):
+        engine_f16.attach_feature_cache(4, fetch=lambda ids: None)

@@ -98,6 +98,27 @@ def serving_forward(cfg: Config, topk: int, input_dtype: str = "float16"):
     return fwd
 
 
+def serving_forward_banked(cfg: Config, topk: int):
+    """The device-feature-cache serving forward: gather int8 rows + f16
+    scales from a DEVICE-RESIDENT bank by slot index, then run the exact
+    int8 forward (``serving_forward(cfg, topk, "int8")`` — one source of
+    truth, so the banked path cannot drift from the per-request feed).
+
+    A cache hit ships zero feature bytes host->device: the gather happens
+    in-graph on HBM. This is the engine-side answer to the measured
+    transfer-bound serving numbers (bench_serve: the f16 feed moves
+    ~822 MB/batch; VQA traffic re-uses each image ~3x, reference
+    data_loader.py:27-32 loads per-question features of shared images).
+    """
+    base = serving_forward(cfg, topk, "int8")
+
+    def fwd(params, bank_rows, bank_scale, idx, ques, qlen):
+        # bank_rows [C, L, D] int8; bank_scale [C, D] f16; idx [B] int32
+        return base(params, bank_rows[idx], bank_scale[idx], ques, qlen)
+
+    return fwd
+
+
 def export_serving(
     cfg: Config,
     params,

@@ -30,6 +30,118 @@ class Prediction:
     top_probs: np.ndarray  # [k]
 
 
+class DeviceFeatureCache:
+    """Device-resident (HBM) int8 feature bank for repeat-image serving.
+
+    bench_serve measured store-backed serving transfer-bound: the f16
+    feed ships ~822 MB/batch (int8: 411 MB) over the host->device link,
+    while the device forward itself is ~15 ms. VQA traffic re-uses each
+    image for ~3 questions (the reference loads per-question features of
+    shared images, data_loader.py:27-32), so keeping the int8 rows +
+    per-image f16 scales of the hot images ON DEVICE turns repeat
+    requests into an in-graph gather — zero feature bytes on the link.
+
+    - Capacity cost: ``capacity x (196*2048 int8 + 2048 f16)`` = 396 KB
+      per image at production shape (16k images ~ 6.5 GB HBM — fits next
+      to the flagship's ~1 GB on a 16 GB chip).
+    - Misses upload one image each via a donated in-place scatter (no
+      bank-sized copies; fixed shapes, so exactly one compile).
+    - Eviction is LRU over image ids, never evicting an id used by the
+      batch currently being assembled.
+    """
+
+    def __init__(self, cfg: Config, capacity: int):
+        l = cfg.img_feature_dim
+        d = cfg.img_feature_channel
+        self.capacity = int(capacity)
+        assert self.capacity >= 1
+        self._rows = jax.device_put(
+            jnp.zeros((self.capacity, l, d), jnp.int8)
+        )
+        self._scale = jax.device_put(
+            jnp.zeros((self.capacity, d), jnp.float16)
+        )
+        self._slot: dict = {}  # image_id -> slot
+        self._order: dict = {}  # image_id -> monotone last-use tick (LRU)
+        self._tick = 0
+        self._free = list(range(self.capacity - 1, -1, -1))
+        # donated in-place slot writes: the bank is rebound, not copied
+        self._put_rows = jax.jit(
+            lambda bank, rows, i: bank.at[i].set(rows), donate_argnums=0
+        )
+        self._put_scale = jax.jit(
+            lambda bank, s, i: bank.at[i].set(s), donate_argnums=0
+        )
+        self.hits = 0
+        self.misses = 0
+        self.evictions = 0
+
+    @property
+    def rows(self):
+        return self._rows
+
+    @property
+    def scale(self):
+        return self._scale
+
+    def _touch(self, image_id) -> None:
+        self._tick += 1
+        self._order[image_id] = self._tick
+
+    def _take_slot(self, batch_ids: set) -> int:
+        if self._free:
+            return self._free.pop()
+        victim = min(
+            (i for i in self._order if i not in batch_ids),
+            key=self._order.__getitem__,
+        )
+        self.evictions += 1
+        slot = self._slot.pop(victim)
+        del self._order[victim]
+        return slot
+
+    def ensure(self, image_ids: Sequence[int], fetch) -> np.ndarray:
+        """Slot indices for ``image_ids``, uploading misses.
+
+        ``fetch(missing_ids) -> (rows [k, L, D] int8, scale [k, D])`` —
+        the quantized store's ``gather_quantized`` signature
+        (data/feature_store.py). Distinct ids per batch must fit the
+        capacity (the cache refuses to evict the current batch).
+        """
+        ids = [int(i) for i in image_ids]
+        batch_ids = set(ids)
+        if len(batch_ids) > self.capacity:
+            raise ValueError(
+                f"batch has {len(batch_ids)} distinct images but the "
+                f"device cache holds {self.capacity}"
+            )
+        missing = sorted({i for i in ids if i not in self._slot})
+        if missing:
+            rows, scale = fetch(missing)
+            rows = np.asarray(rows)
+            scale = np.asarray(scale, dtype=np.float16)
+            assert rows.dtype == np.int8, rows.dtype
+            for j, image_id in enumerate(missing):
+                slot = self._take_slot(batch_ids)
+                self._rows = self._put_rows(
+                    self._rows, jnp.asarray(rows[j]), slot
+                )
+                self._scale = self._put_scale(
+                    self._scale, jnp.asarray(scale[j]), slot
+                )
+                self._slot[image_id] = slot
+                self._touch(image_id)
+        # hits = requests that needed no upload (within-batch reuse of a
+        # just-missed id still saves its transfer, so it counts)
+        self.misses += len(missing)
+        self.hits += len(ids) - len(missing)
+        idx = np.empty(len(ids), dtype=np.int32)
+        for pos, image_id in enumerate(ids):
+            self._touch(image_id)
+            idx[pos] = self._slot[image_id]
+        return idx
+
+
 class InferenceEngine:
     def __init__(
         self,
@@ -85,6 +197,8 @@ class InferenceEngine:
         # store — half the f16 feed's host->device bytes, dequant in-graph
         assert input_dtype in ("float16", "int8"), input_dtype
         self.input_dtype = input_dtype
+        self._aot = artifact_dir is not None
+        self._cache: Optional[DeviceFeatureCache] = None
         # keep in sync with serving_forward's clamp (aot.py): the meta
         # check against an exported artifact compares this value
         self.topk = min(topk, cfg.a_vocab_size)
@@ -192,6 +306,95 @@ class InferenceEngine:
         )
         img, n = self._pad(self._to_f16(image_features))
         return (img,), n
+
+    def attach_feature_cache(self, capacity: int, fetch) -> DeviceFeatureCache:
+        """Enable the device-resident feature bank (``DeviceFeatureCache``)
+        and the ``predict_*_by_id`` entry points.
+
+        ``fetch(missing_ids) -> (int8 rows, scales)`` — typically
+        ``store.gather_quantized``. Requires the int8 jit engine: the
+        banked forward is a jit variant of the SAME serving forward
+        (aot.serving_forward_banked), which an AOT artifact or a
+        multi-device mesh does not carry.
+        """
+        if self.input_dtype != "int8":
+            raise ValueError(
+                "the device feature cache stores the quantized layout — "
+                "construct InferenceEngine(input_dtype='int8')"
+            )
+        if self._mesh is not None:
+            raise ValueError(
+                "device feature cache + data_parallel serving is not "
+                "supported (the bank lives on one device)"
+            )
+        if self._aot:
+            raise ValueError(
+                "device feature cache needs the jit engine; the AOT "
+                "artifact is a fixed per-request-feed program"
+            )
+        from vqa_attention_networks_tpu import aot
+
+        self._cache = DeviceFeatureCache(self.cfg, capacity)
+        self._fetch = fetch
+        self._fwd_bank = jax.jit(
+            aot.serving_forward_banked(self.cfg, self.topk)
+        )
+        return self._cache
+
+    def _bank_args(self, image_ids) -> Tuple[np.ndarray, int]:
+        assert getattr(self, "_cache", None) is not None, (
+            "call attach_feature_cache() before predict_*_by_id"
+        )
+        idx = self._cache.ensure(image_ids, self._fetch)
+        # pad with slot 0: harmless gather, masked out by n
+        return self._pad(idx.astype(np.int32))
+
+    def predict_batch_by_id(
+        self,
+        image_ids: Sequence[int],  # [n], n <= batch_size
+        questions: np.ndarray,  # [n, T] int32
+        ques_length: Optional[np.ndarray] = None,
+    ) -> List[Prediction]:
+        """predict_batch, but features come from the device bank by image
+        id — a cache hit ships zero feature bytes host->device."""
+        if ques_length is None:
+            ques_length = (questions != 0).sum(axis=1).astype(np.int32)
+        idx, n = self._bank_args(image_ids)
+        ques, _ = self._pad(questions.astype(np.int32))
+        qlen, _ = self._pad(
+            np.maximum(ques_length.astype(np.int32), 1), fill=1
+        )
+        top_i, top_p = self._fwd_bank(
+            self.params, self._cache.rows, self._cache.scale, idx, ques, qlen
+        )
+        return self._collect((top_i, top_p), n)
+
+    def predict_stream_by_id(
+        self,
+        batches: Iterator[Tuple[Sequence[int], np.ndarray,
+                                Optional[np.ndarray]]],
+    ) -> Iterator[List[Prediction]]:
+        """Pipelined ``predict_stream`` over (image_ids, questions, qlen)
+        items served from the device bank; miss uploads overlap the
+        in-flight batch's compute."""
+        pending = None
+        for image_ids, questions, ques_length in batches:
+            if ques_length is None:
+                ques_length = (questions != 0).sum(axis=1).astype(np.int32)
+            idx, n = self._bank_args(image_ids)
+            ques, _ = self._pad(questions.astype(np.int32))
+            qlen, _ = self._pad(
+                np.maximum(ques_length.astype(np.int32), 1), fill=1
+            )
+            handles = self._fwd_bank(
+                self.params, self._cache.rows, self._cache.scale,
+                idx, ques, qlen,
+            )
+            if pending is not None:
+                yield self._collect(*pending)
+            pending = (handles, n)
+        if pending is not None:
+            yield self._collect(*pending)
 
     def predict_batch(
         self,
