@@ -62,6 +62,11 @@ STEPS = [
     ("serve_int8",
      [PY, "-m", "benchmarks.bench_serve", "--input_dtype", "int8"],
      2400, {}),
+    # device-resident feature bank: steady-state repeat-image traffic
+    # ships zero feature bytes over the link (the answer to the two
+    # transfer-bound arms above)
+    ("serve_by_id",
+     [PY, "-m", "benchmarks.bench_serve", "--by_id"], 2400, {}),
     ("host_pipeline", [PY, "-m", "benchmarks.bench_host_pipeline"],
      3600, {}),
     ("tpu_tests",
