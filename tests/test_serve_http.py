@@ -79,8 +79,14 @@ def _post(url, payload):
         url + "/predict", json.dumps(payload).encode(),
         {"Content-Type": "application/json"},
     )
-    with urllib.request.urlopen(req, timeout=60) as resp:
-        return json.loads(resp.read())
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        # surface the server's error body in the assertion message
+        # (keeps .code for the tests that assert on it)
+        e.msg = f"{e.msg}: {e.read().decode(errors='replace')[:500]}"
+        raise
 
 
 def test_healthz(server):
@@ -604,3 +610,144 @@ def test_service_with_data_parallel_matches_single_device(tmp_path):
         assert [t["answer"] for t in x["top"]] == [
             t["answer"] for t in y["top"]
         ]
+
+
+@pytest.fixture(scope="module")
+def server_bank(tmp_path_factory):
+    """Two services over the SAME int8 store — one with the device bank
+    (--device_cache_images), one without — plus the bank one served over
+    HTTP. The int8 per-request feed and the bank's in-graph gather read
+    identical quantized rows, so answers must match exactly."""
+    from vqa_attention_networks_tpu.data.feature_store import quantize_store
+
+    data_dir = tmp_path_factory.mktemp("serve_bank")
+    words = ["what", "color", "is", "the", "cat", "dog", "sky"]
+    q_vocab = {w: i + 1 for i, w in enumerate(words)}
+    q_vocab["UNK"] = len(words) + 1
+    answers = ["black", "white", "blue", "red", "yes"]
+    vocab = {
+        "question_vocab": q_vocab,
+        "answer_vocab": {a: i for i, a in enumerate(answers)},
+        "max_question_length": 6,
+    }
+    with open(data_dir / "qa_v2_5answers_all.vocab.json", "w") as f:
+        json.dump(vocab, f)
+    make_synthetic_feature_store(
+        str(data_dir / "resnet152_f16"), IMAGE_IDS, num_regions=4,
+        channels=8,
+    )
+    quantize_store(str(data_dir / "resnet152_f16"),
+                   str(data_dir / "resnet152_all"))
+
+    cfg = Config(
+        model_name=MODEL,
+        q_vocab_size=q_vocab["UNK"] + 1,
+        a_vocab_size=len(answers),
+        max_question_length=6,
+        img_feature_channel=8,
+        compute_dtype="bfloat16",
+    ).validate()
+    params = get_model(MODEL).init(jax.random.PRNGKey(0), cfg)
+    ckpt.save_weights(str(data_dir / "models" / MODEL), params)
+
+    def build(device_cache_images):
+        args = argparse.Namespace(
+            model_name=MODEL, model_dir=str(data_dir / "models"),
+            data_dir=str(data_dir), vocab=None, feature_type="resnet152",
+            version=2, num_answer=5, batch_size=4, topk=3,
+            max_wait_ms=30.0, device_cache_images=device_cache_images,
+        )
+        return serve_cli.build_service(args)
+
+    service_bank = build(len(IMAGE_IDS))
+    service_plain = build(0)
+    assert service_bank.bank is not None
+    assert service_plain.bank is None
+
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve_cli.make_handler(service_bank, MODEL)
+    )
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield (f"http://127.0.0.1:{httpd.server_address[1]}",
+           service_bank, service_plain)
+    httpd.shutdown()
+
+
+def test_device_bank_http_matches_plain_int8_service(server_bank):
+    url, service_bank, service_plain = server_bank
+    for image_id in IMAGE_IDS:
+        item = {"image_id": image_id, "question": "what color is the cat"}
+        got = _post(url, item)
+        want = service_plain.predict_one(dict(item))
+        assert got["answer"] == want["answer"]
+        assert [t["answer"] for t in got["top"]] == \
+            [t["answer"] for t in want["top"]]
+    # repeat traffic is served from the bank, not re-fetched
+    _post(url, {"image_id": IMAGE_IDS[0],
+                "question": "what color is the cat"})
+    assert service_bank.bank.hits > 0
+    assert service_bank.bank.misses <= len(IMAGE_IDS)
+
+
+def test_device_bank_bulk_mixed_order_preserved(server_bank):
+    url, service_bank, service_plain = server_bank
+    items = [
+        {"image_id": i, "question": q}
+        for i, q in zip(
+            [IMAGE_IDS[2], IMAGE_IDS[0], IMAGE_IDS[3], IMAGE_IDS[1],
+             IMAGE_IDS[2]],
+            ["what color is the cat", "is the sky blue",
+             "what is the dog", "what color is the sky",
+             "is the cat black"],
+        )
+    ]
+    got = _post(url, {"requests": items})["results"]
+    want = [service_plain.predict_one(dict(it)) for it in items]
+    assert [g["answer"] for g in got] == [w["answer"] for w in want]
+
+
+def test_device_bank_unknown_image_id_is_400(server_bank):
+    url, _, _ = server_bank
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url, {"image_id": 9999, "question": "what is this"})
+    assert e.value.code == 400
+
+
+def test_device_bank_metrics_exported(server_bank):
+    url, _, _ = server_bank
+    with urllib.request.urlopen(url + "/metrics", timeout=30) as resp:
+        body = resp.read().decode()
+    assert "vqa_device_bank_hits_total" in body
+    assert "vqa_device_bank_evictions_total" in body
+
+
+def test_device_bank_requires_int8_store(tmp_path):
+    """A float store + --device_cache_images must refuse at startup."""
+    data_dir = tmp_path
+    words = ["what"]
+    q_vocab = {"what": 1, "UNK": 2}
+    vocab = {"question_vocab": q_vocab,
+             "answer_vocab": {"yes": 0, "no": 1},
+             "max_question_length": 6}
+    with open(data_dir / "qa_v2_2answers_all.vocab.json", "w") as f:
+        json.dump(vocab, f)
+    make_synthetic_feature_store(
+        str(data_dir / "resnet152_all"), IMAGE_IDS, num_regions=4,
+        channels=8,
+    )
+    cfg = Config(
+        model_name=MODEL, q_vocab_size=3, a_vocab_size=2,
+        max_question_length=6, img_feature_channel=8,
+        compute_dtype="bfloat16",
+    ).validate()
+    params = get_model(MODEL).init(jax.random.PRNGKey(0), cfg)
+    ckpt.save_weights(str(data_dir / "models" / MODEL), params)
+    args = argparse.Namespace(
+        model_name=MODEL, model_dir=str(data_dir / "models"),
+        data_dir=str(data_dir), vocab=None, feature_type="resnet152",
+        version=2, num_answer=2, batch_size=4, topk=2, max_wait_ms=0.0,
+        device_cache_images=8,
+    )
+    with pytest.raises(ValueError, match="int8"):
+        serve_cli.build_service(args)

@@ -131,10 +131,14 @@ class Batcher:
     """Collects concurrent requests into one fixed-batch engine call."""
 
     def __init__(self, engine: InferenceEngine, max_wait_s: float = 0.005,
-                 stats: "LatencyStats | None" = None):
+                 stats: "LatencyStats | None" = None, by_id: bool = False):
         self.engine = engine
         self.max_wait_s = max_wait_s
         self.stats = stats
+        # by_id: requests carry an image id in the features slot and are
+        # served from the engine's device feature bank (zero feature
+        # bytes host->device on a hit — serve.py DeviceFeatureCache)
+        self.by_id = by_id
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -172,12 +176,19 @@ class Batcher:
                         break
             t_dispatch = time.monotonic()
             try:
-                feats, scales = _stack_features([r.features for r in batch])
                 ids = np.stack([r.ids for r in batch])
                 qlen = np.asarray([r.qlen for r in batch], np.int32)
-                preds = self.engine.predict_batch(
-                    feats, ids, qlen, feature_scale=scales
-                )
+                if self.by_id:
+                    preds = self.engine.predict_batch_by_id(
+                        [r.features for r in batch], ids, qlen
+                    )
+                else:
+                    feats, scales = _stack_features(
+                        [r.features for r in batch]
+                    )
+                    preds = self.engine.predict_batch(
+                        feats, ids, qlen, feature_scale=scales
+                    )
                 for r, p in zip(batch, preds):
                     r.result = p
             except Exception as e:  # surface engine errors to every waiter
@@ -274,7 +285,8 @@ class VqaService:
     def __init__(self, cfg: Config, vocab: dict, params, store,
                  batch_size: int, topk: int, max_wait_s: float,
                  artifact_dir=None, feature_cache_mb: int = 512,
-                 data_parallel: int = 1, extractor=None):
+                 data_parallel: int = 1, extractor=None,
+                 device_cache_images: int = 0):
         self.cfg = cfg
         self.q_vocab = vocab["question_vocab"]
         self.max_len = vocab["max_question_length"]
@@ -314,7 +326,28 @@ class VqaService:
                 )
         self.extractor = extractor
         self.stats = LatencyStats()
-        self.batcher = Batcher(self.engine, max_wait_s, stats=self.stats)
+        # --device_cache_images: store-backed requests serve from the
+        # device-resident feature bank (engine predict_*_by_id) — zero
+        # feature bytes host->device on repeat images; b64/extracted
+        # requests keep the raw-feature path through a second batcher
+        self.bank = None
+        if device_cache_images:
+            if not self.int8:
+                raise ValueError(
+                    "--device_cache_images requires an int8 (quantized) "
+                    "feature store (tools/quantize_store.py) — the bank "
+                    "holds the quantized layout"
+                )
+            self.bank = self.engine.attach_feature_cache(
+                device_cache_images, self.store.gather_quantized,
+                num_regions=store.num_regions, channels=store.channels,
+            )
+        self.batcher = Batcher(self.engine, max_wait_s, stats=self.stats,
+                               by_id=self.bank is not None)
+        self.batcher_raw = (
+            Batcher(self.engine, max_wait_s, stats=self.stats)
+            if (self.bank is not None and extractor is not None) else None
+        )
 
     def _gather(self, image_ids: list):
         """Raw store gather in the engine's feed dtype: a list of f16
@@ -376,10 +409,26 @@ class VqaService:
             ],
         }
 
+    def _check_known(self, image_id: int) -> int:
+        """Unknown ids must 400 BEFORE batching: a bad id failing inside
+        the batcher's store fetch would take every co-batched request
+        down with it."""
+        try:
+            self.store.rows_for([image_id])
+        except KeyError:
+            raise ValueError(f"unknown image_id {image_id}") from None
+        return image_id
+
     def predict_one(self, item: dict) -> dict:
         t0 = time.monotonic()
-        feats, ids, qlen = self._encode(item)
-        pred = self.batcher.submit(feats, ids, qlen)
+        if self.bank is not None:
+            ids, qlen = self._tokenize(item["question"])
+            pred = self.batcher.submit(
+                self._check_known(int(item["image_id"])), ids, qlen
+            )
+        else:
+            feats, ids, qlen = self._encode(item)
+            pred = self.batcher.submit(feats, ids, qlen)
         self.stats.record_request(time.monotonic() - t0)
         return self._to_dict(pred)
 
@@ -387,11 +436,14 @@ class VqaService:
         """End-to-end path: {question, image_b64} — no precomputed store
         entry needed. The grid goes through the SAME batcher/engine as
         store-backed requests, converted to the engine's feed dtype
-        (f16, or the store's int8+scale quantization scheme)."""
+        (f16, or the store's int8+scale quantization scheme). With the
+        device bank on, these raw-feature requests use their own batcher
+        (the bank path serves ids only)."""
         t0 = time.monotonic()
         feats = self._extract_b64(item["image_b64"])
         ids, qlen = self._tokenize(item["question"])
-        pred = self.batcher.submit(feats, ids, qlen)
+        batcher = self.batcher_raw or self.batcher
+        pred = batcher.submit(feats, ids, qlen)
         self.stats.record_request(time.monotonic() - t0)
         return self._to_dict(pred)
 
@@ -437,12 +489,50 @@ class VqaService:
             key = ("b64", self._extract_b64(item["image_b64"])) \
                 if "image_b64" in item else ("id", int(item["image_id"]))
             tokens.append((key, ids, qlen))
+        bs = self.engine.batch_size
+
+        if self.bank is not None:
+            # bank mode: id-backed items gather on device; b64 grids go
+            # through the raw feed. Results re-assemble in input order.
+            out: list = [None] * len(tokens)
+            by_kind = {"id": [], "b64": []}
+            for pos, (key, ids, qlen) in enumerate(tokens):
+                if key[0] == "id":
+                    self._check_known(key[1])
+                by_kind[key[0]].append((pos, key[1], ids, qlen))
+            for kind, entries in by_kind.items():
+                for start in range(0, len(entries), bs):
+                    chunk = entries[start:start + bs]
+                    ids = np.stack([c[2] for c in chunk])
+                    qlen = np.asarray([c[3] for c in chunk], np.int32)
+                    t_dispatch = time.monotonic()
+                    if kind == "id":
+                        preds = self.engine.predict_batch_by_id(
+                            [c[1] for c in chunk], ids, qlen
+                        )
+                    else:
+                        feats, scales = _stack_features(
+                            [c[1] for c in chunk]
+                        )
+                        preds = self.engine.predict_batch(
+                            feats, ids, qlen, feature_scale=scales
+                        )
+                    self.stats.record_batch(
+                        (), time.monotonic() - t_dispatch, len(chunk) / bs
+                    )
+                    for c, pr in zip(chunk, preds):
+                        out[c[0]] = self._to_dict(pr)
+            if tokens:
+                self.stats.record_request(
+                    time.monotonic() - t0, n=len(tokens)
+                )
+            return out
+
         store_ids = [k[1] for k, _, _ in tokens if k[0] == "id"]
         store_feats = iter(self._features_batch(store_ids))
         all_feats = [k[1] if k[0] == "b64" else next(store_feats)
                      for k, _, _ in tokens]
         out = []
-        bs = self.engine.batch_size
         for start in range(0, len(tokens), bs):
             chunk = tokens[start:start + bs]
             feats, scales = _stack_features(all_feats[start:start + bs])
@@ -494,6 +584,22 @@ def _prometheus_text(service: VqaService, model_name: str) -> str:
         "# TYPE vqa_feature_cache_entries gauge",
         f"vqa_feature_cache_entries{label} {cache['entries']}",
     ]
+    if service.bank is not None:
+        lines += [
+            "# HELP vqa_device_bank_hits_total Device feature-bank hits "
+            "(requests needing no feature upload).",
+            "# TYPE vqa_device_bank_hits_total counter",
+            f"vqa_device_bank_hits_total{label} {service.bank.hits}",
+            "# HELP vqa_device_bank_misses_total Device feature-bank "
+            "uploads.",
+            "# TYPE vqa_device_bank_misses_total counter",
+            f"vqa_device_bank_misses_total{label} {service.bank.misses}",
+            "# HELP vqa_device_bank_evictions_total Device feature-bank "
+            "LRU evictions.",
+            "# TYPE vqa_device_bank_evictions_total counter",
+            f"vqa_device_bank_evictions_total{label} "
+            f"{service.bank.evictions}",
+        ]
     if lat["batch_occupancy"] is not None:
         lines += [
             "# HELP vqa_batch_occupancy Mean batch fill over the window.",
@@ -643,7 +749,9 @@ def build_service(args) -> VqaService:
                       artifact_dir=getattr(args, "aot_artifact", None),
                       feature_cache_mb=getattr(args, "feature_cache_mb", 512),
                       data_parallel=getattr(args, "data_parallel", 1),
-                      extractor=extractor)
+                      extractor=extractor,
+                      device_cache_images=getattr(
+                          args, "device_cache_images", 0))
 
 
 def main(argv=None) -> None:
@@ -674,6 +782,16 @@ def main(argv=None) -> None:
                         help="LRU feature cache in front of the store "
                              "(~800 KB per image at 196x2048 for f16 "
                              "stores, ~400 KB for int8 stores); 0 disables")
+    parser.add_argument("--device_cache_images", type=int, default=0,
+                        help="DEVICE-resident feature bank: keep the int8 "
+                             "rows + scales of up to N images in HBM and "
+                             "serve store-backed requests by in-graph "
+                             "gather — zero feature bytes host->device on "
+                             "a hit (~392 KB HBM per image at 196x2048; "
+                             "measured 159x the per-request int8 feed on "
+                             "a thin link, docs/BENCHMARKS.md). Needs an "
+                             "int8 store, N >= batch_size; incompatible "
+                             "with --aot_artifact / --data_parallel > 1")
     parser.add_argument("--data_parallel", type=int, default=1,
                         help="shard each served batch over the first N "
                              "local devices of a 1-D data mesh (params "

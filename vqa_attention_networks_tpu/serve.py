@@ -50,9 +50,15 @@ class DeviceFeatureCache:
       batch currently being assembled.
     """
 
-    def __init__(self, cfg: Config, capacity: int):
-        l = cfg.img_feature_dim
-        d = cfg.img_feature_channel
+    def __init__(self, cfg: Config, capacity: int,
+                 num_regions: Optional[int] = None,
+                 channels: Optional[int] = None):
+        # grid shape follows the FEEDER (the store actually gathered
+        # from), not the model config: models pool over whatever L the
+        # grid has, so a non-production store (e.g. a 4-region test
+        # fixture) must size the bank, or slot writes shape-mismatch
+        l = num_regions if num_regions is not None else cfg.img_feature_dim
+        d = channels if channels is not None else cfg.img_feature_channel
         self.capacity = int(capacity)
         assert self.capacity >= 1
         self._rows = jax.device_put(
@@ -307,7 +313,10 @@ class InferenceEngine:
         img, n = self._pad(self._to_f16(image_features))
         return (img,), n
 
-    def attach_feature_cache(self, capacity: int, fetch) -> DeviceFeatureCache:
+    def attach_feature_cache(self, capacity: int, fetch,
+                             num_regions: Optional[int] = None,
+                             channels: Optional[int] = None,
+                             ) -> DeviceFeatureCache:
         """Enable the device-resident feature bank (``DeviceFeatureCache``)
         and the ``predict_*_by_id`` entry points.
 
@@ -332,10 +341,19 @@ class InferenceEngine:
                 "device feature cache needs the jit engine; the AOT "
                 "artifact is a fixed per-request-feed program"
             )
+        import threading
+
         from vqa_attention_networks_tpu import aot
 
-        self._cache = DeviceFeatureCache(self.cfg, capacity)
+        self._cache = DeviceFeatureCache(
+            self.cfg, capacity, num_regions=num_regions, channels=channels
+        )
         self._fetch = fetch
+        # held across ensure()+dispatch: a concurrent caller's eviction
+        # must not retarget a slot between this batch's index resolution
+        # and its gather being enqueued (device FIFO then guarantees the
+        # gather reads the slots ensure() resolved)
+        self._bank_lock = threading.Lock()
         self._fwd_bank = jax.jit(
             aot.serving_forward_banked(self.cfg, self.topk)
         )
@@ -359,15 +377,17 @@ class InferenceEngine:
         id — a cache hit ships zero feature bytes host->device."""
         if ques_length is None:
             ques_length = (questions != 0).sum(axis=1).astype(np.int32)
-        idx, n = self._bank_args(image_ids)
         ques, _ = self._pad(questions.astype(np.int32))
         qlen, _ = self._pad(
             np.maximum(ques_length.astype(np.int32), 1), fill=1
         )
-        top_i, top_p = self._fwd_bank(
-            self.params, self._cache.rows, self._cache.scale, idx, ques, qlen
-        )
-        return self._collect((top_i, top_p), n)
+        with self._bank_lock:
+            idx, n = self._bank_args(image_ids)
+            handles = self._fwd_bank(
+                self.params, self._cache.rows, self._cache.scale,
+                idx, ques, qlen,
+            )
+        return self._collect(handles, n)
 
     def predict_stream_by_id(
         self,
@@ -381,15 +401,16 @@ class InferenceEngine:
         for image_ids, questions, ques_length in batches:
             if ques_length is None:
                 ques_length = (questions != 0).sum(axis=1).astype(np.int32)
-            idx, n = self._bank_args(image_ids)
             ques, _ = self._pad(questions.astype(np.int32))
             qlen, _ = self._pad(
                 np.maximum(ques_length.astype(np.int32), 1), fill=1
             )
-            handles = self._fwd_bank(
-                self.params, self._cache.rows, self._cache.scale,
-                idx, ques, qlen,
-            )
+            with self._bank_lock:
+                idx, n = self._bank_args(image_ids)
+                handles = self._fwd_bank(
+                    self.params, self._cache.rows, self._cache.scale,
+                    idx, ques, qlen,
+                )
             if pending is not None:
                 yield self._collect(*pending)
             pending = (handles, n)
