@@ -81,8 +81,12 @@ STEPS = [
     # 12 epochs: enough for every family to clear the convergence gate
     # (4-epoch CPU runs showed the slower families still mid-descent);
     # epochs are cheap at TPU throughput
+    # --merge: land each family into docs as it completes — the full
+    # 9-family list is ~9 h at relay speed, so a timeout/kill mid-list
+    # must keep the finished families (and the report records per-row
+    # which chip each family ran on)
     ("soak",
-     [PY, "tools/soak.py", "--epochs", "12",
+     [PY, "tools/soak.py", "--epochs", "12", "--merge",
       "--workdir", "/tmp/soak_tpu"], 6 * 3600, {}),
 ]
 
