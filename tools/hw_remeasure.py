@@ -81,13 +81,17 @@ STEPS = [
     # 12 epochs: enough for every family to clear the convergence gate
     # (4-epoch CPU runs showed the slower families still mid-descent);
     # epochs are cheap at TPU throughput
-    # --merge: land each family into docs as it completes — the full
-    # 9-family list is ~9 h at relay speed, so a timeout/kill mid-list
-    # must keep the finished families (and the report records per-row
-    # which chip each family ran on)
+    # --merge: land each family into docs as it completes, so a
+    # timeout/kill mid-list keeps the finished families (and the report
+    # records per-row which chip each family ran on).
+    # --device_features: the soak store (512 images) lives in HBM and the
+    # feature gather happens in-graph — without it every step re-uploads
+    # 50-200 MB of features over the ~23 MB/s relay (~12 s/step, ~9 h for
+    # the 9-family list); with it the soak is compute-bound. Bit-identical
+    # feeds (tests/test_device_bank_train.py).
     ("soak",
      [PY, "tools/soak.py", "--epochs", "12", "--merge",
-      "--workdir", "/tmp/soak_tpu"], 6 * 3600, {}),
+      "--device_features", "--workdir", "/tmp/soak_tpu"], 6 * 3600, {}),
 ]
 
 # Contingency step (not part of the regular list): run when the flip-rate

@@ -157,6 +157,8 @@ def soak_family(family, qa, store, args, log_dir, task=SOAK_TASK):
     extra = {}
     if getattr(args, "dropout_default", None) is not None:
         extra["dropout_default"] = args.dropout_default
+    if getattr(args, "device_features", False):
+        extra["device_feature_bank"] = True
     cfg = Config(
         model_name=model_name,
         q_vocab_size=len(qa.question_vocab) + 1,
@@ -430,6 +432,14 @@ def main(argv=None):
                    help="which gate binds the exit code per family: auto "
                         "= convergence for >=8-epoch runs, drift below; "
                         "convergence = every family must show learning")
+    p.add_argument("--device_features", action="store_true",
+                   help="train with Config.device_feature_bank: upload the "
+                        "soak's feature store to HBM once and gather "
+                        "in-graph. Bit-identical to the host feed "
+                        "(tests/test_device_bank_train.py); turns the "
+                        "relay-transfer-bound TPU soak (~12 s/step, "
+                        "50-200 MB feature upload per step over a ~23 MB/s "
+                        "link) compute-bound")
     p.add_argument("--dropout_default", type=float, default=None,
                    help="override Config.dropout_default (diagnostic: the "
                         "0.5-dropout families learn slowly at soak scale; "

@@ -41,6 +41,7 @@ def build_solver(args) -> Solver:
         num_epoch=args.num_epoch,
         compute_dtype=args.compute_dtype,
         fast_path=args.fast_path,
+        device_feature_bank=bool(args.device_feature_bank),
         early_stopping=bool(args.early_stopping),
         patience=args.patience,
         early_stop_metric=args.early_stop_metric,
@@ -86,6 +87,13 @@ def main(argv=None) -> None:
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--num_epoch", type=int, default=18)
     parser.add_argument("--compute_dtype", type=str, default="float32")
+    parser.add_argument("--device_feature_bank", type=int, default=0,
+                        help="keep the WHOLE feature store in device HBM "
+                             "and gather in-graph (zero feature bytes per "
+                             "step on the host->device link); bit-identical "
+                             "to the host feed. Needs the store to fit "
+                             "next to params/activations — the Solver "
+                             "enforces Config.device_feature_bank_budget")
     parser.add_argument("--fast_path", type=str, default="auto",
                         help="auto|pallas|composed — bf16 eval wq-kernel "
                              "dispatch policy (config.py fast_path)")

@@ -140,6 +140,23 @@ class Config:
     # VQA_DISABLE_PALLAS=1 remains the process-wide emergency kill switch.
     fast_path: str = "auto"
 
+    # --- training feed policy -------------------------------------------------
+    # Device-resident feature bank for training/eval: the Solver uploads the
+    # ENTIRE feature store to HBM once at init and ships only per-batch row
+    # indices; the feature gather (+ int8 dequant) happens in-graph. Zero
+    # feature bytes per step on the host->device link — the training twin of
+    # serving's DeviceFeatureCache (serve.py), for the common case where the
+    # deduplicated image set fits in HBM (VQA-v2 train is ~83k images; int8 at
+    # 196x2048 = ~33 GB, too big for one v5e chip — but the convergence soak's
+    # 512 images are 205 MB, and multi-chip meshes can afford more). The
+    # Solver enforces a byte budget and raises with sizing guidance when the
+    # store doesn't fit. Bit-identical to the host feed: the bank stores the
+    # same bytes the host would ship (int8 rows + f16 scales, or f16 rows)
+    # and applies the same on-device dequant.
+    device_feature_bank: bool = False
+    # HBM byte budget for the bank (leave headroom for params/activations).
+    device_feature_bank_budget: int = 8 << 30
+
     # --- reference-bug policy ----------------------------------------------
     # The reference carries live bugs whose "fixed" semantics are the evident
     # intent (SURVEY.md section 2). We implement the fixed semantics and record

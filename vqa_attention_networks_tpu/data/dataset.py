@@ -58,6 +58,10 @@ class Batch:
     # dequantises ON DEVICE (int8 crosses host->device, 4x less traffic
     # than the f32 feed, 2x less than f16)
     feature_scale: Optional[np.ndarray] = None  # [B, C] float16
+    # device-feature-bank feed (Config.device_feature_bank): store row
+    # indices instead of feature bytes; the Solver gathers from its
+    # HBM-resident bank in-graph. image_features/feature_scale are None.
+    image_rows: Optional[np.ndarray] = None  # [B] int32
 
     def __len__(self) -> int:
         return int(self.questions.shape[0])
@@ -77,6 +81,7 @@ class VqaBatches:
         seed: int = 0,
         feature_dtype=np.float32,
         drop_remainder: bool = False,
+        device_bank: bool = False,
     ):
         self.split = split
         self.store = store
@@ -86,6 +91,9 @@ class VqaBatches:
         self.shuffle = shuffle
         self.feature_dtype = feature_dtype
         self.drop_remainder = drop_remainder
+        # device_bank: skip the host feature gather entirely — batches carry
+        # store ROW indices and the Solver gathers from its HBM bank in-graph
+        self.device_bank = device_bank
         self.seed = seed
         self._epoch = 0
         # Resolve image_id -> store row once; per-batch gather is then pure
@@ -119,7 +127,11 @@ class VqaBatches:
             valid[b:] = False
             idx = np.concatenate([idx, np.broadcast_to(idx[-1:], (bs - b,))])
         scale = None
-        if np.dtype(self.feature_dtype) == np.int8:
+        rows = None
+        if self.device_bank:
+            feats = None
+            rows = self._rows[idx].astype(np.int32)
+        elif np.dtype(self.feature_dtype) == np.int8:
             feats, scale = self.store.gather_rows_quantized(self._rows[idx])
         else:
             feats = self.store.gather_rows(
@@ -146,6 +158,7 @@ class VqaBatches:
                             if self.split.question_types is not None
                             else None),
             feature_scale=scale,
+            image_rows=rows,
         )
 
     def epoch(

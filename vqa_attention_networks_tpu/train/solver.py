@@ -44,6 +44,7 @@ from vqa_attention_networks_tpu.data.feature_store import FeatureStore
 from vqa_attention_networks_tpu.data.prepare import ANSWER_TYPE_NAMES, QAData
 from vqa_attention_networks_tpu.models import get_model
 from vqa_attention_networks_tpu.parallel import (
+    batch_sharding,
     make_mesh,
     shard_batch,
     shard_params,
@@ -185,6 +186,16 @@ class Solver:
         self._dequant = jax.jit(
             lambda q, s: q.astype(out_dt) * s[:, None, :].astype(out_dt)
         )
+        # Device feature bank (Config.device_feature_bank): the whole store
+        # lives in HBM, batches carry row indices, the gather (+ dequant) is
+        # in-graph — zero feature bytes per step on the host->device link.
+        # The training twin of serving's DeviceFeatureCache (serve.py); the
+        # enabler for compute-bound TPU soaks behind a slow relay link
+        # (docs/OPERATIONS.md: effective H2D ~23 MB/s makes the per-step
+        # 50-200 MB feature upload the wall).
+        self._bank = None
+        if cfg.device_feature_bank:
+            self._bank = self._build_feature_bank(store, out_dt)
         self.batches = {
             split: VqaBatches(
                 getattr(qa_data, split),
@@ -195,6 +206,7 @@ class Solver:
                 shuffle=(cfg.shuffle and split == "train"),
                 seed=cfg.seed,
                 feature_dtype=feature_dtype,
+                device_bank=self._bank is not None,
             )
             for split in ("train", "val")
         }
@@ -337,11 +349,85 @@ class Solver:
     # device feeding
     # ------------------------------------------------------------------
 
+    def _build_feature_bank(self, store: FeatureStore, out_dt):
+        """Upload the whole store to HBM once (Config.device_feature_bank).
+
+        Returns ``(kind, table, scale, lookup)``: the replicated bank arrays
+        plus the jitted in-graph gather. The bank stores EXACTLY the bytes
+        the host feed would ship per batch (int8 rows + f16 scales, or
+        f16/f32 rows) and the lookup applies the same dequant expression as
+        ``self._dequant``, so training under the bank is bit-identical to
+        the host feed (pinned by tests/test_device_bank_train.py).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = len(store)
+        quantized = bool(getattr(store, "quantized", False))
+        regions = getattr(store, "num_regions", None)
+        channels = getattr(store, "channels", None)
+        if regions is None or channels is None:  # CombinedFeatureStore
+            probe = store.gather_rows(np.arange(1), dtype=np.float16)
+            regions, channels = probe.shape[1], probe.shape[2]
+        fdt = (
+            np.float16 if self.cfg.compute_dtype == "bfloat16"
+            else np.float32
+        )
+        row_bytes = (
+            regions * channels + channels * 2 if quantized
+            else regions * channels * np.dtype(fdt).itemsize
+        )
+        bank_bytes = n * row_bytes
+        budget = self.cfg.device_feature_bank_budget
+        if bank_bytes > budget:
+            raise ValueError(
+                f"device_feature_bank: store is {bank_bytes / 2**30:.1f} GiB "
+                f"({n} images x {row_bytes} B), over the "
+                f"{budget / 2**30:.1f} GiB budget "
+                "(Config.device_feature_bank_budget). Quantize the store "
+                "(tools/quantize_store.py, 2-4x smaller), raise the budget "
+                "if the chip has headroom, or fall back to the host feed."
+            )
+        repl = NamedSharding(self.mesh, P())
+        out = batch_sharding(self.mesh)
+        if quantized:
+            q, s = store.gather_rows_quantized(np.arange(n))
+            lookup = jax.jit(
+                lambda t, sc, r: (
+                    t[r].astype(out_dt) * sc[r][:, None, :].astype(out_dt)
+                ),
+                out_shardings=out,
+            )
+            return ("q", jax.device_put(q, repl),
+                    jax.device_put(s, repl), lookup)
+        table = store.gather_rows(np.arange(n), dtype=fdt)
+        # same dtype the host feed ships — the model casts on device either
+        # way, keeping the two feeds bit-identical
+        lookup = jax.jit(lambda t, r: t[r], out_shardings=out)
+        return ("f", jax.device_put(table, repl), None, lookup)
+
     def _device_batch(self, batch: Batch) -> Tuple:
         soft = batch.soft_answers
         if soft is None:
             # static placeholder keeps one compiled signature per model
             soft = np.zeros((len(batch), 1), np.float32)
+        if self._bank is not None:
+            rows, ques, answers, qlen, valid, soft = shard_batch(
+                self.mesh,
+                (
+                    batch.image_rows,
+                    batch.questions,
+                    batch.answers,
+                    batch.ques_length,
+                    batch.valid,
+                    soft,
+                ),
+            )
+            kind, table, scale, lookup = self._bank
+            img = (
+                lookup(table, scale, rows) if kind == "q"
+                else lookup(table, rows)
+            )
+            return (img, ques, answers, qlen, valid, soft)
         img, ques, answers, qlen, valid, soft, scale = shard_batch(
             self.mesh,
             (
