@@ -46,7 +46,8 @@ def make_case():
     }
 
 
-def make_eval_solver(workdir, store_sub, results_sub, data_axis, n_val=24):
+def make_eval_solver(workdir, store_sub, results_sub, data_axis, n_val=24,
+                     **cfg_kw):
     """Deterministic Solver for the multi-process full-eval parity test.
 
     Same seed-0 synthetic data + flagship config on every caller, so the
@@ -83,6 +84,7 @@ def make_eval_solver(workdir, store_sub, results_sub, data_axis, n_val=24):
         mfb_out=8, batch_size=8, num_epoch=1, checkpoint_every_steps=0,
         out_dir=os.path.join(workdir, store_sub, "models"),
         results_dir=os.path.join(workdir, results_sub, "results"),
+        **cfg_kw,
     ).validate()
     mesh = make_mesh(data=data_axis, model=1)
     return Solver(cfg, qa, store, mesh=mesh,

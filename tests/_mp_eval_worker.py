@@ -27,6 +27,12 @@ pid, nproc, port, outdir = (
 # optional: val-split size (a non-multiple of the batch size exercises the
 # padded final batch across the process-sharded mesh)
 n_val = int(sys.argv[5]) if len(sys.argv) > 5 else 24
+# optional: feature-feed mode — host | bank | bank_shard. The bank modes
+# exercise the device feature bank's multi-process placement
+# (parallel/sharding.place_global: remote shards are non-addressable, so a
+# bare device_put would fail here) and, for bank_shard, the ppermute ring
+# gather across real OS processes.
+feed = sys.argv[6] if len(sys.argv) > 6 else "host"
 
 import jax
 
@@ -53,6 +59,8 @@ from tests._mp_case import make_eval_solver
 solver = make_eval_solver(
     outdir, store_sub=f"store_p{pid}", results_sub="mp",
     data_axis=2 * nproc, n_val=n_val,
+    device_feature_bank=feed in ("bank", "bank_shard"),
+    device_feature_bank_shard=feed == "bank_shard",
 )
 loss, acc = solver.val(full=True)
 solver.close()

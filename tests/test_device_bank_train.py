@@ -105,6 +105,93 @@ def test_bank_on_data_parallel_mesh_matches_host_feed(tmp_path):
     assert loss_b == loss_h and acc_b == acc_h
 
 
+@pytest.mark.parametrize("quantized", [False, True],
+                         ids=["f16_store", "int8_store"])
+def test_sharded_bank_bit_identical_to_host_and_replicated(
+    tmp_path, quantized
+):
+    # Config.device_feature_bank_shard: bank rows split over the 'data'
+    # axis, gather = ppermute ring over ICI. Each row is filled by exactly
+    # one owner with the replicated lookup's expression (via `where`, no
+    # float adds), so all three feeds must agree EXACTLY. The 6-image
+    # store is NOT divisible by data=4, so this also exercises the
+    # zero-row padding path.
+    qa = _qa()
+    store = _store(tmp_path, qa, quantized)
+    mesh = make_mesh(data=4, model=2)
+    m_host, loss_h, acc_h = _run(tmp_path, qa, store, "sh_host", mesh=mesh)
+    m_repl, loss_r, acc_r = _run(
+        tmp_path, qa, store, "sh_repl", mesh=make_mesh(data=4, model=2),
+        device_feature_bank=True,
+    )
+    m_shrd, loss_s, acc_s = _run(
+        tmp_path, qa, store, "sh_shrd", mesh=make_mesh(data=4, model=2),
+        device_feature_bank=True, device_feature_bank_shard=True,
+    )
+    assert m_shrd["train_loss"] == m_host["train_loss"] == m_repl["train_loss"]
+    assert m_shrd["train_acc"] == m_host["train_acc"] == m_repl["train_acc"]
+    assert loss_s == loss_h == loss_r and acc_s == acc_h == acc_r
+
+
+def test_combined_store_bank_uses_dense_rows(tmp_path):
+    # A CombinedFeatureStore's row handles are (store << 40) | row — they
+    # neither fit int32 nor index a concatenated table. The bank path must
+    # densify them (store.dense_rows / all_rows); before the fix the cast
+    # to int32 silently truncated every handle from the second store.
+    from vqa_attention_networks_tpu.data.feature_store import (
+        CombinedFeatureStore,
+    )
+
+    qa = _qa()
+    ids = sorted(set(qa.train.image_ids) | set(qa.val.image_ids))
+    assert len(ids) >= 4
+    s0 = make_synthetic_feature_store(
+        str(tmp_path / "f0"), image_ids=ids[:2], num_regions=196, channels=32
+    )
+    s1 = make_synthetic_feature_store(
+        str(tmp_path / "f1"), image_ids=ids[2:], num_regions=196, channels=32
+    )
+    store = CombinedFeatureStore([s0, s1])
+    # dense handles must round-trip to the same bytes gather_rows returns
+    enc = store.rows_for(ids)
+    dense = store.dense_rows(enc)
+    assert dense.max() < len(store) and dense.min() >= 0
+    table = store.gather_rows(store.all_rows(), dtype=np.float32)
+    np.testing.assert_array_equal(
+        table[dense], store.gather_rows(enc, dtype=np.float32)
+    )
+    m_host, loss_h, acc_h = _run(tmp_path, qa, store, "comb_host")
+    m_bank, loss_b, acc_b = _run(
+        tmp_path, qa, store, "comb_bank", device_feature_bank=True
+    )
+    assert m_bank["train_loss"] == m_host["train_loss"]
+    assert m_bank["train_acc"] == m_host["train_acc"]
+    assert loss_b == loss_h and acc_b == acc_h
+
+
+def test_f32_compute_bank_stays_f16_resident(tmp_path):
+    # ADVICE r4: an f16-native store must stay f16 in HBM under f32
+    # compute (the in-graph upcast is exact) — half the bank bytes.
+    qa = _qa()
+    store = _store(tmp_path, qa, quantized=False)
+    cfg = _cfg(tmp_path, qa, "f16res", device_feature_bank=True,
+               compute_dtype="float32")
+    solver = Solver(cfg, qa, store, mesh=make_mesh(data=1, model=1),
+                    log_dir=str(tmp_path / "runs_f16res"))
+    kind, table, scale, lookup = solver._bank
+    assert kind == "f" and table.dtype == np.float16
+    # and the lookup still emits the f32 the host feed would ship
+    import jax.numpy as jnp
+
+    out = lookup(table, np.zeros(4, np.int32))
+    assert out.dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(out),
+        store.gather_rows(np.zeros(4, np.int64), dtype=np.float32),
+    )
+    solver.close()
+
+
 def test_bank_over_budget_raises_with_guidance(tmp_path):
     qa = _qa()
     store = _store(tmp_path, qa, quantized=False)

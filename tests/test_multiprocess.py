@@ -217,3 +217,32 @@ def test_four_process_eval_padded_final_batch(tmp_path):
     # would show up as extra/duplicate ids
     assert len(preds_mp) == n_val
     assert len({r["question_id"] for r in preds_mp}) == n_val
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("feed", ["bank", "bank_shard"])
+def test_two_process_eval_with_device_feature_bank(tmp_path, feed):
+    """ADVICE r4: the device feature bank across real OS processes. Both
+    placements upload via parallel/sharding.place_global (remote shards
+    are non-addressable — a bare device_put would fail); 'bank_shard'
+    additionally runs the ppermute ring gather over a mesh that spans
+    processes. Scalars must match the single-process HOST-feed truth
+    exactly (the bank is bit-identical to the host feed by construction)."""
+    nproc = 2
+    _run_workers("_mp_eval_worker.py", nproc, tmp_path,
+                 extra_args=(24, feed))
+
+    from tests._mp_case import make_eval_solver
+
+    solver = make_eval_solver(
+        str(tmp_path), store_sub="store_single", results_sub="single",
+        data_axis=1,
+    )
+    loss_1, acc_1 = solver.val(full=True)
+    solver.close()
+
+    for pid in range(nproc):
+        with open(tmp_path / f"proc{pid}_eval.json") as f:
+            got = json.load(f)
+        np.testing.assert_allclose(got["loss"], float(loss_1), rtol=1e-5)
+        np.testing.assert_allclose(got["acc"], float(acc_1), atol=1e-9)

@@ -42,6 +42,10 @@ def build_solver(args) -> Solver:
         compute_dtype=args.compute_dtype,
         fast_path=args.fast_path,
         device_feature_bank=bool(args.device_feature_bank),
+        device_feature_bank_budget=int(
+            args.device_feature_bank_budget * (1 << 30)
+        ),
+        device_feature_bank_shard=bool(args.device_feature_bank_shard),
         early_stopping=bool(args.early_stopping),
         patience=args.patience,
         early_stop_metric=args.early_stop_metric,
@@ -94,6 +98,20 @@ def main(argv=None) -> None:
                              "to the host feed. Needs the store to fit "
                              "next to params/activations — the Solver "
                              "enforces Config.device_feature_bank_budget")
+    parser.add_argument("--device_feature_bank_budget", type=float,
+                        default=8.0, metavar="GIB",
+                        help="HBM byte budget for --device_feature_bank, "
+                             "in GiB PER DEVICE "
+                             "(Config.device_feature_bank_budget); raise "
+                             "it when the chip has headroom, lower it to "
+                             "leave room for params/activations")
+    parser.add_argument("--device_feature_bank_shard", type=int, default=0,
+                        help="shard the bank's rows over the 'data' mesh "
+                             "axis instead of replicating (per-device HBM "
+                             "cost drops to store/n_data; the in-graph "
+                             "gather becomes a ppermute ring over ICI). "
+                             "Bit-identical to the replicated bank and "
+                             "the host feed")
     parser.add_argument("--fast_path", type=str, default="auto",
                         help="auto|pallas|composed — bf16 eval wq-kernel "
                              "dispatch policy (config.py fast_path)")

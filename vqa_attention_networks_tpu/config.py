@@ -154,8 +154,22 @@ class Config:
     # same bytes the host would ship (int8 rows + f16 scales, or f16 rows)
     # and applies the same on-device dequant.
     device_feature_bank: bool = False
-    # HBM byte budget for the bank (leave headroom for params/activations).
+    # HBM byte budget for the bank, PER DEVICE (leave headroom for
+    # params/activations).
     device_feature_bank_budget: int = 8 << 30
+    # Shard the bank's rows over the 'data' mesh axis instead of
+    # replicating it on every device. Replicated cost is store_bytes x
+    # n_devices across the mesh; sharded cost is store_bytes / n_data PER
+    # DEVICE, so effective bank capacity scales with the mesh (VQA-v2
+    # train int8 at ~33 GB fits a 4-chip data axis that replication never
+    # could). The in-graph gather becomes a ring exchange over ICI
+    # (lax.ppermute): each device's (indices, accumulator) visits every
+    # table shard once — peak temporary is one PER-DEVICE batch slice, and
+    # the bytes move over ICI instead of the host link. Bit-identical to
+    # the replicated bank and the host feed: each row is dequantised by
+    # exactly one owner with the same expression, and every other ring
+    # stop leaves it untouched (tests/test_device_bank_train.py).
+    device_feature_bank_shard: bool = False
 
     # --- reference-bug policy ----------------------------------------------
     # The reference carries live bugs whose "fixed" semantics are the evident

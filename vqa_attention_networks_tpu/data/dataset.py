@@ -32,7 +32,10 @@ class Batch:
     """One device-ready batch. ``soft_answers`` is densified on the host
     (cheap: B x 10 scatter) exactly as ``data_loader.py:39-42`` does."""
 
-    image_features: np.ndarray  # [B, 196, 2048] (int8 when quantized feed)
+    # [B, 196, 2048] (int8 when quantized feed); None in device-bank mode
+    # (Config.device_feature_bank) — the solver gathers rows from HBM via
+    # ``image_rows`` instead of shipping features host->device
+    image_features: Optional[np.ndarray]
     questions: np.ndarray  # [B, T] int32
     answers: np.ndarray  # [B] int32 hard labels
     ques_length: np.ndarray  # [B] int32
@@ -99,6 +102,13 @@ class VqaBatches:
         # Resolve image_id -> store row once; per-batch gather is then pure
         # integer indexing into the memmap.
         self._rows = store.rows_for(split.image_ids)
+        # Device-bank rows must be DENSE positions in [0, n): a
+        # CombinedFeatureStore's handles are (store << 40) | row, which
+        # neither fit int32 nor index the concatenated bank table.
+        self._bank_rows = (
+            store.dense_rows(self._rows).astype(np.int32)
+            if device_bank else None
+        )
 
     def __len__(self) -> int:
         n = len(self.split)
@@ -130,7 +140,7 @@ class VqaBatches:
         rows = None
         if self.device_bank:
             feats = None
-            rows = self._rows[idx].astype(np.int32)
+            rows = self._bank_rows[idx]
         elif np.dtype(self.feature_dtype) == np.int8:
             feats, scale = self.store.gather_rows_quantized(self._rows[idx])
         else:

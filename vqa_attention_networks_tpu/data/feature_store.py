@@ -222,6 +222,14 @@ class FeatureStore:
         """Gather a batch of feature grids: [B, num_regions, channels]."""
         return self.gather_rows(self.rows_for(image_ids), dtype)
 
+    def all_rows(self) -> np.ndarray:
+        """Every row handle in dense order (CombinedFeatureStore twin)."""
+        return np.arange(len(self), dtype=np.int64)
+
+    def dense_rows(self, rows: np.ndarray) -> np.ndarray:
+        """Row handles are already dense [0, n) positions here."""
+        return np.asarray(rows)
+
     @property
     def quantized(self) -> bool:
         return self.features.dtype == np.int8
@@ -332,6 +340,26 @@ class CombinedFeatureStore:
     @property
     def quantized(self) -> bool:
         return all(s.quantized for s in self.stores)
+
+    def all_rows(self) -> np.ndarray:
+        """Every row handle, in canonical (store-concatenation) order.
+
+        The device feature bank gathers the table in this order and
+        addresses it with ``dense_rows`` — plain positions in [0, n) —
+        because the encoded ``(store << 40) | row`` handles neither fit
+        int32 nor index a concatenated table."""
+        return np.concatenate([
+            (np.int64(si) << 40) | np.arange(len(s), dtype=np.int64)
+            for si, s in enumerate(self.stores)
+        ])
+
+    def dense_rows(self, rows: np.ndarray) -> np.ndarray:
+        """Map encoded row handles to dense positions in [0, len(self))."""
+        rows = np.asarray(rows)
+        store_idx = rows >> 40
+        local = rows & ((1 << 40) - 1)
+        offsets = np.cumsum([0] + [len(s) for s in self.stores[:-1]])
+        return offsets[store_idx] + local
 
     def gather_rows_quantized(self, rows: np.ndarray):
         assert self.quantized, "gather_rows_quantized needs int8 stores"

@@ -27,6 +27,7 @@ from vqa_attention_networks_tpu.parallel.mesh import (  # noqa: F401
 from vqa_attention_networks_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
     param_shardings,
+    place_global,
     shard_batch,
     shard_params,
 )

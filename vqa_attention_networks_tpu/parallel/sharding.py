@@ -72,6 +72,24 @@ def shard_params(
     return jax.device_put(params, shardings)
 
 
+def place_global(mesh: Mesh, x: np.ndarray, spec: P) -> jax.Array:
+    """Place one host-global array onto the mesh under ``spec``.
+
+    Single process: a plain ``device_put``. Multi-process (a mesh that
+    spans hosts, where remote shards are non-addressable and a bare
+    ``device_put`` would fail): every host holds the same global array
+    and ``make_array_from_callback`` materialises only this process's
+    addressable shards — no cross-host data movement. Used for one-shot
+    uploads that are not per-step batches (the device feature bank).
+    """
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_callback(
+        x.shape, sharding, lambda idx: np.ascontiguousarray(x[idx])
+    )
+
+
 def shard_batch(mesh: Mesh, batch: Pytree) -> Pytree:
     """Place a host batch onto the mesh, leading axis over 'data'.
 

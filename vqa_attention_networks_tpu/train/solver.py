@@ -46,6 +46,7 @@ from vqa_attention_networks_tpu.models import get_model
 from vqa_attention_networks_tpu.parallel import (
     batch_sharding,
     make_mesh,
+    param_shardings,
     shard_batch,
     shard_params,
 )
@@ -163,10 +164,26 @@ class Solver:
         else:
             schedule = cfg.lr
         self.tx = optax.adam(schedule)
-        # jitted init: moment shardings propagate from the params — a bare
-        # device_put would fail on multi-process meshes (params shards on
-        # other hosts are non-addressable; caught by test_multiprocess.py)
-        self.opt_state = jax.jit(self.tx.init)(self.params)
+        # jitted init with EXPLICIT moment shardings: each adam moment gets
+        # its param's sharding (TP fusion weights keep their 'model' split)
+        # and scalars (count) replicate over the mesh. Left to the
+        # compiler, replicated-input outputs collapse onto device 0 —
+        # wrong placement on a mesh. Jitted (not device_put) so it also
+        # works on multi-process meshes where remote shards are
+        # non-addressable (caught by test_multiprocess.py).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        p_shardings = param_shardings(self.mesh, self.params, cfg.fusion_dim)
+        opt_shardings = optax.tree_map_params(
+            self.tx,
+            lambda _, s: s,
+            jax.eval_shape(self.tx.init, self.params),
+            p_shardings,
+            transform_non_params=lambda _: NamedSharding(self.mesh, P()),
+        )
+        self.opt_state = jax.jit(
+            self.tx.init, out_shardings=opt_shardings
+        )(self.params)
 
         # data pipelines (the counterpart of solver.py:39-41). With a bf16
         # compute dtype the features ship as f16 (same store dtype) and the
@@ -352,14 +369,34 @@ class Solver:
     def _build_feature_bank(self, store: FeatureStore, out_dt):
         """Upload the whole store to HBM once (Config.device_feature_bank).
 
-        Returns ``(kind, table, scale, lookup)``: the replicated bank arrays
-        plus the jitted in-graph gather. The bank stores EXACTLY the bytes
-        the host feed would ship per batch (int8 rows + f16 scales, or
-        f16/f32 rows) and the lookup applies the same dequant expression as
-        ``self._dequant``, so training under the bank is bit-identical to
-        the host feed (pinned by tests/test_device_bank_train.py).
+        Returns ``(kind, table, scale, lookup)``: the bank arrays plus the
+        jitted in-graph gather. Two placements
+        (``Config.device_feature_bank_shard``):
+
+        - **replicated** (default): every device holds the full table; the
+          lookup is a local gather. HBM cost = store bytes PER DEVICE.
+        - **sharded over 'data'**: device d holds the row block
+          ``[d*n/D, (d+1)*n/D)``; the lookup is a ring exchange over ICI
+          (``lax.ppermute``): each data shard's (indices, accumulator)
+          pair visits every table shard once, and the owner fills the rows
+          it has via ``where`` (no float adds — bit-exact). HBM cost =
+          store bytes / D per device, so bank capacity SCALES with the
+          mesh; peak temporary is one per-device batch slice, and the
+          moved bytes equal the batch's feature bytes — over ICI instead
+          of the host link.
+
+        Either placement stores EXACTLY the bytes the host feed would ship
+        per batch (int8 rows + f16 scales, or f16 rows upcast in-graph —
+        the f16->f32 upcast is exact) and applies the same dequant
+        expression as ``self._dequant``, so training under the bank is
+        bit-identical to the host feed and to the other placement (pinned
+        by tests/test_device_bank_train.py).
         """
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from vqa_attention_networks_tpu.parallel.mesh import DATA_AXIS
+        from vqa_attention_networks_tpu.parallel.sharding import place_global
 
         n = len(store)
         quantized = bool(getattr(store, "quantized", False))
@@ -368,42 +405,133 @@ class Solver:
         if regions is None or channels is None:  # CombinedFeatureStore
             probe = store.gather_rows(np.arange(1), dtype=np.float16)
             regions, channels = probe.shape[1], probe.shape[2]
-        fdt = (
+
+        def _native_f16(s) -> bool:
+            if hasattr(s, "stores"):
+                return all(_native_f16(m) for m in s.stores)
+            dt = getattr(getattr(s, "features", None), "dtype", None)
+            return dt == np.float16
+
+        # dtype the host feed would ship (the lookup's output dtype) ...
+        feed_dt = (
             np.float16 if self.cfg.compute_dtype == "bfloat16"
             else np.float32
         )
+        # ... and the dtype the table is RESIDENT in: an f16-native store
+        # stays f16 in HBM even under f32 compute (the in-graph upcast is
+        # exact, so bit-parity with the f32 host feed holds at half the
+        # HBM cost)
+        table_dt = (
+            np.float16 if _native_f16(store) or feed_dt == np.float16
+            else np.float32
+        )
+
+        sharded = bool(self.cfg.device_feature_bank_shard)
+        ndata = int(self.mesh.shape[DATA_AXIS])
+        if ndata == 1:
+            sharded = False  # one data shard: sharded == replicated
+        n_rows = n + ((-n) % ndata if sharded else 0)  # pad so D | rows
         row_bytes = (
             regions * channels + channels * 2 if quantized
-            else regions * channels * np.dtype(fdt).itemsize
+            else regions * channels * np.dtype(table_dt).itemsize
         )
-        bank_bytes = n * row_bytes
+        bank_bytes = n_rows * row_bytes
+        per_device = bank_bytes // (ndata if sharded else 1)
         budget = self.cfg.device_feature_bank_budget
-        if bank_bytes > budget:
+        if per_device > budget:
+            hint = (
+                "" if sharded or ndata == 1 else
+                " shard the bank over the data axis "
+                "(Config.device_feature_bank_shard — per-device cost "
+                f"drops {ndata}x to "
+                f"{bank_bytes / ndata / 2**30:.1f} GiB on this mesh),"
+            )
             raise ValueError(
-                f"device_feature_bank: store is {bank_bytes / 2**30:.1f} GiB "
-                f"({n} images x {row_bytes} B), over the "
-                f"{budget / 2**30:.1f} GiB budget "
+                f"device_feature_bank: store needs "
+                f"{per_device / 2**30:.1f} GiB per device ({n} images x "
+                f"{row_bytes} B"
+                f"{f', sharded {ndata}-way' if sharded else ''}), over "
+                f"the {budget / 2**30:.1f} GiB per-device budget "
                 "(Config.device_feature_bank_budget). Quantize the store "
-                "(tools/quantize_store.py, 2-4x smaller), raise the budget "
-                "if the chip has headroom, or fall back to the host feed."
+                "(tools/quantize_store.py, 2-4x smaller)," + hint +
+                " raise the budget if the chip has headroom "
+                "(cli/train.py --device_feature_bank_budget GIB), or "
+                "fall back to the host feed."
             )
-        repl = NamedSharding(self.mesh, P())
+        spec = P(DATA_AXIS) if sharded else P()
         out = batch_sharding(self.mesh)
+        # dense canonical row order — a CombinedFeatureStore's encoded
+        # (store << 40) | row handles cannot index a concatenated table
+        all_rows = (
+            store.all_rows() if hasattr(store, "all_rows")
+            else np.arange(n, dtype=np.int64)
+        )
+
+        def _pad(a):
+            if n_rows == n:
+                return a
+            fill = np.zeros((n_rows - n,) + a.shape[1:], a.dtype)
+            return np.concatenate([a, fill], axis=0)
+
+        def _ring_lookup(fill, acc_dt, n_tables):
+            """Sharded-bank gather: rotate each data shard's (indices,
+            accumulator) around the 'data' ICI ring; at each stop the
+            local table shard fills the rows it owns. D rotations return
+            the pair home having visited every shard."""
+            perm = [(j, (j + 1) % ndata) for j in range(ndata)]
+
+            def shard_fn(*a):
+                t_loc, r_loc = a[:-1], a[-1]
+                rows_per = t_loc[0].shape[0]
+                acc = jnp.zeros((r_loc.shape[0], regions, channels), acc_dt)
+                for _ in range(ndata):
+                    d = jax.lax.axis_index(DATA_AXIS)
+                    local = r_loc - d * rows_per
+                    ok = (local >= 0) & (local < rows_per)
+                    safe = jnp.clip(local, 0, rows_per - 1)
+                    acc = jnp.where(ok[:, None, None],
+                                    fill(t_loc, safe), acc)
+                    r_loc = jax.lax.ppermute(r_loc, DATA_AXIS, perm)
+                    acc = jax.lax.ppermute(acc, DATA_AXIS, perm)
+                return acc
+
+            return jax.jit(shard_map(
+                shard_fn, mesh=self.mesh,
+                in_specs=tuple(P(DATA_AXIS) for _ in range(n_tables + 1)),
+                out_specs=P(DATA_AXIS),
+            ))
+
         if quantized:
-            q, s = store.gather_rows_quantized(np.arange(n))
-            lookup = jax.jit(
-                lambda t, sc, r: (
-                    t[r].astype(out_dt) * sc[r][:, None, :].astype(out_dt)
-                ),
-                out_shardings=out,
+            q, s = store.gather_rows_quantized(all_rows)
+            q, s = _pad(q), _pad(s)
+            if sharded:
+                lookup = _ring_lookup(
+                    lambda t, r: (t[0][r].astype(out_dt)
+                                  * t[1][r][:, None, :].astype(out_dt)),
+                    out_dt, n_tables=2,
+                )
+            else:
+                lookup = jax.jit(
+                    lambda t, sc, r: (
+                        t[r].astype(out_dt)
+                        * sc[r][:, None, :].astype(out_dt)
+                    ),
+                    out_shardings=out,
+                )
+            return ("q", place_global(self.mesh, q, spec),
+                    place_global(self.mesh, s, spec), lookup)
+        table = _pad(store.gather_rows(all_rows, dtype=table_dt))
+        if sharded:
+            lookup = _ring_lookup(
+                lambda t, r: t[0][r].astype(feed_dt), feed_dt, n_tables=1,
             )
-            return ("q", jax.device_put(q, repl),
-                    jax.device_put(s, repl), lookup)
-        table = store.gather_rows(np.arange(n), dtype=fdt)
-        # same dtype the host feed ships — the model casts on device either
-        # way, keeping the two feeds bit-identical
-        lookup = jax.jit(lambda t, r: t[r], out_shardings=out)
-        return ("f", jax.device_put(table, repl), None, lookup)
+        else:
+            # emits the dtype the host feed ships — the model casts on
+            # device either way, keeping the two feeds bit-identical
+            lookup = jax.jit(
+                lambda t, r: t[r].astype(feed_dt), out_shardings=out
+            )
+        return ("f", place_global(self.mesh, table, spec), None, lookup)
 
     def _device_batch(self, batch: Batch) -> Tuple:
         soft = batch.soft_answers
