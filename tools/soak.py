@@ -82,7 +82,8 @@ FAMILY_TASK = {}
 
 
 def make_learnable_qa(rng, n_train, n_val, q_vocab_words, num_answers,
-                      max_len, num_images, task=SOAK_TASK):
+                      max_len, num_images, task=SOAK_TASK,
+                      val_mode="fresh"):
     """QAData whose answers are predictable from (key_token, image_id).
 
     Task v2 ("key-token-v2"): the answer-determining KEY token sits at
@@ -111,7 +112,7 @@ def make_learnable_qa(rng, n_train, n_val, q_vocab_words, num_answers,
     # every filler to the single UNK id)
     n_keys = min(64, max(8, q_vocab_words // 4))
 
-    def _split(n):
+    def _split(n, keys=None, image_ids=None):
         lengths = rng.integers(3, max_len + 1, size=n).astype(np.int32)
         questions = np.zeros((n, max_len), dtype=np.int32)
         for i, l in enumerate(lengths):
@@ -120,8 +121,11 @@ def make_learnable_qa(rng, n_train, n_val, q_vocab_words, num_answers,
             questions[i, 1:l] = rng.integers(
                 n_keys + 1, q_vocab_words + 2, size=int(l) - 1
             )
-        questions[:, 0] = rng.integers(1, n_keys + 1, size=n)
-        image_ids = rng.integers(0, num_images, size=n).astype(np.int64)
+        if keys is None:
+            keys = rng.integers(1, n_keys + 1, size=n)
+        questions[:, 0] = keys
+        if image_ids is None:
+            image_ids = rng.integers(0, num_images, size=n).astype(np.int64)
         key_term = questions[:, 0].astype(np.int64) * 7
         if task == TASK_KEY_ONLY:
             answers = (key_term % num_answers).astype(np.int32)
@@ -143,7 +147,21 @@ def make_learnable_qa(rng, n_train, n_val, q_vocab_words, num_answers,
     question_vocab["UNK"] = q_vocab_words + 1
     answer_vocab = {f"a{i}": i for i in range(num_answers - 1)}
     answer_vocab["UNK"] = num_answers - 1
-    return QAData(train=_split(n_train), val=_split(n_val),
+    train = _split(n_train)
+    if val_mode == "seen":
+        # generalization-to-seen-pattern arm: val reuses TRAIN
+        # (key, image) combinations — whose answers the model can have
+        # learned — but with fresh filler tokens and lengths, so val acc
+        # measures pattern recall, not memorized full questions. With
+        # "fresh" (default) val combos are new and the modular answer map
+        # makes them unpredictable by construction (val acc ~= chance is
+        # the expected outcome; see docs/SOAK.md).
+        pick = rng.integers(0, n_train, size=n_val)
+        val = _split(n_val, keys=train.questions[pick, 0],
+                     image_ids=train.image_ids[pick])
+    else:
+        val = _split(n_val)
+    return QAData(train=train, val=val,
                   answer_vocab=answer_vocab, question_vocab=question_vocab,
                   max_question_length=max_len)
 
@@ -233,6 +251,8 @@ def soak_family(family, qa, store, args, log_dir, task=SOAK_TASK):
         # non-production in the stored report, like the task arm already is
         **({"dropout_default": args.dropout_default}
            if getattr(args, "dropout_default", None) is not None else {}),
+        **({"val_mode": "seen"}
+           if getattr(args, "val_mode", "fresh") == "seen" else {}),
         # assessment context pinned per family: a --merge partial re-run
         # overwrites the stored top-level config, so --redoc and the
         # report's "x chance" column must not assess kept families
@@ -338,6 +358,22 @@ def write_docs(results, config, enforce="auto"):
         "= 7·key mod V) for capacity-control runs at tiny dims "
         "(tools/soak.py FAMILY_TASK comment has the full argument).",
         "",
+        "**Why the val-acc column sits near chance (and why that is "
+        "expected, not a failure):** the answer map is an arbitrary "
+        "modular function `(7·key + 13·image_id) mod V` with no structure "
+        "to generalize from — a model can only *memorize* (key, image) "
+        "combinations it has trained on. The val split draws fresh "
+        "(key, image) pairs, so most val combinations are unseen and "
+        "their answers are unpredictable *by construction*; near-chance "
+        "val accuracy is the mathematically expected outcome of a "
+        "successful run. The soak therefore gates on TRAIN accuracy "
+        "(x-chance), which is the correct signal for what this harness "
+        "tests: that gradients flow and the optimizer can fit the data "
+        "at production dims in production dtype. Generalization to *seen* "
+        "combinations is demonstrated separately by the `--val_mode seen` "
+        "arm (val questions reuse train (key, image) combos with fresh "
+        "filler tokens — see the `val mode` note per row when present).",
+        "",
         f"Platform: per-row column (this run: **{config['platform']}**) | "
         f"dtype: "
         f"**{config['compute_dtype']}** | batch {config['batch_size']} | "
@@ -346,21 +382,28 @@ def write_docs(results, config, enforce="auto"):
         f"**{enforce}**",
         "",
         "| family | task | platform | epochs | loss first→final | "
-        "train acc (x chance) | "
+        "train acc (x chance) | val acc (x chance) | "
         "qa-pairs/s | wall (s) | drift | converged | enforced |",
-        "|---|---|---|---|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     def _f(v, spec):
         return format(v, spec) if v is not None else "—"
 
     for r in results:
         acc = r.get("final_train_acc") or 0.0
+        vacc = r.get("final_val_acc")
         gate = enforced_gate(r, enforce)
         ok = enforced_ok(r, enforce)
         num_answer = r.get("num_answer", config["num_answer"])
         task_label = r.get("task", "pos0-v1")
         if r.get("dropout_default") is not None:
             task_label += f" (dropout={r['dropout_default']:g})"
+        if r.get("val_mode") == "seen":
+            task_label += " (val=seen)"
+        vcol = (
+            f"{vacc:.3f} ({vacc * num_answer:.0f}x)" if vacc is not None
+            else "—"
+        )
         lines.append(
             f"| {r['family']} | {task_label} | "
             # pre-r4 stored entries predate the per-family field; they
@@ -369,7 +412,7 @@ def write_docs(results, config, enforce="auto"):
             f"{len(r.get('epochs') or [])} | "
             f"{_f(r['first_train_loss'], '.4f')} → "
             f"{_f(r['final_train_loss'], '.4f')} | {acc:.3f} "
-            f"({acc * num_answer:.0f}x) | "
+            f"({acc * num_answer:.0f}x) | {vcol} | "
             f"{r['qa_pairs_per_sec']:.0f} | {r['wall_s']} | "
             f"{'PASS' if r['drift_ok'] else 'FAIL'} | "
             f"{'yes' if r['converged'] else 'not yet'} | "
@@ -445,6 +488,15 @@ def main(argv=None):
                         "0.5-dropout families learn slowly at soak scale; "
                         "a dropout-off control separates 'slow under "
                         "production noise' from 'broken gradients')")
+    p.add_argument("--val_mode", default="fresh",
+                   choices=["fresh", "seen"],
+                   help="val split combos: fresh = new (key, image) pairs "
+                        "(answers unpredictable by construction under the "
+                        "modular answer map — val acc ~= chance is the "
+                        "expected outcome); seen = val reuses train "
+                        "(key, image) combos with fresh filler tokens, so "
+                        "val acc demonstrates generalization to seen "
+                        "patterns")
     p.add_argument("--task", default="auto",
                    choices=["auto", SOAK_TASK, TASK_KEY_ONLY],
                    help="learnable-data task; auto = per-family mapping "
@@ -502,7 +554,7 @@ def main(argv=None):
             qa_by_task[task] = make_learnable_qa(
                 rng, args.n_train, args.n_val, args.q_vocab_words,
                 args.num_answer, qa_max_len(args), args.num_images,
-                task=task)
+                task=task, val_mode=getattr(args, "val_mode", "fresh"))
         return qa_by_task[task]
 
     from vqa_attention_networks_tpu.data.feature_store import (
