@@ -141,3 +141,57 @@ def test_dayone_real_data_chain(tmp_path, monkeypatch, capsys):
     assert "What color is the cat?" in out
     # top-k answers printed from the 5-word vocab
     assert any(w in out for w in ("black", "yes", "two", "blue", "UNK"))
+
+    # ---- 8. the reference's BEST config (mhb_coAtt + GloVe,
+    # train_models.py:27-33) through the same chain (VERDICT r4 item 5):
+    # an 840B-FORMAT vectors text file -> cli.build_glove -> train with
+    # the device feature bank ON -> full eval -> predict. Real-data day
+    # must exercise zero first-ever paths for the flagship config.
+    from vqa_attention_networks_tpu.cli import build_glove
+
+    vocab = json.load(open(vocab_path))["question_vocab"]
+    rng2 = np.random.default_rng(9)
+    glove_txt = tmp_path / "glove.840B.300d.txt"
+    with open(glove_txt, "w") as f:
+        # 840B quirks the parser must survive: a token containing a space
+        # (". ."), and a malformed short line
+        f.write(". . " + " ".join(["0.1"] * 300) + "\n")
+        f.write("truncated 0.5 0.5\n")
+        for w in vocab:
+            vec = rng2.standard_normal(300)
+            f.write(w + " " + " ".join(f"{v:.4f}" for v in vec) + "\n")
+    glove_npy = os.path.join(data_dir, "glove_table.npy")
+    build_glove.main([
+        "--vocab", vocab_path, "--vectors", str(glove_txt),
+        "--out", glove_npy,
+    ])
+    table = np.load(glove_npy)
+    assert table.shape[1] == 300 and np.abs(table[1:]).sum() > 0
+
+    flagship = [
+        "--model_name", "mhb_coAtt", "--data_dir", data_dir,
+        "--num_answer", "5", "--batch_size", "4", "--glove", "1",
+        "--device_feature_bank", "1",
+    ]
+    train.main(flagship + ["--mode", "training", "--num_epoch", "1"])
+    assert os.path.exists("models/mhb_coAtt/weights")
+    train.main(flagship + ["--mode", "testing"])
+    rec = json.load(open("results/mhb_coAtt.json"))
+    assert "vqa_consensus_accuracy" in rec
+    sub = json.load(open("results/mhb_coAtt_predictions.json"))
+    assert {r["question_id"] for r in sub} == {5, 6}
+
+    capsys.readouterr()
+    predict.main([
+        "--model_name", "mhb_coAtt",
+        "--image_path",
+        str(tmp_path / "imgs_train" / f"COCO_train2014_{10:012d}.jpg"),
+        "--question", "What color is the cat?",
+        "--vocab", vocab_path,
+        "--weights", npz,
+        "--glove", "1",
+        "--glove_table", glove_npy,
+        "--topk", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "What color is the cat?" in out
