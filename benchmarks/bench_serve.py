@@ -49,8 +49,27 @@ def main(argv=None) -> None:
                         "traffic: steady state ships ZERO feature bytes "
                         "host->device (implies --input_dtype int8)")
     parser.add_argument("--unique_images", type=int, default=2048,
-                        help="--by_id image pool (= bank capacity; "
-                        "production cost ~392 KB HBM per image)")
+                        help="--by_id image pool size (working set of the "
+                        "traffic; production HBM cost ~396 KB per CACHED "
+                        "image)")
+    parser.add_argument("--cache_capacity", type=int, default=0,
+                        help="--by_id device-bank capacity in images; 0 = "
+                        "equal to --unique_images (the everything-fits "
+                        "regime). Set BELOW --unique_images to measure "
+                        "the eviction regime (working set > HBM — the "
+                        "VQA-val-scale reality: ~40k images x 396 KB = "
+                        "15.8 GB does not fit beside the model on a "
+                        "16 GB chip)")
+    parser.add_argument("--zipf", type=float, default=0.0,
+                        help="--by_id traffic skew: Zipf exponent over "
+                        "the image pool (0 = uniform). Real serving "
+                        "traffic is popularity-skewed; ~1.0 is the "
+                        "classic web/cache regime")
+    parser.add_argument("--warm_batches", type=int, default=0,
+                        help="--by_id warm-up traffic batches before the "
+                        "timed window (0 = auto). Warm-up misses are "
+                        "excluded from the reported hit rate "
+                        "(reset_stats) — they are a one-time cost")
     args = parser.parse_args(argv)
     if args.by_id:
         args.input_dtype = "int8"
@@ -145,56 +164,107 @@ def main(argv=None) -> None:
 
 
 def _bench_by_id(args, cfg, engine) -> None:
-    """Device-bank serving: upload the image pool once (cold), then time
-    VQA-like repeat traffic — steady state gathers features in-graph, so
-    the link carries only questions + top-k (the measured transfer-bound
-    serve arms motivate exactly this: f16 29 qa-pairs/s / int8 94 on the
-    ~23-38 MB/s dev relay, docs/BENCHMARKS.md serving section)."""
+    """Device-bank serving: warm the bank, then time VQA-like repeat
+    traffic — hits gather features in-graph (zero feature bytes on the
+    link; the transfer-bound serve arms motivate exactly this: f16 29
+    qa-pairs/s / int8 94 on the ~23-38 MB/s dev relay), misses pay
+    fetch + per-image upload and, once the bank is full, LRU eviction
+    (serve.DeviceFeatureCache._take_slot).
+
+    Honesty rules (VERDICT r4): the reported hit rate EXCLUDES warm-up
+    (cache.reset_stats after the warm window — cold misses are a
+    one-time cost, not a steady-state property), and the eviction regime
+    is measurable by setting --cache_capacity below --unique_images
+    (with --zipf for popularity-skewed traffic). With the defaults
+    (capacity = pool, uniform) the steady-state hit rate is exactly 1.0
+    BY CONSTRUCTION — a capacity-planning ceiling, not a typical
+    deployment point."""
+    import json as _json
     import time as _time
 
     rng = np.random.default_rng(0)
     u = args.unique_images
+    cap = args.cache_capacity or u
     l, d = cfg.img_feature_dim, cfg.img_feature_channel
     rows = rng.integers(-127, 128, size=(u, l, d), dtype=np.int8)
     scale = (rng.random((u, d)).astype(np.float32) * 0.05 + 0.01).astype(
         np.float16
     )
     cache = engine.attach_feature_cache(
-        capacity=u, fetch=lambda ids: (rows[ids], scale[ids])
+        capacity=cap, fetch=lambda ids: (rows[ids], scale[ids])
     )
     ques = rng.integers(
         0, cfg.q_vocab_size, (args.batch, 22), dtype=np.int32
     )
     qlen = rng.integers(1, 23, (args.batch,), dtype=np.int32)
 
-    # warm: compile + upload the whole pool (the cold-start cost a real
-    # deployment pays once per hot set)
-    t0 = _time.perf_counter()
-    for start in range(0, u, args.batch):
-        ids = np.arange(start, min(start + args.batch, u))
-        engine.predict_batch_by_id(ids, ques[: len(ids)], qlen[: len(ids)])
-    warm_s = _time.perf_counter() - t0
-    assert cache.misses == u, (cache.misses, u)
+    if args.zipf > 0:
+        # popularity ranks shuffled over ids so "hot" images are not a
+        # contiguous range (contiguity would alias with LRU order)
+        p = 1.0 / np.arange(1, u + 1, dtype=np.float64) ** args.zipf
+        p /= p.sum()
+        perm = rng.permutation(u)
 
-    def stream(n):
+        def draw():
+            return perm[rng.choice(u, size=args.batch, p=p)]
+    else:
+        def draw():
+            return rng.integers(0, u, size=args.batch)
+
+    def stream(n, sampler):
         for _ in range(n):
-            yield rng.integers(0, u, size=args.batch), ques, qlen
+            yield sampler(), ques, qlen
+
+    # warm: compile, fill the bank, and (capacity < pool) settle the LRU
+    # into its steady mix of hits/misses/evictions
+    t0 = _time.perf_counter()
+    if cap == u:
+        # everything-fits: one sequential pass uploads the whole pool —
+        # the cold-start cost a deployment pays once per hot set
+        for start in range(0, u, args.batch):
+            ids = np.arange(start, min(start + args.batch, u))
+            engine.predict_batch_by_id(
+                ids, ques[: len(ids)], qlen[: len(ids)]
+            )
+        assert cache.misses == u, (cache.misses, u)
+        warm_batches = -(-u // args.batch)
+    else:
+        warm_batches = args.warm_batches or max(4, 2 * u // args.batch)
+        for _ in engine.predict_stream_by_id(
+            stream(warm_batches, draw)
+        ):
+            pass
+    warm_s = _time.perf_counter() - t0
+    warm_misses = cache.misses
+    cache.reset_stats()
 
     t0 = _time.perf_counter()
     total = 0
-    for preds in engine.predict_stream_by_id(stream(args.batches)):
+    for preds in engine.predict_stream_by_id(stream(args.batches, draw)):
         total += len(preds)
     dt = _time.perf_counter() - t0
 
+    qps = total / dt
+    hit_rate = cache.hits / max(cache.hits + cache.misses, 1)
+    traffic = f"zipf({args.zipf:g})" if args.zipf > 0 else "uniform"
     print(
-        f"{args.model} serve-by-id @ batch {args.batch}, "
-        f"{u}-image device bank: {total} predictions in {dt:.2f} s = "
-        f"{total / dt:,.0f} qa-pairs/s (steady-state hit rate "
-        f"{cache.hits / max(cache.hits + cache.misses, 1):.3f}; "
-        f"cold pool upload {u * rows.itemsize * l * d / 1e6:,.0f} MB "
-        f"in {warm_s:.1f} s)",
+        f"{args.model} serve-by-id @ batch {args.batch}: pool {u} images, "
+        f"bank capacity {cap} ({'everything fits' if cap >= u else 'EVICTION regime'}), "
+        f"{traffic} traffic — {total} predictions in {dt:.2f} s = "
+        f"{qps:,.0f} qa-pairs/s at steady-state hit rate {hit_rate:.3f} "
+        f"(warm-up excluded; misses {cache.misses}, evictions "
+        f"{cache.evictions}; warm {warm_batches} batches / "
+        f"{warm_misses} uploads "
+        f"{warm_misses * (l * d + 2 * d) / 1e6:,.0f} MB in {warm_s:.1f} s)",
         flush=True,
     )
+    print(_json.dumps({
+        "arm": "serve_by_id", "pool": u, "capacity": cap,
+        "zipf": args.zipf, "batch": args.batch,
+        "qa_pairs_per_sec": round(qps, 1),
+        "steady_hit_rate": round(hit_rate, 4),
+        "steady_misses": cache.misses, "evictions": cache.evictions,
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -65,8 +65,23 @@ STEPS = [
     # device-resident feature bank: steady-state repeat-image traffic
     # ships zero feature bytes over the link (the answer to the two
     # transfer-bound arms above)
+    # everything-fits ceiling: pool == capacity, so steady-state hit rate
+    # is 1.0 BY CONSTRUCTION (stated as such since r5; the r4 0.889 was
+    # warm-up-diluted arithmetic) — the capacity-planning upper bound
     ("serve_by_id",
      [PY, "-m", "benchmarks.bench_serve", "--by_id"], 2400, {}),
+    # EVICTION regime (VERDICT r4 item 2): working set 2x the bank, so
+    # _take_slot runs on hardware. zipf(1.0) = popularity-skewed serving
+    # traffic; uniform = the worst case. Together with serve_by_id (hit
+    # 1.0) and serve_int8 (hit 0.0) these pin the hit-rate -> throughput
+    # curve and the breakeven vs the int8 host feed.
+    ("serve_by_id_evict_zipf",
+     [PY, "-m", "benchmarks.bench_serve", "--by_id",
+      "--unique_images", "4096", "--cache_capacity", "2048",
+      "--zipf", "1.0"], 2700, {}),
+    ("serve_by_id_evict_uniform",
+     [PY, "-m", "benchmarks.bench_serve", "--by_id",
+      "--unique_images", "4096", "--cache_capacity", "2048"], 3600, {}),
     ("host_pipeline", [PY, "-m", "benchmarks.bench_host_pipeline"],
      3600, {}),
     ("tpu_tests",

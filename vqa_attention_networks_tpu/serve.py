@@ -82,6 +82,18 @@ class DeviceFeatureCache:
         self.misses = 0
         self.evictions = 0
 
+    def reset_stats(self) -> None:
+        """Zero the hit/miss/eviction counters (cache contents stay).
+
+        Call after warm-up so reported rates are STEADY-STATE: cold-start
+        misses are a one-time cost, and folding them into the ratio
+        understates the hit rate every deployment actually runs at
+        (bench_serve.py's r4 headline did exactly that — 0.889 reported
+        for what was a 1.0 steady state)."""
+        self.hits = 0
+        self.misses = 0
+        self.evictions = 0
+
     @property
     def rows(self):
         return self._rows
