@@ -1,9 +1,25 @@
 """Training-step throughput (forward + backward + Adam, one jitted program).
 
-Usage: python benchmarks/bench_train.py [--batch 256] [--rng_impl rbg]
+Usage:
+    python -m benchmarks.bench_train [--batch 1024] [--rng_impl rbg]
+    python -m benchmarks.bench_train --batch 1024 --breakdown
+
+``--breakdown`` gives the train step the same roofline discipline the
+inference path got (bench_flagship_breakdown.py): per-stage attribution
+(forward / backward / optimizer), dropout-RNG cost (threefry vs the
+TPU-accelerated rbg generator vs masks off), and train MFU from the
+compiled program's own FLOP count. Data stays device-resident throughout
+— host-feed cost is a separate axis (bench_host_pipeline.py measures it;
+the device feature bank removes it).
+
+Timing on relayed/tunneled backends follows the bench.py methodology:
+dispatch N iterations, fetch only the last output (in-order execution
+makes that a correct total-time measurement; see docs/ARCHITECTURE.md
+"Benchmark methodology").
 """
 
 import argparse
+import json
 import time
 
 import jax
@@ -15,33 +31,44 @@ from vqa_attention_networks_tpu.config import Config
 from vqa_attention_networks_tpu.models import get_model
 from vqa_attention_networks_tpu.train.losses import soft_cross_entropy
 
+# v5e (TPU v5 lite) peak bf16 matmul throughput; override for other chips.
+PEAK_BF16_TFLOPS = 197.0
 
-def main(argv=None) -> None:
-    import benchmarks.common  # noqa: F401 — runtime preamble
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=256)
-    parser.add_argument("--model_name", type=str, default="mhb_coAtt")
-    parser.add_argument("--compute_dtype", type=str, default="bfloat16")
-    parser.add_argument("--rng_impl", type=str, default="threefry2x32")
-    parser.add_argument("--iters", type=int, default=8)
-    args = parser.parse_args(argv)
 
-    batch = args.batch
-    cfg = Config(
-        model_name=args.model_name, q_vocab_size=15881, a_vocab_size=1000,
-        compute_dtype=args.compute_dtype,
-    ).validate()
-    model = get_model(cfg.model_name)
-    params = jax.device_put(model.init(jax.random.PRNGKey(0), cfg))
-    tx = optax.adam(cfg.lr)
-    opt_state = tx.init(params)
+def _time_arm(fn, args_fn, iters, fetch):
+    """Median-free simple timing: warm once, dispatch `iters`, fetch last."""
+    out = fn(*args_fn())
+    fetch(out)
+    t0 = time.perf_counter()
+    for _ in range(iters - 1):
+        out = fn(*args_fn())
+    out = fn(*args_fn())
+    fetch(out)
+    return (time.perf_counter() - t0) / iters
 
+
+def _make_data(cfg, batch):
+    """Device-resident example batch, shared across every arm/build.
+
+    At batch 1024 the f32 image tensor alone is 1.6 GB — building it once
+    per arm is what OOM'd the first hardware run of ``--breakdown``.
+    """
     k0, k1, k2 = jax.random.split(jax.random.PRNGKey(1), 3)
     img = jax.random.normal(k0, (batch, 196, 2048), jnp.bfloat16).astype(
         jnp.float32
     )
-    ques = jax.random.randint(k1, (batch, 22), 0, 15881, jnp.int32)
+    ques = jax.random.randint(k1, (batch, 22), 0, cfg.q_vocab_size, jnp.int32)
     soft = jax.nn.softmax(jax.random.normal(k2, (batch, 1000)))
+    return img, ques, soft
+
+
+def _build(cfg, model, rng_impl, batch, data=None):
+    params = jax.device_put(model.init(jax.random.PRNGKey(0), cfg))
+    tx = optax.adam(cfg.lr)
+    opt_state = jax.jit(tx.init)(params)
+
+    img, ques, soft = _make_data(cfg, batch) if data is None else data
+    key = jax.random.key(2, impl=rng_impl)
 
     def loss_fn(p, img, ques, soft, k):
         logits, _ = model.apply(p, cfg, img, ques, train=True, rng=k)
@@ -53,17 +80,174 @@ def main(argv=None) -> None:
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o, loss
 
-    key = jax.random.key(2, impl=args.rng_impl)
-    p, o, l = step(params, opt_state, img, ques, soft, key)
+    return dict(params=params, tx=tx, opt_state=opt_state, img=img,
+                ques=ques, soft=soft, key=key, loss_fn=loss_fn, step=step)
+
+
+def _flops_per_step(step, example_args):
+    """XLA's own FLOP estimate for the compiled train step (per call)."""
+    try:
+        compiled = step.lower(*example_args).compile()
+        analyses = compiled.cost_analysis()
+        a = analyses[0] if isinstance(analyses, (list, tuple)) else analyses
+        return float(a.get("flops", 0.0)) or None
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"  (cost_analysis unavailable: {e})")
+        return None
+
+
+def _breakdown(args, cfg, model) -> None:
+    batch, iters = args.batch, args.iters
+    b = _build(cfg, model, args.rng_impl, batch)
+    p, o = b["params"], b["opt_state"]
+    img, ques, soft, key = b["img"], b["ques"], b["soft"], b["key"]
+
+    fwd = jax.jit(b["loss_fn"])
+    grad_only = jax.jit(jax.value_and_grad(b["loss_fn"]))
+    _, grads = grad_only(p, img, ques, soft, key)
+    jax.block_until_ready(grads)
+    tx = b["tx"]
+
+    @jax.jit
+    def adam_only(g, o, p):
+        updates, o = tx.update(g, o, p)
+        return optax.apply_updates(p, updates), o
+
+    arms = {}
+    arms["full"] = _time_arm(
+        b["step"], lambda: (p, o, img, ques, soft, key), iters,
+        lambda out: np.asarray(out[2]),
+    )
+    arms["fwd"] = _time_arm(
+        fwd, lambda: (p, img, ques, soft, key), iters,
+        lambda out: np.asarray(out),
+    )
+    arms["fwd_bwd"] = _time_arm(
+        grad_only, lambda: (p, img, ques, soft, key), iters,
+        lambda out: np.asarray(out[0]),
+    )
+    arms["adam"] = _time_arm(
+        adam_only, lambda: (grads, o, p), iters,
+        lambda out: jax.block_until_ready(out[1]),
+    )
+    del grads  # ~1 params-copy of HBM; only the adam arm needed it
+
+    # remat arm: jax.checkpoint around the forward — the HBM-for-FLOPs
+    # trade the Solver exposes as Config.remat. Reuses p/o/data: no new
+    # HBM beyond the step's own activations.
+    ck_loss = jax.checkpoint(b["loss_fn"])
+
+    @jax.jit
+    def step_remat(p, o, img, ques, soft, k):
+        loss, grads = jax.value_and_grad(ck_loss)(p, img, ques, soft, k)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    arms["full_remat"] = _time_arm(
+        step_remat, lambda: (p, o, img, ques, soft, key), iters,
+        lambda out: np.asarray(out[2]),
+    )
+
+    # dropout attribution: the same full step with every mask off. The
+    # delta is what the 5 dropout sites cost (mask draw + where + the
+    # residuals they add to the backward). Each extra build shares the
+    # data tensors and is freed as soon as its arm is timed.
+    import dataclasses
+
+    data = (img, ques, soft)
+    cfg_nd = dataclasses.replace(
+        cfg, dropout_lstm=0.0, dropout_fusion=0.0, dropout_default=0.0
+    )
+    bn = _build(cfg_nd, model, args.rng_impl, batch, data=data)
+    arms["full_nodrop"] = _time_arm(
+        bn["step"], lambda: (bn["params"], bn["opt_state"], img, ques,
+                             soft, bn["key"]), iters,
+        lambda out: np.asarray(out[2]),
+    )
+    del bn
+
+    # RNG-impl arm: rbg is TPU-hardware-accelerated; threefry is JAX's
+    # reproducible default (Config.rng_impl documents the tradeoff)
+    other = "rbg" if args.rng_impl.startswith("threefry") else "threefry2x32"
+    bo = _build(cfg, model, other, batch, data=data)
+    arms[f"full_{other}"] = _time_arm(
+        bo["step"], lambda: (bo["params"], bo["opt_state"], img, ques,
+                             soft, bo["key"]), iters,
+        lambda out: np.asarray(out[2]),
+    )
+    del bo
+
+    flops = _flops_per_step(
+        b["step"], (p, o, img, ques, soft, key)
+    )
+
+    full_ms = arms["full"] * 1e3
+    print(f"\n=== {cfg.model_name} train-step breakdown @ batch {batch}, "
+          f"{cfg.compute_dtype}, rng={args.rng_impl} ===")
+    for name, dt in arms.items():
+        print(f"  {name:>14}: {dt * 1e3:8.1f} ms  "
+              f"({batch / dt:8.0f} qa-pairs/s)")
+    bwd_ms = (arms["fwd_bwd"] - arms["fwd"]) * 1e3
+    adam_ms = (arms["full"] - arms["fwd_bwd"]) * 1e3
+    drop_ms = (arms["full"] - arms["full_nodrop"]) * 1e3
+    print(f"  attribution: forward {arms['fwd'] * 1e3:.1f} ms | "
+          f"backward {bwd_ms:.1f} ms | optimizer(+overlap) {adam_ms:.1f} ms "
+          f"(adam alone {arms['adam'] * 1e3:.1f} ms)")
+    print(f"  dropout total (masks+residuals, all sites): {drop_ms:.1f} ms "
+          f"= {100 * drop_ms / full_ms:.0f}% of the step")
+    mfu = None
+    if flops:
+        mfu = flops / arms["full"] / (PEAK_BF16_TFLOPS * 1e12)
+        print(f"  compiled-step FLOPs {flops / 1e12:.3f} TF -> "
+              f"train MFU {100 * mfu:.1f}% of {PEAK_BF16_TFLOPS:.0f} "
+              f"bf16 TFLOP/s")
+    print(json.dumps({
+        "arm": "train_breakdown", "model": cfg.model_name, "batch": batch,
+        "compute_dtype": cfg.compute_dtype, "rng_impl": args.rng_impl,
+        "ms": {k: round(v * 1e3, 2) for k, v in arms.items()},
+        "flops_per_step": flops, "mfu": round(mfu, 4) if mfu else None,
+    }), flush=True)
+
+
+def main(argv=None) -> None:
+    import benchmarks.common  # noqa: F401 — runtime preamble
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--model_name", type=str, default="mhb_coAtt")
+    parser.add_argument("--compute_dtype", type=str, default="bfloat16")
+    parser.add_argument("--rng_impl", type=str, default="threefry2x32")
+    parser.add_argument("--iters", type=int, default=8)
+    parser.add_argument("--breakdown", action="store_true",
+                        help="per-stage attribution (forward/backward/"
+                             "optimizer/dropout/RNG-impl/remat) + train "
+                             "MFU — the training twin of "
+                             "bench_flagship_breakdown")
+    args = parser.parse_args(argv)
+
+    cfg = Config(
+        model_name=args.model_name, q_vocab_size=15881, a_vocab_size=1000,
+        compute_dtype=args.compute_dtype,
+        rng_impl=args.rng_impl,
+    ).validate()
+    model = get_model(cfg.model_name)
+
+    if args.breakdown:
+        _breakdown(args, cfg, model)
+        return
+
+    b = _build(cfg, model, args.rng_impl, args.batch)
+    step = b["step"]
+    p, o, l = step(b["params"], b["opt_state"], b["img"], b["ques"],
+                   b["soft"], b["key"])
     np.asarray(l)
     t0 = time.perf_counter()
     for i in range(args.iters):
-        p, o, l = step(p, o, img, ques, soft, key)
+        p, o, l = step(p, o, b["img"], b["ques"], b["soft"], b["key"])
     np.asarray(l)
     dt = (time.perf_counter() - t0) / args.iters
-    print(f"{args.model_name} train step batch={batch} "
+    print(f"{args.model_name} train step batch={args.batch} "
           f"rng={args.rng_impl}: {dt * 1000:.1f} ms -> "
-          f"{batch / dt:.0f} qa-pairs/s")
+          f"{args.batch / dt:.0f} qa-pairs/s")
 
 
 if __name__ == "__main__":
