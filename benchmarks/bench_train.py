@@ -96,107 +96,125 @@ def _flops_per_step(step, example_args):
         return None
 
 
+ALL_ARMS = ("full", "fwd", "fwd_bwd", "adam", "full_remat", "full_nodrop",
+            "full_rng2")
+
+
 def _breakdown(args, cfg, model) -> None:
     batch, iters = args.batch, args.iters
+    want = set(args.arms.split(",")) if args.arms else set(ALL_ARMS)
     b = _build(cfg, model, args.rng_impl, batch)
     p, o = b["params"], b["opt_state"]
     img, ques, soft, key = b["img"], b["ques"], b["soft"], b["key"]
-
-    fwd = jax.jit(b["loss_fn"])
-    grad_only = jax.jit(jax.value_and_grad(b["loss_fn"]))
-    _, grads = grad_only(p, img, ques, soft, key)
-    jax.block_until_ready(grads)
     tx = b["tx"]
-
-    @jax.jit
-    def adam_only(g, o, p):
-        updates, o = tx.update(g, o, p)
-        return optax.apply_updates(p, updates), o
-
     arms = {}
-    arms["full"] = _time_arm(
-        b["step"], lambda: (p, o, img, ques, soft, key), iters,
-        lambda out: np.asarray(out[2]),
-    )
-    arms["fwd"] = _time_arm(
-        fwd, lambda: (p, img, ques, soft, key), iters,
-        lambda out: np.asarray(out),
-    )
-    arms["fwd_bwd"] = _time_arm(
-        grad_only, lambda: (p, img, ques, soft, key), iters,
-        lambda out: np.asarray(out[0]),
-    )
-    arms["adam"] = _time_arm(
-        adam_only, lambda: (grads, o, p), iters,
-        lambda out: jax.block_until_ready(out[1]),
-    )
-    del grads  # ~1 params-copy of HBM; only the adam arm needed it
 
-    # remat arm: jax.checkpoint around the forward — the HBM-for-FLOPs
-    # trade the Solver exposes as Config.remat. Reuses p/o/data: no new
-    # HBM beyond the step's own activations.
-    ck_loss = jax.checkpoint(b["loss_fn"])
+    if want & {"fwd_bwd", "adam"}:
+        grad_only = jax.jit(jax.value_and_grad(b["loss_fn"]))
+        _, grads = grad_only(p, img, ques, soft, key)
+        jax.block_until_ready(grads)
 
-    @jax.jit
-    def step_remat(p, o, img, ques, soft, k):
-        loss, grads = jax.value_and_grad(ck_loss)(p, img, ques, soft, k)
-        updates, o = tx.update(grads, o, p)
-        return optax.apply_updates(p, updates), o, loss
+    if "full" in want:
+        arms["full"] = _time_arm(
+            b["step"], lambda: (p, o, img, ques, soft, key), iters,
+            lambda out: np.asarray(out[2]),
+        )
+    if "fwd" in want:
+        fwd = jax.jit(b["loss_fn"])
+        arms["fwd"] = _time_arm(
+            fwd, lambda: (p, img, ques, soft, key), iters,
+            lambda out: np.asarray(out),
+        )
+    if "fwd_bwd" in want:
+        arms["fwd_bwd"] = _time_arm(
+            grad_only, lambda: (p, img, ques, soft, key), iters,
+            lambda out: np.asarray(out[0]),
+        )
+    if "adam" in want:
+        @jax.jit
+        def adam_only(g, o, p):
+            updates, o = tx.update(g, o, p)
+            return optax.apply_updates(p, updates), o
 
-    arms["full_remat"] = _time_arm(
-        step_remat, lambda: (p, o, img, ques, soft, key), iters,
-        lambda out: np.asarray(out[2]),
-    )
+        arms["adam"] = _time_arm(
+            adam_only, lambda: (grads, o, p), iters,
+            lambda out: jax.block_until_ready(out[1]),
+        )
+    if want & {"fwd_bwd", "adam"}:
+        del grads  # ~1 params-copy of HBM; only these arms needed it
+
+    if "full_remat" in want:
+        # remat arm: jax.checkpoint around the forward — the HBM-for-FLOPs
+        # trade the Solver exposes as Config.remat. Reuses p/o/data: no
+        # new HBM beyond the step's own activations.
+        ck_loss = jax.checkpoint(b["loss_fn"])
+
+        @jax.jit
+        def step_remat(p, o, img, ques, soft, k):
+            loss, grads = jax.value_and_grad(ck_loss)(p, img, ques, soft, k)
+            updates, o = tx.update(grads, o, p)
+            return optax.apply_updates(p, updates), o, loss
+
+        arms["full_remat"] = _time_arm(
+            step_remat, lambda: (p, o, img, ques, soft, key), iters,
+            lambda out: np.asarray(out[2]),
+        )
 
     # dropout attribution: the same full step with every mask off. The
     # delta is what the 5 dropout sites cost (mask draw + where + the
     # residuals they add to the backward). Each extra build shares the
     # data tensors and is freed as soon as its arm is timed.
-    import dataclasses
-
     data = (img, ques, soft)
-    cfg_nd = dataclasses.replace(
-        cfg, dropout_lstm=0.0, dropout_fusion=0.0, dropout_default=0.0
-    )
-    bn = _build(cfg_nd, model, args.rng_impl, batch, data=data)
-    arms["full_nodrop"] = _time_arm(
-        bn["step"], lambda: (bn["params"], bn["opt_state"], img, ques,
-                             soft, bn["key"]), iters,
-        lambda out: np.asarray(out[2]),
-    )
-    del bn
+    if "full_nodrop" in want:
+        import dataclasses
 
-    # RNG-impl arm: rbg is TPU-hardware-accelerated; threefry is JAX's
-    # reproducible default (Config.rng_impl documents the tradeoff)
-    other = "rbg" if args.rng_impl.startswith("threefry") else "threefry2x32"
-    bo = _build(cfg, model, other, batch, data=data)
-    arms[f"full_{other}"] = _time_arm(
-        bo["step"], lambda: (bo["params"], bo["opt_state"], img, ques,
-                             soft, bo["key"]), iters,
-        lambda out: np.asarray(out[2]),
-    )
-    del bo
+        cfg_nd = dataclasses.replace(
+            cfg, dropout_lstm=0.0, dropout_fusion=0.0, dropout_default=0.0
+        )
+        bn = _build(cfg_nd, model, args.rng_impl, batch, data=data)
+        arms["full_nodrop"] = _time_arm(
+            bn["step"], lambda: (bn["params"], bn["opt_state"], img, ques,
+                                 soft, bn["key"]), iters,
+            lambda out: np.asarray(out[2]),
+        )
+        del bn
 
-    flops = _flops_per_step(
-        b["step"], (p, o, img, ques, soft, key)
-    )
+    if "full_rng2" in want:
+        # RNG-impl arm: rbg is TPU-hardware-accelerated; threefry is JAX's
+        # reproducible default (Config.rng_impl documents the tradeoff)
+        other = ("rbg" if args.rng_impl.startswith("threefry")
+                 else "threefry2x32")
+        bo = _build(cfg, model, other, batch, data=data)
+        arms[f"full_{other}"] = _time_arm(
+            bo["step"], lambda: (bo["params"], bo["opt_state"], img, ques,
+                                 soft, bo["key"]), iters,
+            lambda out: np.asarray(out[2]),
+        )
+        del bo
 
-    full_ms = arms["full"] * 1e3
+    flops = None
+    if not args.no_flops:
+        flops = _flops_per_step(b["step"], (p, o, img, ques, soft, key))
+
     print(f"\n=== {cfg.model_name} train-step breakdown @ batch {batch}, "
           f"{cfg.compute_dtype}, rng={args.rng_impl} ===")
     for name, dt in arms.items():
         print(f"  {name:>14}: {dt * 1e3:8.1f} ms  "
               f"({batch / dt:8.0f} qa-pairs/s)")
-    bwd_ms = (arms["fwd_bwd"] - arms["fwd"]) * 1e3
-    adam_ms = (arms["full"] - arms["fwd_bwd"]) * 1e3
-    drop_ms = (arms["full"] - arms["full_nodrop"]) * 1e3
-    print(f"  attribution: forward {arms['fwd'] * 1e3:.1f} ms | "
-          f"backward {bwd_ms:.1f} ms | optimizer(+overlap) {adam_ms:.1f} ms "
-          f"(adam alone {arms['adam'] * 1e3:.1f} ms)")
-    print(f"  dropout total (masks+residuals, all sites): {drop_ms:.1f} ms "
-          f"= {100 * drop_ms / full_ms:.0f}% of the step")
+    if {"full", "fwd", "fwd_bwd", "adam"} <= set(arms):
+        bwd_ms = (arms["fwd_bwd"] - arms["fwd"]) * 1e3
+        adam_ms = (arms["full"] - arms["fwd_bwd"]) * 1e3
+        print(f"  attribution: forward {arms['fwd'] * 1e3:.1f} ms | "
+              f"backward {bwd_ms:.1f} ms | "
+              f"optimizer(+overlap) {adam_ms:.1f} ms "
+              f"(adam alone {arms['adam'] * 1e3:.1f} ms)")
+    if {"full", "full_nodrop"} <= set(arms):
+        drop_ms = (arms["full"] - arms["full_nodrop"]) * 1e3
+        print(f"  dropout total (masks+residuals, all sites): "
+              f"{drop_ms:.1f} ms "
+              f"= {100 * drop_ms / (arms['full'] * 1e3):.0f}% of the step")
     mfu = None
-    if flops:
+    if flops and "full" in arms:
         mfu = flops / arms["full"] / (PEAK_BF16_TFLOPS * 1e12)
         print(f"  compiled-step FLOPs {flops / 1e12:.3f} TF -> "
               f"train MFU {100 * mfu:.1f}% of {PEAK_BF16_TFLOPS:.0f} "
@@ -222,6 +240,15 @@ def main(argv=None) -> None:
                              "optimizer/dropout/RNG-impl/remat) + train "
                              "MFU — the training twin of "
                              "bench_flagship_breakdown")
+    parser.add_argument("--arms", type=str, default="",
+                        help="comma list from %s — each arm is one jit "
+                             "compile (~1-3 min over the remote-compile "
+                             "relay at batch 1024), so split long runs"
+                             % ",".join(ALL_ARMS))
+    parser.add_argument("--no_flops", action="store_true",
+                        help="skip the cost-analysis recompile; FLOPs/step "
+                             "scale linearly in batch, so one cheap CPU "
+                             "run pins them (9.665 GFLOP/sample composed)")
     args = parser.parse_args(argv)
 
     cfg = Config(
