@@ -100,14 +100,23 @@ ALL_ARMS = ("full", "fwd", "fwd_bwd", "adam", "full_remat", "full_nodrop",
             "full_rng2")
 
 
+MAIN_ARMS = {"full", "fwd", "fwd_bwd", "adam", "full_remat"}
+
+
 def _breakdown(args, cfg, model) -> None:
     batch, iters = args.batch, args.iters
     want = set(args.arms.split(",")) if args.arms else set(ALL_ARMS)
-    b = _build(cfg, model, args.rng_impl, batch)
-    p, o = b["params"], b["opt_state"]
-    img, ques, soft, key = b["img"], b["ques"], b["soft"], b["key"]
-    tx = b["tx"]
+    data = _make_data(cfg, batch)
+    img, ques, soft = data
     arms = {}
+
+    # the nodrop/rng2 arms build their own params+opt_state; skip the
+    # main build when no main arm needs it (a second params+Adam copy is
+    # what OOM'd single-arm --arms full_nodrop runs at batch 1024)
+    b = None
+    if want & MAIN_ARMS or not args.no_flops:
+        b = _build(cfg, model, args.rng_impl, batch, data=data)
+        p, o, key, tx = b["params"], b["opt_state"], b["key"], b["tx"]
 
     if want & {"fwd_bwd", "adam"}:
         grad_only = jax.jit(jax.value_and_grad(b["loss_fn"]))
@@ -164,7 +173,6 @@ def _breakdown(args, cfg, model) -> None:
     # delta is what the 5 dropout sites cost (mask draw + where + the
     # residuals they add to the backward). Each extra build shares the
     # data tensors and is freed as soon as its arm is timed.
-    data = (img, ques, soft)
     if "full_nodrop" in want:
         import dataclasses
 
