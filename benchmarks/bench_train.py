@@ -230,6 +230,7 @@ def _breakdown(args, cfg, model) -> None:
     print(json.dumps({
         "arm": "train_breakdown", "model": cfg.model_name, "batch": batch,
         "compute_dtype": cfg.compute_dtype, "rng_impl": args.rng_impl,
+        "dropout_site": cfg.dropout_site,
         "ms": {k: round(v * 1e3, 2) for k, v in arms.items()},
         "flops_per_step": flops, "mfu": round(mfu, 4) if mfu else None,
     }), flush=True)
@@ -242,6 +243,10 @@ def main(argv=None) -> None:
     parser.add_argument("--model_name", type=str, default="mhb_coAtt")
     parser.add_argument("--compute_dtype", type=str, default="bfloat16")
     parser.add_argument("--rng_impl", type=str, default="threefry2x32")
+    parser.add_argument("--dropout_site", type=str, default="prepool",
+                        help="prepool = reference semantics (fused train "
+                             "kernel); pooled = weight-contracted fast-"
+                             "train mode (Config.dropout_site)")
     parser.add_argument("--iters", type=int, default=8)
     parser.add_argument("--breakdown", action="store_true",
                         help="per-stage attribution (forward/backward/"
@@ -263,6 +268,7 @@ def main(argv=None) -> None:
         model_name=args.model_name, q_vocab_size=15881, a_vocab_size=1000,
         compute_dtype=args.compute_dtype,
         rng_impl=args.rng_impl,
+        dropout_site=args.dropout_site,
     ).validate()
     model = get_model(cfg.model_name)
 

@@ -165,3 +165,144 @@ def test_bench_precision_trained_gate_smoke(capsys):
     assert "train step 2/2" in out
     assert "argmax" in out
     assert "NOT dispatched" in out  # CPU: gate must be explicit, not PASS
+
+
+# ---------------------------------------------------------------------------
+# dropout_site="pooled": the weight-contracted fast-train mode (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_grid_fuse_pooled_rate0_matches_composed_f32():
+    """Dropout off, f32 inputs: the pooled-site train path is the
+    weight-contracted contraction in the INPUT dtype — same math as the
+    composed chain up to sum reordering (no bf16 rounding)."""
+    import jax
+
+    img, w, b, q = _data(seed=3)
+    params = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+    out = grid_fuse(
+        jnp.asarray(img), params, jnp.asarray(q), 5,
+        rng=jax.random.PRNGKey(0), dropout_rate=0.0, train=True,
+        site="pooled",
+    )
+    want = _grid_fuse_reference(
+        jnp.asarray(img), jnp.asarray(w), jnp.asarray(b), jnp.asarray(q), 5
+    )
+    assert out.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_grid_fuse_pooled_dropout_masks_whole_units():
+    """rate>0: survivors are the rate-0 output scaled by 1/keep; dropped
+    entries are exactly zero; the empirical drop fraction is ~rate."""
+    import jax
+
+    img, w, b, q = _data(n=8, l=16, seed=4)
+    params = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+    base = np.asarray(grid_fuse(
+        jnp.asarray(img), params, jnp.asarray(q), 5,
+        rng=jax.random.PRNGKey(0), dropout_rate=0.0, train=True,
+        site="pooled",
+    ))
+    rate = 0.5
+    out = np.asarray(grid_fuse(
+        jnp.asarray(img), params, jnp.asarray(q), 5,
+        rng=jax.random.PRNGKey(1), dropout_rate=rate, train=True,
+        site="pooled",
+    ))
+    dropped = out == 0.0
+    frac = dropped.mean()
+    assert 0.4 < frac < 0.6, frac
+    np.testing.assert_allclose(
+        out[~dropped], base[~dropped] / (1.0 - rate), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_grid_fuse_pooled_grads_match_composed_at_rate0():
+    """Autodiff through the pooled path (incl. the jax.checkpoint around
+    the contracted forward): with dropout off, gradients agree with the
+    composed chain's for every input."""
+    import jax
+
+    img, w, b, q = _data(seed=5)
+    key = jax.random.PRNGKey(0)
+
+    def loss_pooled(img, w, b, q):
+        out = grid_fuse(
+            jnp.asarray(img), {"w": w, "b": b}, q, 5,
+            rng=key, dropout_rate=0.0, train=True, site="pooled",
+        )
+        return jnp.sum(out * out)
+
+    def loss_composed(img, w, b, q):
+        out = _grid_fuse_reference(img, w, b, q, 5)
+        return jnp.sum(out * out)
+
+    args = tuple(map(jnp.asarray, (img, w, b, q)))
+    g_pooled = jax.grad(loss_pooled, argnums=(0, 1, 2, 3))(*args)
+    g_comp = jax.grad(loss_composed, argnums=(0, 1, 2, 3))(*args)
+    for gp, gc in zip(g_pooled, g_comp):
+        assert bool(jnp.isfinite(gp).all())
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gc),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_pooled_site_flagship_train_dynamics():
+    """mhb_coAtt under dropout_site='pooled': a tiny Adam run must reduce
+    the loss (the fast-train mode is a working training path end to end)."""
+    import jax
+    import optax
+
+    from vqa_attention_networks_tpu.config import Config
+    from vqa_attention_networks_tpu.models import get_model
+    from vqa_attention_networks_tpu.train.losses import soft_cross_entropy
+
+    cfg = Config(
+        model_name="mhb_coAtt", q_vocab_size=37, a_vocab_size=11,
+        hidden_dim=32, emb_dim=16, img_feature_channel=64,
+        max_question_length=6, mfb_factor=5, mfb_out=8,
+        dropout_site="pooled",
+    ).validate()
+    model = get_model(cfg.model_name)
+    params = model.init(jax.random.PRNGKey(0), cfg)
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    rng = np.random.default_rng(0)
+    n = 16
+    img = jnp.asarray(rng.standard_normal(
+        (n, cfg.img_feature_dim, cfg.img_feature_channel)).astype(np.float32))
+    ques = jnp.asarray(rng.integers(0, cfg.q_vocab_size, (n, 6)), jnp.int32)
+    soft = jax.nn.softmax(jnp.asarray(
+        rng.standard_normal((n, 11)).astype(np.float32)) * 3)
+
+    @jax.jit
+    def step(p, o, k):
+        def loss_fn(p):
+            logits, _ = model.apply(p, cfg, img, ques, train=True, rng=k)
+            return soft_cross_entropy(logits, soft)
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        up, o = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o, loss
+
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for i in range(40):
+        key, k = jax.random.split(key)
+        params, opt, loss = step(params, opt, k)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    # soft targets put a floor at the target entropy; require a clear
+    # relative drop of the excess loss
+    assert losses[-1] < 0.6 * losses[0], (losses[0], losses[-1])
+
+
+def test_config_rejects_bad_dropout_site():
+    import pytest
+
+    from vqa_attention_networks_tpu.config import Config
+
+    with pytest.raises(ValueError, match="dropout_site"):
+        Config(model_name="mfb", q_vocab_size=10, a_vocab_size=5,
+               dropout_site="post").validate()

@@ -177,6 +177,8 @@ def soak_family(family, qa, store, args, log_dir, task=SOAK_TASK):
         extra["dropout_default"] = args.dropout_default
     if getattr(args, "device_features", False):
         extra["device_feature_bank"] = True
+    if getattr(args, "dropout_site", "prepool") != "prepool":
+        extra["dropout_site"] = args.dropout_site
     cfg = Config(
         model_name=model_name,
         q_vocab_size=len(qa.question_vocab) + 1,
@@ -251,6 +253,8 @@ def soak_family(family, qa, store, args, log_dir, task=SOAK_TASK):
         # non-production in the stored report, like the task arm already is
         **({"dropout_default": args.dropout_default}
            if getattr(args, "dropout_default", None) is not None else {}),
+        **({"dropout_site": args.dropout_site}
+           if getattr(args, "dropout_site", "prepool") != "prepool" else {}),
         **({"val_mode": "seen"}
            if getattr(args, "val_mode", "fresh") == "seen" else {}),
         # assessment context pinned per family: a --merge partial re-run
@@ -398,6 +402,8 @@ def write_docs(results, config, enforce="auto"):
         task_label = r.get("task", "pos0-v1")
         if r.get("dropout_default") is not None:
             task_label += f" (dropout={r['dropout_default']:g})"
+        if r.get("dropout_site"):
+            task_label += f" (site={r['dropout_site']})"
         if r.get("val_mode") == "seen":
             task_label += " (val=seen)"
         vcol = (
@@ -483,6 +489,11 @@ def main(argv=None):
                         "relay-transfer-bound TPU soak (~12 s/step, "
                         "50-200 MB feature upload per step over a ~23 MB/s "
                         "link) compute-bound")
+    p.add_argument("--dropout_site", default="prepool",
+                   choices=("prepool", "pooled"),
+                   help="grid-fusion dropout site (Config.dropout_site): "
+                        "'pooled' soaks the weight-contracted fast-train "
+                        "mode's convergence (mfb/mhb_coAtt families)")
     p.add_argument("--dropout_default", type=float, default=None,
                    help="override Config.dropout_default (diagnostic: the "
                         "0.5-dropout families learn slowly at soak scale; "

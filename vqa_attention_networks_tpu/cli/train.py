@@ -41,6 +41,7 @@ def build_solver(args) -> Solver:
         num_epoch=args.num_epoch,
         compute_dtype=args.compute_dtype,
         fast_path=args.fast_path,
+        dropout_site=args.dropout_site,
         device_feature_bank=bool(args.device_feature_bank),
         device_feature_bank_budget=int(
             args.device_feature_bank_budget * (1 << 30)
@@ -112,6 +113,11 @@ def main(argv=None) -> None:
                              "gather becomes a ppermute ring over ICI). "
                              "Bit-identical to the replicated bank and "
                              "the host feed")
+    parser.add_argument("--dropout_site", type=str, default="prepool",
+                        help="grid-fusion dropout site: 'prepool' keeps "
+                             "the reference recipe (mask on the pre-pool "
+                             "product); 'pooled' is the weight-contracted "
+                             "fast-train mode (Config.dropout_site)")
     parser.add_argument("--fast_path", type=str, default="auto",
                         help="auto|pallas|composed — bf16 eval wq-kernel "
                              "dispatch policy (config.py fast_path)")

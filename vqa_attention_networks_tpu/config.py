@@ -88,6 +88,23 @@ class Config:
     dropout_fusion: float = 0.1
     dropout_default: float = 0.5
 
+    # WHERE the grid-fusion dropout lands (mfb/mhb_coAtt training):
+    #   "prepool" — the reference's site (mfb.py:99, mhb_coAtt.py:101): the
+    #               mask lives on the [N, 196, 5000] pre-pool product, which
+    #               forces training to compute the full O*k-wide fusion
+    #               (~16 GFLOP/sample fwd+bwd at production dims; the fused
+    #               Pallas train kernel keeps it HBM-free but not FLOP-free).
+    #   "pooled"  — TPU-first fast-train mode: dropout on the POOLED fusion
+    #               output [N, 196, 1000] instead, which frees training to
+    #               use the same weight-contracted formulation inference
+    #               runs (~2.5 GFLOP/sample fwd+bwd — see ops/fusion.py
+    #               grid_fuse_pooled). Different regularizer (whole pooled
+    #               units drop instead of 1/k factors), so NOT
+    #               accuracy-parity with the reference recipe; the
+    #               convergence soak (tools/soak.py --dropout_site pooled)
+    #               gates that it trains to the same quality.
+    dropout_site: str = "prepool"
+
     # --- numerics ----------------------------------------------------------
     # Parameters are kept in float32; compute_dtype applies to activations on
     # the forward path (bf16 keeps the MXU fed at full rate on TPU).
@@ -282,6 +299,7 @@ class Config:
             ("loss_override", self.loss_override, ("", "soft_bce")),
             ("fast_path", self.fast_path,
              ("auto", "pallas", "pallas_pair", "composed")),
+            ("dropout_site", self.dropout_site, ("prepool", "pooled")),
         ):
             if value not in allowed:
                 raise ValueError(

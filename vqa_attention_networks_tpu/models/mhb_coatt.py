@@ -176,6 +176,7 @@ def apply(
         fused = grid_fuse(
             img_features, params["img_conv1d"], q_proj, cfg.mfb_factor,
             rng=k_m1, dropout_rate=cfg.dropout_fusion, train=train,
+            site=cfg.dropout_site,
         )
         fused = L.l2_normalize(fused.reshape(n, -1)).reshape(fused.shape)
         if train:

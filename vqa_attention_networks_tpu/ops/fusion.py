@@ -124,6 +124,69 @@ def grid_fuse_weight_contracted(
     return signed_sqrt(pooled).astype(jnp.bfloat16)
 
 
+def grid_fuse_pooled(
+    img: jnp.ndarray,  # [N, L, D]
+    w: jnp.ndarray,  # [D, F]
+    b: jnp.ndarray,  # [F]
+    q_proj: jnp.ndarray,  # [N, F]
+    k: int,
+    *,
+    rng: Optional[jax.Array],
+    dropout_rate: float,
+    train: bool,
+) -> jnp.ndarray:
+    """TPU-first fast-train fusion: dropout on the POOLED output.
+
+    The reference regularises the PRE-pool product (mfb.py:99), whose mask
+    lives on [N, L, O*k] — that site forces training to compute the full
+    O*k-wide fusion: ~16 GFLOP/sample fwd+bwd at production dims (one
+    forward L·D·F matmul plus three more in the backward — d_img, d_W, and
+    the z0 recompute; ops/pallas_train_fusion.py). Moving the mask AFTER
+    the k-pool + signed sqrt unlocks the weight-contracted formulation
+    (grid_fuse_weight_contracted) for training too: the k factor contracts
+    into per-sample weights first, and the MXU work drops to
+    ~2.5 GFLOP/sample fwd+bwd (L·D·O forward + two L·D·O backward passes).
+
+    Semantics: ``dropout(signed_sqrt(k-pool((img@W + b) * q)), rate)`` —
+    standard activation dropout on the fusion feature map. Whole pooled
+    units drop instead of 1/k of the factors, so this is a DIFFERENT
+    regulariser from the reference recipe (Config.dropout_site documents
+    the contract; the convergence soak gates training quality).
+
+    Memory: the per-sample contracted weights wq [N, D, O] are the one big
+    intermediate (4.3 GB bf16 at batch 1024). ``jax.checkpoint`` around
+    the fused forward drops it from the residual set — the backward
+    recomputes wq (VPU k·D·O) plus one L·D·O matmul, already counted
+    above. Dropout stays OUTSIDE the checkpoint so the mask is drawn once.
+
+    Dtype: bf16 inputs take grid_fuse_weight_contracted verbatim (bit-
+    identical to the bf16 inference math, so train/eval see the same
+    forward function); wider dtypes contract in their own precision (the
+    same reordering without the bf16 rounding).
+    """
+
+    @jax.checkpoint
+    def _fused(img, w, b, q_proj):
+        if img.dtype == jnp.bfloat16:
+            return grid_fuse_weight_contracted(img, w, b, q_proj, k)
+        n = img.shape[0]
+        d = img.shape[2]
+        o = w.shape[1] // k
+        w3 = w.reshape(d, o, k).astype(img.dtype)
+        q3 = q_proj.reshape(n, o, k).astype(img.dtype)
+        wq = jnp.einsum("dok,nok->ndo", w3, q3)
+        bq = jnp.einsum(
+            "ok,nok->no", b.reshape(o, k).astype(img.dtype), q3,
+            preferred_element_type=jnp.float32,
+        )
+        pooled = jnp.einsum(
+            "nld,ndo->nlo", img, wq, preferred_element_type=jnp.float32,
+        ) + bq[:, None, :]
+        return signed_sqrt(pooled).astype(img.dtype)
+
+    return dropout(rng, _fused(img, w, b, q_proj), dropout_rate, train)
+
+
 def two_glimpse_pool(
     att_logits: jnp.ndarray,  # [N, P, G]
     values: jnp.ndarray,  # [N, P, D]

@@ -215,14 +215,25 @@ def grid_fuse(
     rng: Optional[jax.Array] = None,
     dropout_rate: float = 0.1,
     train: bool = False,
+    site: str = "prepool",
 ) -> jnp.ndarray:
     """Dispatching entry: Pallas on TPU at inference, XLA otherwise.
 
-    Training keeps the composed path because the reference applies dropout to
-    the pre-pool product (mfb.py:99, mhb_coAtt.py:101)."""
+    Training defaults to the reference's dropout site — the pre-pool
+    product (mfb.py:99, mhb_coAtt.py:101) — served by the fused train
+    kernel on TPU. ``site="pooled"`` (Config.dropout_site) moves the mask
+    after the pool, unlocking the weight-contracted formulation for
+    training (ops/fusion.py grid_fuse_pooled: ~6.5x fewer fusion FLOPs)."""
     w, b = proj_params["w"], proj_params.get("b")
     if b is None:
         b = jnp.zeros((w.shape[1],), w.dtype)
+    if train and site == "pooled":
+        from vqa_attention_networks_tpu.ops.fusion import grid_fuse_pooled
+
+        return grid_fuse_pooled(
+            img, w, b, q_proj, k, rng=rng, dropout_rate=dropout_rate,
+            train=True,
+        )
     if train:
         # fused train kernel (in-kernel PRNG dropout, mask replayed in the
         # backward): default on TPU — eliminates the [N, L, F] f32 pre-pool
