@@ -201,8 +201,30 @@ def _breakdown(args, cfg, model) -> None:
         del bo
 
     flops = None
+    kernel_note = ""
     if not args.no_flops:
         flops = _flops_per_step(b["step"], (p, o, img, ques, soft, key))
+        # XLA's cost analysis cannot see INSIDE custom calls: when the
+        # fused Pallas train kernel serves the grid fusion (bf16 prepool
+        # on TPU), its 4 L*D*F matmul passes per sample (forward + d_img
+        # + d_W + z0 recompute, ops/pallas_train_fusion.py) are invisible
+        # to it — the uncorrected number under-reports train MFU ~13x at
+        # production dims. Add the hand count for the grid-fusion models.
+        if (
+            flops
+            and cfg.dropout_site == "prepool"
+            and cfg.compute_dtype == "bfloat16"
+            and cfg.dropout_fusion > 0
+            and jax.devices()[0].platform == "tpu"
+            and cfg.model_name in ("mfb", "mfb-multilayer", "mhb_coAtt")
+        ):
+            kf = 4 * 2 * cfg.img_feature_dim * cfg.img_feature_channel \
+                * cfg.fusion_dim * batch
+            flops += kf
+            kernel_note = (
+                f" (incl. {kf / 1e12:.3f} TF hand-counted fused-train-"
+                "kernel matmuls, invisible to XLA cost analysis)"
+            )
 
     print(f"\n=== {cfg.model_name} train-step breakdown @ batch {batch}, "
           f"{cfg.compute_dtype}, rng={args.rng_impl} ===")
@@ -224,7 +246,7 @@ def _breakdown(args, cfg, model) -> None:
     mfu = None
     if flops and "full" in arms:
         mfu = flops / arms["full"] / (PEAK_BF16_TFLOPS * 1e12)
-        print(f"  compiled-step FLOPs {flops / 1e12:.3f} TF -> "
+        print(f"  step FLOPs {flops / 1e12:.3f} TF{kernel_note} -> "
               f"train MFU {100 * mfu:.1f}% of {PEAK_BF16_TFLOPS:.0f} "
               f"bf16 TFLOP/s")
     print(json.dumps({
@@ -232,7 +254,9 @@ def _breakdown(args, cfg, model) -> None:
         "compute_dtype": cfg.compute_dtype, "rng_impl": args.rng_impl,
         "dropout_site": cfg.dropout_site,
         "ms": {k: round(v * 1e3, 2) for k, v in arms.items()},
-        "flops_per_step": flops, "mfu": round(mfu, 4) if mfu else None,
+        "flops_per_step": flops,
+        "flops_includes_kernel_handcount": bool(kernel_note),
+        "mfu": round(mfu, 4) if mfu else None,
     }), flush=True)
 
 

@@ -170,15 +170,21 @@ def soak_family(family, qa, store, args, log_dir, task=SOAK_TASK):
     from vqa_attention_networks_tpu.config import Config
     from vqa_attention_networks_tpu.train.solver import Solver
 
-    glove = family.endswith("+glove")
-    model_name = family.split("+")[0]
+    # suffix-composed arm families: "mhb_coAtt+glove" feeds GloVe vectors,
+    # "mhb_coAtt+pooled" soaks the weight-contracted fast-train mode
+    # (Config.dropout_site="pooled"); suffixes keep their own report row
+    # under --merge (merge_results keys on the full family string)
+    parts = family.split("+")
+    model_name = parts[0]
+    glove = "glove" in parts[1:]
     extra = {}
     if getattr(args, "dropout_default", None) is not None:
         extra["dropout_default"] = args.dropout_default
     if getattr(args, "device_features", False):
         extra["device_feature_bank"] = True
-    if getattr(args, "dropout_site", "prepool") != "prepool":
-        extra["dropout_site"] = args.dropout_site
+    if "pooled" in parts[1:] or getattr(
+            args, "dropout_site", "prepool") != "prepool":
+        extra["dropout_site"] = "pooled"
     cfg = Config(
         model_name=model_name,
         q_vocab_size=len(qa.question_vocab) + 1,
@@ -253,8 +259,8 @@ def soak_family(family, qa, store, args, log_dir, task=SOAK_TASK):
         # non-production in the stored report, like the task arm already is
         **({"dropout_default": args.dropout_default}
            if getattr(args, "dropout_default", None) is not None else {}),
-        **({"dropout_site": args.dropout_site}
-           if getattr(args, "dropout_site", "prepool") != "prepool" else {}),
+        **({"dropout_site": "pooled"}
+           if extra.get("dropout_site") == "pooled" else {}),
         **({"val_mode": "seen"}
            if getattr(args, "val_mode", "fresh") == "seen" else {}),
         # assessment context pinned per family: a --merge partial re-run
