@@ -55,6 +55,23 @@ STEPS = [
     ("train_1024",
      [PY, "-m", "benchmarks.bench_train", "--batch", "1024"], 2700, {}),
     ("train_256", [PY, "-m", "benchmarks.bench_train"], 2400, {}),
+    # r5 train roofline: per-stage attribution + corrected train MFU
+    # (the fused-train-kernel FLOPs are hand-added; XLA cost analysis
+    # cannot see custom calls). Split across two processes — each arm
+    # is its own jit compile and the full set plus the FLOPs pass OOM'd
+    # in one process at batch 1024.
+    ("train_breakdown_a",
+     [PY, "-m", "benchmarks.bench_train", "--batch", "1024",
+      "--breakdown", "--arms", "full,fwd"], 2700, {}),
+    ("train_breakdown_b",
+     [PY, "-m", "benchmarks.bench_train", "--batch", "1024",
+      "--breakdown", "--no_flops", "--arms", "fwd_bwd,adam"], 2700, {}),
+    # the weight-contracted fast-train mode (Config.dropout_site):
+    # 104.2 ms vs 175.0 at batch 1024 in r5 — re-record the pair together
+    ("train_pooled_1024",
+     [PY, "-m", "benchmarks.bench_train", "--batch", "1024",
+      "--breakdown", "--arms", "full", "--dropout_site", "pooled"],
+     2700, {}),
     ("serve", [PY, "-m", "benchmarks.bench_serve"], 2400, {}),
     # the quantized feed: half the H2D bytes — on the relayed dev backend
     # (~23 MB/s effective H2D) serving is transfer-bound, so this arm is
