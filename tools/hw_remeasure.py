@@ -72,6 +72,13 @@ STEPS = [
      [PY, "-m", "benchmarks.bench_train", "--batch", "1024",
       "--breakdown", "--arms", "full", "--dropout_site", "pooled"],
      2700, {}),
+    # pooled-mode per-stage attribution (fwd / fwd+bwd; Adam = full −
+    # fwd_bwd): where the 104 ms goes — measured r5: fwd 36.3,
+    # fwd_bwd 100.8, i.e. bwd ≈ 64.5 ms
+    ("train_pooled_attrib",
+     [PY, "-m", "benchmarks.bench_train", "--batch", "1024",
+      "--breakdown", "--no_flops", "--arms", "fwd,fwd_bwd",
+      "--dropout_site", "pooled"], 2700, {}),
     ("serve", [PY, "-m", "benchmarks.bench_serve"], 2400, {}),
     # the quantized feed: half the H2D bytes — on the relayed dev backend
     # (~23 MB/s effective H2D) serving is transfer-bound, so this arm is
