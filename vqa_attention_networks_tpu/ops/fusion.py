@@ -163,7 +163,20 @@ def grid_fuse_pooled(
     identical to the bf16 inference math, so train/eval see the same
     forward function); wider dtypes contract in their own precision (the
     same reordering without the bf16 rounding).
+
+    On TPU at bf16 the chain up to the mask runs as VMEM-resident Pallas
+    kernels instead (ops/pallas_pooled_fusion.py): the per-sample
+    contracted weights and their gradient never exist in HBM — the
+    measured r5 headroom of the XLA formulation
+    (docs/ARCHITECTURE.md "Training-step roofline").
+    ``VQA_COMPOSED_POOLED_FUSION=1`` forces this XLA chain.
     """
+    if train and img.dtype == jnp.bfloat16:
+        from vqa_attention_networks_tpu.ops import pallas_pooled_fusion as ppf
+
+        if ppf.supported(img.shape[0], w.shape[1], k, img.shape[2]):
+            out = ppf.pooled_grid_fuse(img, w, b, q_proj, k)  # [N, L, O] f32
+            return dropout(rng, out.astype(img.dtype), dropout_rate, train)
 
     @jax.checkpoint
     def _fused(img, w, b, q_proj):
