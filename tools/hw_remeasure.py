@@ -66,19 +66,22 @@ STEPS = [
     ("train_breakdown_b",
      [PY, "-m", "benchmarks.bench_train", "--batch", "1024",
       "--breakdown", "--no_flops", "--arms", "fwd_bwd,adam"], 2700, {}),
-    # the weight-contracted fast-train mode (Config.dropout_site):
-    # 104.2 ms vs 175.0 at batch 1024 in r5 — re-record the pair together
+    # the weight-contracted fast-train mode (Config.dropout_site): with the
+    # r5 pooled-site Pallas train kernels (ops/pallas_pooled_fusion.py)
+    # this is the kernel path — 63.2 ms at batch 1024 (was 104.2 XLA,
+    # 175.0 prepool reference recipe)
     ("train_pooled_1024",
      [PY, "-m", "benchmarks.bench_train", "--batch", "1024",
-      "--breakdown", "--arms", "full", "--dropout_site", "pooled"],
-     2700, {}),
-    # pooled-mode per-stage attribution (fwd / fwd+bwd; Adam = full −
-    # fwd_bwd): where the 104 ms goes — measured r5: fwd 36.3,
-    # fwd_bwd 100.8, i.e. bwd ≈ 64.5 ms
-    ("train_pooled_attrib",
-     [PY, "-m", "benchmarks.bench_train", "--batch", "1024",
-      "--breakdown", "--no_flops", "--arms", "fwd,fwd_bwd",
+      "--breakdown", "--no_flops", "--arms", "full,fwd,fwd_bwd",
       "--dropout_site", "pooled"], 2700, {}),
+    # XLA-composed control arm for the pooled kernels (the A/B that
+    # detects a Mosaic regression): r5 measured 104.0 full / 36.3 fwd /
+    # 100.8 fwd_bwd
+    ("train_pooled_xla_1024",
+     [PY, "-m", "benchmarks.bench_train", "--batch", "1024",
+      "--breakdown", "--no_flops", "--arms", "full,fwd,fwd_bwd",
+      "--dropout_site", "pooled"], 2700,
+     {"VQA_COMPOSED_POOLED_FUSION": "1"}),
     ("serve", [PY, "-m", "benchmarks.bench_serve"], 2400, {}),
     # the quantized feed: half the H2D bytes — on the relayed dev backend
     # (~23 MB/s effective H2D) serving is transfer-bound, so this arm is
