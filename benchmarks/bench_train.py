@@ -20,6 +20,7 @@ makes that a correct total-time measurement; see docs/ARCHITECTURE.md
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -224,6 +225,29 @@ def _breakdown(args, cfg, model) -> None:
             kernel_note = (
                 f" (incl. {kf / 1e12:.3f} TF hand-counted fused-train-"
                 "kernel matmuls, invisible to XLA cost analysis)"
+            )
+        # same correction for the pooled-site train kernels
+        # (ops/pallas_pooled_fusion.py): 3 MXU passes at L*D*O_pad per
+        # sample (forward, d_img, d_wq) plus ~5 VPU wq passes at k*D*O_pad
+        # (fwd wq + d_img wq rebuild + d_W/d_b/d_q contractions)
+        if (
+            flops
+            and cfg.dropout_site == "pooled"
+            and cfg.compute_dtype == "bfloat16"
+            and not os.environ.get("VQA_COMPOSED_POOLED_FUSION")
+            and not os.environ.get("VQA_DISABLE_PALLAS")
+            and jax.devices()[0].platform == "tpu"
+            and cfg.model_name in ("mfb", "mfb-multilayer", "mhb_coAtt")
+        ):
+            o_pad = -(-(cfg.fusion_dim // cfg.mfb_factor) // 128) * 128
+            kf = (3 * 2 * cfg.img_feature_dim * cfg.img_feature_channel
+                  * o_pad
+                  + 5 * 2 * cfg.mfb_factor * cfg.img_feature_channel
+                  * o_pad) * batch
+            flops += kf
+            kernel_note = (
+                f" (incl. {kf / 1e12:.3f} TF hand-counted pooled-train-"
+                "kernel passes, invisible to XLA cost analysis)"
             )
 
     print(f"\n=== {cfg.model_name} train-step breakdown @ batch {batch}, "
