@@ -110,6 +110,42 @@ def test_dispatch_parity_vs_composed(monkeypatch):
     )
 
 
+def test_spmd_grads_match_single_device(monkeypatch):
+    """Batch-sharded mesh vs single device: the custom_partitioning
+    wrappers shard the per-sample kernels over the batch axis and psum the
+    d_W/d_b partial sums — gradients must match the unsharded run
+    exactly (the psum adds the same per-shard f32 partials XLA's own DP
+    all-reduce would)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    monkeypatch.setenv("VQA_PALLAS_INTERPRET", "1")
+    n = 8
+    r = np.random.RandomState(4)
+    img = jnp.asarray(r.randn(n, L, D), jnp.bfloat16)
+    w = jnp.asarray(r.randn(D, F) * 0.1, jnp.bfloat16)
+    b = jnp.asarray(r.randn(F) * 0.1, jnp.float32)
+    q = jnp.asarray(r.randn(n, F), jnp.bfloat16)
+    cot = jnp.asarray(r.randn(n, L, O), jnp.float32)
+
+    def loss(img, w, b, q):
+        return jnp.sum(ppf.pooled_grid_fuse(img, w, b, q, K) * cot)
+
+    g1 = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(img, w, b, q)
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("data",))
+    g4 = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(
+        jax.device_put(img, NamedSharding(mesh, P("data"))),
+        jax.device_put(w, NamedSharding(mesh, P())),
+        jax.device_put(b, NamedSharding(mesh, P())),
+        jax.device_put(q, NamedSharding(mesh, P("data"))),
+    )
+    for a, e, name in zip(g4, g1, ("d_img", "d_w", "d_b", "d_q")):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(e, np.float32),
+            rtol=1e-5, atol=1e-5, err_msg=name,
+        )
+
+
 def test_supported_gates(monkeypatch):
     # CPU backend without the proxy: gate closed (composed path serves)
     monkeypatch.delenv("VQA_PALLAS_INTERPRET", raising=False)

@@ -36,6 +36,16 @@ ever exists in HBM:
   it computes d_wq = img^T @ g_pooled in VMEM and immediately contracts
   it with q (-> d_W) and with W (-> d_q), so d_wq dies in registers.
 
+SPMD: a bare pallas_call is REPLICATED by the partitioner under a
+batch-sharded jit (every chip recomputes the whole batch — correct but
+unscaled; verified on the emulated mesh). Each of the three kernels is
+therefore wrapped in ``custom_partitioning`` declaring the batch axis
+shardable; the d_W/d_b outputs are partial sums over the local shard, so
+that wrapper's lowering inserts the ``psum`` over the batch mesh axes —
+the same all-reduce XLA emits for every other weight gradient under DP.
+``tests/test_pooled_fusion.py`` pins 1-device vs sharded-mesh gradient
+equality (interpret mode).
+
 Unlike the pre-pool train kernel there is NO in-kernel PRNG (the mask
 lives outside on the pooled map), so these kernels also run under the
 Pallas interpreter for CPU parity tests.
@@ -54,7 +64,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec
 
 from vqa_attention_networks_tpu.ops.fusion import refactor_output_major
 
@@ -170,40 +182,38 @@ def _bwd_w_kernel(g_ref, out_res_ref, img_ref, w_ref, b_ref, q_ref,
 
 
 # ---------------------------------------------------------------------------
-# host-side wiring
+# per-shard wrappers around the pallas_calls (raw tensor spaces in and out)
 # ---------------------------------------------------------------------------
 
-def _prep(img, w, b, q_proj, k):
-    n, l, d = img.shape
+def _prep(dtype, w, b, q_proj, k):
     f = w.shape[1]
     o = f // k
     o_pad = -(-o // _LANE) * _LANE
     # shared output-major k-refactor (ops/fusion.py); k MAJOR for w/b so the
     # in-kernel j-slice is a contiguous [D, O] slab
     w3 = jnp.moveaxis(
-        refactor_output_major(w.astype(img.dtype), o, k, o_pad), 1, 0
-    )  # [k, D, O_pad] bf16
+        refactor_output_major(w.astype(dtype), o, k, o_pad), 1, 0
+    )  # [k, D, O_pad]
     b3 = jnp.moveaxis(
         refactor_output_major(b.reshape(1, -1).astype(jnp.float32), o, k,
                               o_pad), 1, 0
     )  # [k, 1, O_pad] f32
-    q3 = refactor_output_major(q_proj.astype(img.dtype), o, k, o_pad)
+    q3 = refactor_output_major(q_proj.astype(dtype), o, k, o_pad)
     return w3, b3, q3, o, o_pad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def pooled_grid_fuse(img, w, b, q_proj, k: int):
-    """signed_sqrt(k-pool((img@W + b) * q)) with wq/d_wq VMEM-resident.
+def _pad_o(x, o, o_pad):
+    # the sliced-away O padding was exactly 0 (zero-padded w/b/q), so
+    # re-padding g and the residual with zeros reconstructs the kernel
+    # tensors bit-exactly
+    if o_pad == o:
+        return x.astype(jnp.float32)
+    return jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), (0, o_pad - o)))
 
-    Returns the f32 ``[N, L, O]`` pooled map (the call site applies the
-    pooled-site dropout and the compute-dtype cast; grid_fuse_pooled)."""
-    out, _ = _pooled_fwd(img, w, b, q_proj, k)
-    return out
 
-
-def _pooled_fwd(img, w, b, q_proj, k):
+def _fwd_local(img, w, b, q_proj, k):
     n, l, d = img.shape
-    w3, b3, q3, o, o_pad = _prep(img, w, b, q_proj, k)
+    w3, b3, q3, o, o_pad = _prep(img.dtype, w, b, q_proj, k)
     to = _pick_tile(o_pad, _TO_FWD)
     out_pad = pl.pallas_call(
         functools.partial(_fwd_kernel, k=k, to=to),
@@ -232,20 +242,19 @@ def _pooled_fwd(img, w, b, q_proj, k):
         ),
         interpret=_interpret_flag(),
     )(img, w3, b3, q3)
-    out = out_pad[..., :o] if o_pad != o else out_pad
-    return out, (img, w, b, q_proj, out_pad)
+    return out_pad[..., :o] if o_pad != o else out_pad
 
 
-def _pooled_bwd(k, res, g):
-    img, w, b, q_proj, out_pad = res
-    n, l, d = img.shape
-    w3, b3, q3, o, o_pad = _prep(img, w, b, q_proj, k)
-    g_pad = (
-        jnp.pad(g, ((0, 0), (0, 0), (0, o_pad - o))) if o_pad != o else g
-    ).astype(jnp.float32)
-
+def _dimg_local(g, out, w, q_proj, k):
+    n, l, _ = g.shape
+    d = w.shape[0]
+    w3, _, q3, o, o_pad = _prep(q_proj.dtype, w,
+                                jnp.zeros((w.shape[1],), jnp.float32),
+                                q_proj, k)
+    g_pad = _pad_o(g, o, o_pad)
+    out_pad = _pad_o(out, o, o_pad)
     to = _pick_tile(o_pad, _TO_FWD)
-    dimg = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_bwd_img_kernel, k=k, to=to),
         grid=(n,),
         in_specs=[
@@ -273,6 +282,15 @@ def _pooled_bwd(k, res, g):
         interpret=_interpret_flag(),
     )(g_pad, out_pad, w3, q3)
 
+
+def _dww_local(g, out, img, w, b, q_proj, k):
+    """Per-shard d_W/d_b/d_q in raw spaces (f32). Under DP, d_W and d_b
+    are PARTIAL sums over the local batch shard — the partitioned wrapper
+    psums them."""
+    n, l, d = img.shape
+    w3, b3, q3, o, o_pad = _prep(img.dtype, w, b, q_proj, k)
+    g_pad = _pad_o(g, o, o_pad)
+    out_pad = _pad_o(out, o, o_pad)
     to_w = _pick_tile(o_pad, _TO_BWD_W)
     dw3, db3, dq3 = pl.pallas_call(
         functools.partial(_bwd_w_kernel, k=k),
@@ -326,11 +344,159 @@ def _pooled_bwd(k, res, g):
         x3 = jnp.swapaxes(x3[..., :o], -1, -2)
         return x3.reshape(*x3.shape[:-2], o * k)
 
-    dimg = dimg.astype(img.dtype)
-    dw = _unfactor_kmajor(dw3).astype(w.dtype)
-    db = _unfactor_kmajor(db3)[0].astype(b.dtype)
-    dq = _unfactor(dq3).astype(q_proj.dtype)
-    return dimg, dw, db, dq
+    return _unfactor_kmajor(dw3), _unfactor_kmajor(db3)[0], _unfactor(dq3)
+
+
+# ---------------------------------------------------------------------------
+# SPMD partitioning: declare the batch axis shardable; psum the weight grads
+# ---------------------------------------------------------------------------
+
+def _shardings(mesh, arg_shapes, batched, ranks, out_ranks, reduced=()):
+    """Build (args, outs) NamedShardings: dim 0 of ``batched`` operand
+    indices (and of every output not in ``reduced``) follows operand 0's
+    dim-0 spec; everything else replicates. Returns the batch spec too so
+    the partition lowering knows which mesh axes to psum over."""
+    spec0 = arg_shapes[0].sharding.spec
+    batch = spec0[0] if len(spec0) else None
+
+    def bsh(rank):
+        return NamedSharding(mesh,
+                             PartitionSpec(batch, *([None] * (rank - 1))))
+
+    def rsh(rank):
+        return NamedSharding(mesh, PartitionSpec(*([None] * rank)))
+
+    args = tuple(
+        bsh(r) if i in batched else rsh(r) for i, r in enumerate(ranks)
+    )
+    outs = tuple(
+        rsh(r) if i in reduced else bsh(r) for i, r in enumerate(out_ranks)
+    )
+    return batch, args, outs
+
+
+def _batch_axes(batch):
+    if batch is None:
+        return ()
+    return batch if isinstance(batch, tuple) else (batch,)
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_part(k: int):
+    def run(img, w, b, q_proj):
+        return _fwd_local(img, w, b, q_proj, k)
+
+    cp = custom_partitioning(run)
+    cfgs = dict(batched=(0, 3), ranks=(3, 2, 1, 2), out_ranks=(3,))
+
+    def partition(mesh, arg_shapes, result_shape):
+        _, args, outs = _shardings(mesh, arg_shapes, **cfgs)
+        return mesh, run, outs[0], args
+
+    def infer(mesh, arg_shapes, result_shape):
+        _, _, outs = _shardings(mesh, arg_shapes, **cfgs)
+        return outs[0]
+
+    cp.def_partition(
+        partition=partition, infer_sharding_from_operands=infer,
+        sharding_rule="n a b, e f, g, n h -> n i j",
+        need_replication_factors=("a", "b", "e", "f", "g", "h", "i", "j"),
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _dimg_part(k: int):
+    def run(g, out, w, q_proj):
+        return _dimg_local(g, out, w, q_proj, k)
+
+    cp = custom_partitioning(run)
+    cfgs = dict(batched=(0, 1, 3), ranks=(3, 3, 2, 2), out_ranks=(3,))
+
+    def partition(mesh, arg_shapes, result_shape):
+        _, args, outs = _shardings(mesh, arg_shapes, **cfgs)
+        return mesh, run, outs[0], args
+
+    def infer(mesh, arg_shapes, result_shape):
+        _, _, outs = _shardings(mesh, arg_shapes, **cfgs)
+        return outs[0]
+
+    cp.def_partition(
+        partition=partition, infer_sharding_from_operands=infer,
+        sharding_rule="n a b, n c d, e f, n g -> n h i",
+        need_replication_factors=("a", "b", "c", "d", "e", "f", "g", "h",
+                                  "i"),
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _dww_part(k: int):
+    def run(g, out, img, w, b, q_proj):
+        return _dww_local(g, out, img, w, b, q_proj, k)
+
+    cp = custom_partitioning(run)
+    cfgs = dict(batched=(0, 1, 2, 5), ranks=(3, 3, 3, 2, 1, 2),
+                out_ranks=(2, 1, 2), reduced=(0, 1))
+
+    def partition(mesh, arg_shapes, result_shape):
+        batch, args, outs = _shardings(mesh, arg_shapes, **cfgs)
+        axes = _batch_axes(batch)
+
+        def lower(g, out, img, w, b, q_proj):
+            dw, db, dq = run(g, out, img, w, b, q_proj)
+            # d_W/d_b are partial sums over the local batch shard: the
+            # cross-shard reduction is the SAME all-reduce XLA emits for
+            # every other weight gradient under data parallelism
+            for ax in axes:
+                dw = jax.lax.psum(dw, ax)
+                db = jax.lax.psum(db, ax)
+            return dw, db, dq
+
+        return mesh, lower, outs, args
+
+    def infer(mesh, arg_shapes, result_shape):
+        _, _, outs = _shardings(mesh, arg_shapes, **cfgs)
+        return outs
+
+    cp.def_partition(
+        partition=partition, infer_sharding_from_operands=infer,
+        # dw/db carry only replicated factors: the batch reduction is done
+        # by the explicit psum in ``lower`` above, and the returned
+        # out_shardings declare them replicated
+        sharding_rule="n a b, n c d, n e f, g h, i, n j -> p q, r, n s",
+        need_replication_factors=("a", "b", "c", "d", "e", "f", "g", "h",
+                                  "i", "j", "p", "q", "r", "s"),
+    )
+    return cp
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP entry point
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def pooled_grid_fuse(img, w, b, q_proj, k: int):
+    """signed_sqrt(k-pool((img@W + b) * q)) with wq/d_wq VMEM-resident.
+
+    Returns the f32 ``[N, L, O]`` pooled map (the call site applies the
+    pooled-site dropout and the compute-dtype cast; grid_fuse_pooled)."""
+    out, _ = _pooled_fwd(img, w, b, q_proj, k)
+    return out
+
+
+def _pooled_fwd(img, w, b, q_proj, k):
+    out = _fwd_part(k)(img, w, b, q_proj)
+    return out, (img, w, b, q_proj, out)
+
+
+def _pooled_bwd(k, res, g):
+    img, w, b, q_proj, out = res
+    g = g.astype(jnp.float32)
+    dimg = _dimg_part(k)(g, out, w, q_proj)
+    dw, db, dq = _dww_part(k)(g, out, img, w, b, q_proj)
+    return (dimg.astype(img.dtype), dw.astype(w.dtype), db.astype(b.dtype),
+            dq.astype(q_proj.dtype))
 
 
 pooled_grid_fuse.defvjp(
