@@ -211,14 +211,30 @@ def _bench_by_id(args, cfg, engine) -> None:
         def draw():
             return rng.integers(0, u, size=args.batch)
 
-    def stream(n, sampler):
-        for _ in range(n):
-            yield sampler(), ques, qlen
+    # a sequential upload pass stands in for warm-up ONLY in the
+    # everything-fits regime with auto warm-up; an explicit
+    # --warm_batches always runs that much real sampled traffic
+    seq_warm = cap == u and not args.warm_batches
+    if seq_warm:
+        warm_batches = -(-u // args.batch)
+    else:
+        warm_batches = args.warm_batches or max(4, 2 * u // args.batch)
+
+    # presample every batch's ids OUTSIDE the timed windows: the zipf
+    # sampler rebuilds an O(pool) probability table per rng.choice call,
+    # which would otherwise bill host sampling cost to the serving engine
+    # (deflating the zipf arms relative to uniform at large pools)
+    warm_ids = [] if seq_warm else [draw() for _ in range(warm_batches)]
+    timed_ids = [draw() for _ in range(args.batches)]
+
+    def stream(id_batches):
+        for ids in id_batches:
+            yield ids, ques, qlen
 
     # warm: compile, fill the bank, and (capacity < pool) settle the LRU
     # into its steady mix of hits/misses/evictions
     t0 = _time.perf_counter()
-    if cap == u:
+    if seq_warm:
         # everything-fits: one sequential pass uploads the whole pool —
         # the cold-start cost a deployment pays once per hot set
         for start in range(0, u, args.batch):
@@ -227,12 +243,8 @@ def _bench_by_id(args, cfg, engine) -> None:
                 ids, ques[: len(ids)], qlen[: len(ids)]
             )
         assert cache.misses == u, (cache.misses, u)
-        warm_batches = -(-u // args.batch)
     else:
-        warm_batches = args.warm_batches or max(4, 2 * u // args.batch)
-        for _ in engine.predict_stream_by_id(
-            stream(warm_batches, draw)
-        ):
+        for _ in engine.predict_stream_by_id(stream(warm_ids)):
             pass
     warm_s = _time.perf_counter() - t0
     warm_misses = cache.misses
@@ -240,7 +252,7 @@ def _bench_by_id(args, cfg, engine) -> None:
 
     t0 = _time.perf_counter()
     total = 0
-    for preds in engine.predict_stream_by_id(stream(args.batches, draw)):
+    for preds in engine.predict_stream_by_id(stream(timed_ids)):
         total += len(preds)
     dt = _time.perf_counter() - t0
 

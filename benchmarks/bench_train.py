@@ -20,7 +20,6 @@ makes that a correct total-time measurement; see docs/ARCHITECTURE.md
 
 import argparse
 import json
-import os
 import time
 
 import jax
@@ -107,6 +106,14 @@ MAIN_ARMS = {"full", "fwd", "fwd_bwd", "adam", "full_remat"}
 def _breakdown(args, cfg, model) -> None:
     batch, iters = args.batch, args.iters
     want = set(args.arms.split(",")) if args.arms else set(ALL_ARMS)
+    unknown = want - set(ALL_ARMS)
+    if unknown:
+        # fail BEFORE any compile: each arm is 1-3 min over the relay, so a
+        # typo silently timing the wrong subset is an expensive discovery
+        raise SystemExit(
+            f"--arms: unknown arm(s) {sorted(unknown)}; "
+            f"choose from {','.join(ALL_ARMS)}"
+        )
     data = _make_data(cfg, batch)
     img, ques, soft = data
     arms = {}
@@ -188,13 +195,16 @@ def _breakdown(args, cfg, model) -> None:
         )
         del bn
 
+    rng2_impl = None
     if "full_rng2" in want:
         # RNG-impl arm: rbg is TPU-hardware-accelerated; threefry is JAX's
-        # reproducible default (Config.rng_impl documents the tradeoff)
-        other = ("rbg" if args.rng_impl.startswith("threefry")
-                 else "threefry2x32")
-        bo = _build(cfg, model, other, batch, data=data)
-        arms[f"full_{other}"] = _time_arm(
+        # reproducible default (Config.rng_impl documents the tradeoff).
+        # Keyed "full_rng2" (the name the user asked for via --arms); the
+        # concrete impl is reported alongside in the JSON.
+        rng2_impl = ("rbg" if args.rng_impl.startswith("threefry")
+                     else "threefry2x32")
+        bo = _build(cfg, model, rng2_impl, batch, data=data)
+        arms["full_rng2"] = _time_arm(
             bo["step"], lambda: (bo["params"], bo["opt_state"], img, ques,
                                  soft, bo["key"]), iters,
             lambda out: np.asarray(out[2]),
@@ -211,12 +221,23 @@ def _breakdown(args, cfg, model) -> None:
         # + d_W + z0 recompute, ops/pallas_train_fusion.py) are invisible
         # to it — the uncorrected number under-reports train MFU ~13x at
         # production dims. Add the hand count for the grid-fusion models.
+        # Gate on the kernel's OWN dispatch predicate (the same call the
+        # model makes, ops/pallas_fusion.py:243-248): under
+        # VQA_DISABLE_PALLAS / VQA_COMPOSED_TRAIN_FUSION, a batch not
+        # divisible by the kernel's block count, or rate outside (0,1),
+        # the composed chain serves — and XLA's cost analysis already
+        # counts its fusion FLOPs, so adding the hand count there would
+        # double-count and inflate the reported MFU ~2.6x.
+        from vqa_attention_networks_tpu.ops import pallas_train_fusion as ptf
+
         if (
             flops
             and cfg.dropout_site == "prepool"
             and cfg.compute_dtype == "bfloat16"
             and cfg.dropout_fusion > 0
             and jax.devices()[0].platform == "tpu"
+            and ptf.supported(batch, cfg.dropout_fusion, cfg.fusion_dim,
+                              cfg.mfb_factor)
             and cfg.model_name in ("mfb", "mfb-multilayer", "mhb_coAtt")
         ):
             kf = 4 * 2 * cfg.img_feature_dim * cfg.img_feature_channel \
@@ -230,13 +251,15 @@ def _breakdown(args, cfg, model) -> None:
         # (ops/pallas_pooled_fusion.py): 3 MXU passes at L*D*O_pad per
         # sample (forward, d_img, d_wq) plus ~5 VPU wq passes at k*D*O_pad
         # (fwd wq + d_img wq rebuild + d_W/d_b/d_q contractions)
+        from vqa_attention_networks_tpu.ops import pallas_pooled_fusion as ppf
+
         if (
             flops
             and cfg.dropout_site == "pooled"
             and cfg.compute_dtype == "bfloat16"
-            and not os.environ.get("VQA_COMPOSED_POOLED_FUSION")
-            and not os.environ.get("VQA_DISABLE_PALLAS")
             and jax.devices()[0].platform == "tpu"
+            and ppf.supported(batch, cfg.fusion_dim, cfg.mfb_factor,
+                              cfg.img_feature_channel)
             and cfg.model_name in ("mfb", "mfb-multilayer", "mhb_coAtt")
         ):
             o_pad = -(-(cfg.fusion_dim // cfg.mfb_factor) // 128) * 128
@@ -263,9 +286,28 @@ def _breakdown(args, cfg, model) -> None:
               f"optimizer(+overlap) {adam_ms:.1f} ms "
               f"(adam alone {arms['adam'] * 1e3:.1f} ms)")
     if {"full", "full_nodrop"} <= set(arms):
+        from vqa_attention_networks_tpu.ops import pallas_train_fusion as ptf
+
         drop_ms = (arms["full"] - arms["full_nodrop"]) * 1e3
-        print(f"  dropout total (masks+residuals, all sites): "
-              f"{drop_ms:.1f} ms "
+        # rate=0 fails the fused train kernel's dispatch gate (supported
+        # requires 0<rate<1), so wherever the full arm ran the kernel the
+        # nodrop arm ran the composed XLA chain — the delta then measures
+        # kernel-vs-composed dispatch (incl. the [N,L,F] f32 residual the
+        # kernel exists to remove), NOT what the dropout sites cost.
+        switched = (
+            cfg.dropout_site == "prepool"
+            and cfg.compute_dtype == "bfloat16"
+            and cfg.dropout_fusion > 0
+            and ptf.supported(batch, cfg.dropout_fusion, cfg.fusion_dim,
+                              cfg.mfb_factor)
+            and cfg.model_name in ("mfb", "mfb-multilayer", "mhb_coAtt")
+        )
+        label = ("full-vs-nodrop delta (CAVEAT: nodrop disengages the "
+                 "fused train kernel -> composed chain; this is a "
+                 "path-switch measurement, not dropout cost)"
+                 if switched else
+                 "dropout total (masks+residuals, all sites)")
+        print(f"  {label}: {drop_ms:.1f} ms "
               f"= {100 * drop_ms / (arms['full'] * 1e3):.0f}% of the step")
     mfu = None
     if flops and "full" in arms:
@@ -278,6 +320,7 @@ def _breakdown(args, cfg, model) -> None:
         "compute_dtype": cfg.compute_dtype, "rng_impl": args.rng_impl,
         "dropout_site": cfg.dropout_site,
         "ms": {k: round(v * 1e3, 2) for k, v in arms.items()},
+        "rng2_impl": rng2_impl,
         "flops_per_step": flops,
         "flops_includes_kernel_handcount": bool(kernel_note),
         "mfu": round(mfu, 4) if mfu else None,

@@ -104,11 +104,17 @@ class VqaBatches:
         self._rows = store.rows_for(split.image_ids)
         # Device-bank rows must be DENSE positions in [0, n): a
         # CombinedFeatureStore's handles are (store << 40) | row, which
-        # neither fit int32 nor index the concatenated bank table.
-        self._bank_rows = (
-            store.dense_rows(self._rows).astype(np.int32)
-            if device_bank else None
-        )
+        # neither fit int32 nor index the concatenated bank table. The
+        # hasattr guard mirrors Solver._build_feature_bank's all_rows
+        # fallback: duck-typed stores without the dense-rows API have
+        # dense handles already.
+        self._bank_rows = None
+        if device_bank:
+            dense = (
+                store.dense_rows(self._rows)
+                if hasattr(store, "dense_rows") else np.asarray(self._rows)
+            )
+            self._bank_rows = dense.astype(np.int32)
 
     def __len__(self) -> int:
         n = len(self.split)
