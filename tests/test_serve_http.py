@@ -722,6 +722,62 @@ def test_device_bank_metrics_exported(server_bank):
     assert "vqa_device_bank_evictions_total" in body
 
 
+def test_device_bank_sharded_over_data_parallel_mesh(tmp_path):
+    """--data_parallel D + --device_cache_images: the bank shards over the
+    serving mesh (DeviceFeatureCache(mesh=...), r5) — answers must equal
+    the plain single-device int8 service's, and capacity rounds up to a
+    mesh multiple."""
+    from vqa_attention_networks_tpu.data.feature_store import quantize_store
+
+    data_dir = tmp_path
+    words = ["what", "color", "is", "the", "cat"]
+    q_vocab = {w: i + 1 for i, w in enumerate(words)}
+    q_vocab["UNK"] = len(words) + 1
+    vocab = {"question_vocab": q_vocab,
+             "answer_vocab": {"black": 0, "white": 1, "blue": 2},
+             "max_question_length": 6}
+    with open(data_dir / "qa_v2_3answers_all.vocab.json", "w") as f:
+        json.dump(vocab, f)
+    make_synthetic_feature_store(
+        str(data_dir / "resnet152_f16"), IMAGE_IDS, num_regions=4,
+        channels=8,
+    )
+    quantize_store(str(data_dir / "resnet152_f16"),
+                   str(data_dir / "resnet152_all"))
+    cfg = Config(
+        model_name=MODEL, q_vocab_size=q_vocab["UNK"] + 1, a_vocab_size=3,
+        max_question_length=6, img_feature_channel=8,
+        compute_dtype="bfloat16",
+    ).validate()
+    params = get_model(MODEL).init(jax.random.PRNGKey(0), cfg)
+    ckpt.save_weights(str(data_dir / "models" / MODEL), params)
+
+    def build(device_cache_images, data_parallel):
+        args = argparse.Namespace(
+            model_name=MODEL, model_dir=str(data_dir / "models"),
+            data_dir=str(data_dir), vocab=None, feature_type="resnet152",
+            version=2, num_answer=3, batch_size=8, topk=2, max_wait_ms=0.0,
+            device_cache_images=device_cache_images,
+            data_parallel=data_parallel,
+        )
+        return serve_cli.build_service(args)
+
+    ndev = jax.device_count()
+    sharded = build(len(IMAGE_IDS), ndev)  # 4 images -> rounds up to ndev
+    plain = build(0, 1)
+    assert sharded.bank is not None
+    assert sharded.bank.capacity == ndev
+    assert len(sharded.bank.rows.sharding.device_set) == ndev
+    for image_id in IMAGE_IDS + [IMAGE_IDS[0]]:  # repeat: a bank hit
+        item = {"image_id": image_id, "question": "what color is the cat"}
+        got = sharded.predict_one(dict(item))
+        want = plain.predict_one(dict(item))
+        assert got["answer"] == want["answer"]
+        assert [t["answer"] for t in got["top"]] == \
+            [t["answer"] for t in want["top"]]
+    assert sharded.bank.hits >= 1
+
+
 def test_device_bank_requires_int8_store(tmp_path):
     """A float store + --device_cache_images must refuse at startup."""
     data_dir = tmp_path

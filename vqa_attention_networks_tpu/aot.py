@@ -119,6 +119,68 @@ def serving_forward_banked(cfg: Config, topk: int):
     return fwd
 
 
+def serving_forward_banked_sharded(cfg: Config, topk: int, mesh,
+                                   data_axis: str = "data"):
+    """The banked serving forward for a bank SHARDED over the ``data``
+    mesh axis: device d holds bank rows ``[d*C/D, (d+1)*C/D)``, so bank
+    capacity scales with the mesh instead of replicating (one chip's
+    ~16 GB HBM caps a single-device bank at ~40k-image VQA-val scale —
+    15.7 GB of int8 rows does NOT fit beside the model; D chips do).
+
+    The gather is the same ICI ring as the training-side sharded feature
+    bank (train/solver.py _ring_lookup): each data shard's (slot indices,
+    int8-row accumulator, scale accumulator) triple rotates around the
+    ``data`` ring via ``lax.ppermute``; at each stop the local bank shard
+    fills the rows it owns via ``where`` (no float math — bit-exact, and
+    int8 rows travel the ring at half the f16 byte cost). D rotations
+    return the triple home having visited every shard. The gathered
+    (rows, scales) then ride the exact int8 serving forward
+    (``serving_forward(cfg, topk, "int8")``) — one source of truth, so
+    this path cannot drift from the per-request feed or the single-device
+    bank."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    base = serving_forward(cfg, topk, "int8")
+    ndata = int(mesh.shape[data_axis])
+    perm = [(j, (j + 1) % ndata) for j in range(ndata)]
+
+    def _gather(rows_loc, scale_loc, idx_loc):
+        rows_per = rows_loc.shape[0]
+        acc_r = jnp.zeros(
+            (idx_loc.shape[0],) + rows_loc.shape[1:], rows_loc.dtype
+        )
+        acc_s = jnp.zeros(
+            (idx_loc.shape[0],) + scale_loc.shape[1:], scale_loc.dtype
+        )
+        r = idx_loc
+        for _ in range(ndata):
+            d = jax.lax.axis_index(data_axis)
+            local = r - d * rows_per
+            ok = (local >= 0) & (local < rows_per)
+            safe = jnp.clip(local, 0, rows_per - 1)
+            acc_r = jnp.where(ok[:, None, None], rows_loc[safe], acc_r)
+            acc_s = jnp.where(ok[:, None], scale_loc[safe], acc_s)
+            r = jax.lax.ppermute(r, data_axis, perm)
+            acc_r = jax.lax.ppermute(acc_r, data_axis, perm)
+            acc_s = jax.lax.ppermute(acc_s, data_axis, perm)
+        return acc_r, acc_s
+
+    gather = shard_map(
+        _gather, mesh=mesh,
+        in_specs=(P(data_axis), P(data_axis), P(data_axis)),
+        out_specs=(P(data_axis), P(data_axis)),
+    )
+
+    def fwd(params, bank_rows, bank_scale, idx, ques, qlen):
+        # bank_rows [C, L, D] int8 sharded (data, ...); idx [B] int32
+        # sharded (data,) — the gathered batch shard stays on its device
+        rows, scale = gather(bank_rows, bank_scale, idx)
+        return base(params, rows, scale, ques, qlen)
+
+    return fwd
+
+
 def export_serving(
     cfg: Config,
     params,

@@ -791,7 +791,10 @@ def main(argv=None) -> None:
                              "measured 159x the per-request int8 feed on "
                              "a thin link, docs/BENCHMARKS.md). Needs an "
                              "int8 store, N >= batch_size; incompatible "
-                             "with --aot_artifact / --data_parallel > 1")
+                             "with --aot_artifact. With --data_parallel D "
+                             "the bank SHARDS over the data mesh: N rounds "
+                             "up to a multiple of D and per-device HBM "
+                             "drops D-fold (lookups ride the ICI ring)")
     parser.add_argument("--data_parallel", type=int, default=1,
                         help="shard each served batch over the first N "
                              "local devices of a 1-D data mesh (params "

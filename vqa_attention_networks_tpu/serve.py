@@ -48,11 +48,21 @@ class DeviceFeatureCache:
       bank-sized copies; fixed shapes, so exactly one compile).
     - Eviction is LRU over image ids, never evicting an id used by the
       batch currently being assembled.
+    - ``mesh`` (a 1-D ``('data',)`` mesh — the data_parallel engine's):
+      bank rows shard over the data axis, so capacity SCALES with the
+      mesh — device d holds rows ``[d*C/D, (d+1)*C/D)``, per-device HBM
+      cost drops D-fold, and VQA-val-scale traffic (~40k images, 15.7 GB)
+      fits on an 8-chip pod slice that a single chip cannot hold.
+      Capacity rounds UP to a multiple of the data-axis size. The LRU /
+      slot bookkeeping is placement-agnostic (host-side dicts over global
+      slot ids); the lookup side is the ICI ring gather in
+      aot.serving_forward_banked_sharded.
     """
 
     def __init__(self, cfg: Config, capacity: int,
                  num_regions: Optional[int] = None,
-                 channels: Optional[int] = None):
+                 channels: Optional[int] = None,
+                 mesh=None, data_axis: str = "data"):
         # grid shape follows the FEEDER (the store actually gathered
         # from), not the model config: models pool over whatever L the
         # grid has, so a non-production store (e.g. a 4-region test
@@ -61,23 +71,56 @@ class DeviceFeatureCache:
         d = channels if channels is not None else cfg.img_feature_channel
         self.capacity = int(capacity)
         assert self.capacity >= 1
-        self._rows = jax.device_put(
-            jnp.zeros((self.capacity, l, d), jnp.int8)
-        )
-        self._scale = jax.device_put(
-            jnp.zeros((self.capacity, d), jnp.float16)
-        )
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from vqa_attention_networks_tpu.parallel.sharding import (
+                place_global,
+            )
+
+            ndata = int(mesh.shape[data_axis])
+            # pad capacity so every device holds an equal row block
+            self.capacity = -(-self.capacity // ndata) * ndata
+            self._rows = place_global(
+                mesh, np.zeros((self.capacity, l, d), np.int8),
+                PartitionSpec(data_axis),
+            )
+            self._scale = place_global(
+                mesh, np.zeros((self.capacity, d), np.float16),
+                PartitionSpec(data_axis),
+            )
+            sh3 = NamedSharding(mesh, PartitionSpec(data_axis, None, None))
+            sh2 = NamedSharding(mesh, PartitionSpec(data_axis, None))
+            # donated sharded slot writes: SPMD lowers the dynamic-update
+            # -slice to a masked per-shard update — only the owning
+            # device's block changes, no bank-sized copies or gathers
+            self._put_rows = jax.jit(
+                lambda bank, rows, i: bank.at[i].set(rows),
+                donate_argnums=0, out_shardings=sh3,
+            )
+            self._put_scale = jax.jit(
+                lambda bank, s, i: bank.at[i].set(s),
+                donate_argnums=0, out_shardings=sh2,
+            )
+        else:
+            self._rows = jax.device_put(
+                jnp.zeros((self.capacity, l, d), jnp.int8)
+            )
+            self._scale = jax.device_put(
+                jnp.zeros((self.capacity, d), jnp.float16)
+            )
+            # donated in-place slot writes: the bank is rebound, not copied
+            self._put_rows = jax.jit(
+                lambda bank, rows, i: bank.at[i].set(rows), donate_argnums=0
+            )
+            self._put_scale = jax.jit(
+                lambda bank, s, i: bank.at[i].set(s), donate_argnums=0
+            )
         self._slot: dict = {}  # image_id -> slot
         self._order: dict = {}  # image_id -> monotone last-use tick (LRU)
         self._tick = 0
         self._free = list(range(self.capacity - 1, -1, -1))
-        # donated in-place slot writes: the bank is rebound, not copied
-        self._put_rows = jax.jit(
-            lambda bank, rows, i: bank.at[i].set(rows), donate_argnums=0
-        )
-        self._put_scale = jax.jit(
-            lambda bank, s, i: bank.at[i].set(s), donate_argnums=0
-        )
         self.hits = 0
         self.misses = 0
         self.evictions = 0
@@ -335,18 +378,16 @@ class InferenceEngine:
         ``fetch(missing_ids) -> (int8 rows, scales)`` — typically
         ``store.gather_quantized``. Requires the int8 jit engine: the
         banked forward is a jit variant of the SAME serving forward
-        (aot.serving_forward_banked), which an AOT artifact or a
-        multi-device mesh does not carry.
+        (aot.serving_forward_banked), which an AOT artifact does not
+        carry. Under ``data_parallel=N`` the bank SHARDS over the data
+        mesh (capacity rounds up to a multiple of N and scales with the
+        mesh; lookups ride the ICI ring of
+        aot.serving_forward_banked_sharded).
         """
         if self.input_dtype != "int8":
             raise ValueError(
                 "the device feature cache stores the quantized layout — "
                 "construct InferenceEngine(input_dtype='int8')"
-            )
-        if self._mesh is not None:
-            raise ValueError(
-                "device feature cache + data_parallel serving is not "
-                "supported (the bank lives on one device)"
             )
         if self._aot:
             raise ValueError(
@@ -358,7 +399,8 @@ class InferenceEngine:
         from vqa_attention_networks_tpu import aot
 
         self._cache = DeviceFeatureCache(
-            self.cfg, capacity, num_regions=num_regions, channels=channels
+            self.cfg, capacity, num_regions=num_regions, channels=channels,
+            mesh=self._mesh,
         )
         self._fetch = fetch
         # held across ensure()+dispatch: a concurrent caller's eviction
@@ -366,9 +408,25 @@ class InferenceEngine:
         # and its gather being enqueued (device FIFO then guarantees the
         # gather reads the slots ensure() resolved)
         self._bank_lock = threading.Lock()
-        self._fwd_bank = jax.jit(
-            aot.serving_forward_banked(self.cfg, self.topk)
-        )
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            bank3 = NamedSharding(
+                self._mesh, PartitionSpec("data", None, None)
+            )
+            bank2 = NamedSharding(self._mesh, PartitionSpec("data", None))
+            self._fwd_bank = jax.jit(
+                aot.serving_forward_banked_sharded(
+                    self.cfg, self.topk, self._mesh
+                ),
+                in_shardings=(self._replicated, bank3, bank2,
+                              self._batched, self._batched, self._batched),
+                out_shardings=self._batched,
+            )
+        else:
+            self._fwd_bank = jax.jit(
+                aot.serving_forward_banked(self.cfg, self.topk)
+            )
         return self._cache
 
     def _bank_args(self, image_ids) -> Tuple[np.ndarray, int]:
