@@ -8,7 +8,11 @@ accumulation, bf16 MXU operands, f32 dot accumulation) and against the
 composed XLA pooled chain they replace.
 
 The real-TPU leg lives in the VQA_TEST_PLATFORM=tpu gate at the bottom
-(tools/hw_remeasure.py tpu_tests step runs it on hardware).
+(tools/hw_remeasure.py tpu_tests step runs this file on hardware). The
+interpret-mode tests SKIP on a real TPU backend: there the open dispatch
+gate would send these deliberately tiny shapes through a real Mosaic
+compile (measured: minutes-slow through the dev relay, and redundant —
+the hardware leg covers production dims).
 """
 
 import os
@@ -23,6 +27,12 @@ from vqa_attention_networks_tpu.ops.fusion import grid_fuse_pooled
 
 N, L, D, K, O = 3, 5, 16, 5, 8
 F = O * K
+
+_interpret_only = pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="interpret-mode parity test (tiny dims); the TPU leg is "
+           "test_tpu_parity_production_dims",
+)
 
 
 def _inputs(seed=0, dtype=jnp.bfloat16):
@@ -50,6 +60,7 @@ def _mirror(img, w, b, q_proj, k):
     return jnp.sqrt(jax.nn.relu(pooled)) - jnp.sqrt(jax.nn.relu(-pooled))
 
 
+@_interpret_only
 def test_forward_matches_mirror_interpret():
     img, w, b, q = _inputs()
     out = ppf.pooled_grid_fuse(img, w, b, q, K)
@@ -60,6 +71,7 @@ def test_forward_matches_mirror_interpret():
                                rtol=1e-3, atol=1e-4)
 
 
+@_interpret_only
 def test_gradients_match_mirror_interpret():
     img, w, b, q = _inputs(1)
     cot = jnp.asarray(
@@ -84,6 +96,7 @@ def test_gradients_match_mirror_interpret():
         )
 
 
+@_interpret_only
 def test_dispatch_parity_vs_composed(monkeypatch):
     """grid_fuse_pooled with the kernel gate open (interpret proxy) vs the
     composed XLA chain: same mask (the dropout draw sees identical shape/
@@ -118,6 +131,9 @@ def test_spmd_grads_match_single_device(monkeypatch):
     all-reduce would)."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a 4-device mesh (emulated CPU devices; the "
+                    "dev TPU backend exposes one chip)")
     monkeypatch.setenv("VQA_PALLAS_INTERPRET", "1")
     n = 8
     r = np.random.RandomState(4)
@@ -147,9 +163,11 @@ def test_spmd_grads_match_single_device(monkeypatch):
 
 
 def test_supported_gates(monkeypatch):
-    # CPU backend without the proxy: gate closed (composed path serves)
+    on_tpu = jax.default_backend() == "tpu"
+    # CPU backend without the proxy: gate closed (composed path serves);
+    # on a real TPU backend the gate is open BY DESIGN
     monkeypatch.delenv("VQA_PALLAS_INTERPRET", raising=False)
-    assert not ppf.supported(N, F, K, D)
+    assert ppf.supported(N, F, K, D) == on_tpu
     monkeypatch.setenv("VQA_PALLAS_INTERPRET", "1")
     assert ppf.supported(N, F, K, D)
     monkeypatch.setenv("VQA_DISABLE_PALLAS", "1")

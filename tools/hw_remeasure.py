@@ -113,7 +113,7 @@ STEPS = [
      3600, {}),
     ("tpu_tests",
      [PY, "-m", "pytest", "tests/test_aot.py", "tests/test_train_fusion.py",
-      "-q"],
+      "tests/test_pooled_fusion.py", "-q"],
      2700, {"VQA_TEST_PLATFORM": "tpu"}),
     ("fusion_micro", [PY, "-m", "benchmarks.bench_fusion"], 2400, {}),
     ("models_sweep", [PY, "-m", "benchmarks.bench_models"], 5400, {}),
