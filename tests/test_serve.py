@@ -255,6 +255,37 @@ def test_device_cache_stream_matches_batch():
             assert a.answer_id == b.answer_id
 
 
+def test_device_cache_miss_upload_batches_by_binary_chunks():
+    """A batch's misses ship in log2-many power-of-two scatter chunks
+    (binary decomposition of the miss count), not one dispatch per image
+    and with ZERO padding bytes — eviction-regime batches carry O(100)
+    misses on transfer-bound links, so both dispatch count and dead
+    bytes matter (pad-to-power-of-two measured a 1.5x regression)."""
+    engine, cfg = _int8_engine()
+    rng = np.random.default_rng(6)
+    rows, scale = _quantized_pool(rng, 8, cfg)
+    cache = engine.attach_feature_cache(
+        capacity=8, fetch=lambda ids: (rows[ids], scale[ids])
+    )
+    calls = []
+    orig = cache._put_rows
+    cache._put_rows = lambda bank, r, i: calls.append(r.shape) or orig(
+        bank, r, i
+    )
+    ques = rng.integers(0, cfg.q_vocab_size, size=(5, 7)).astype(np.int32)
+    preds = engine.predict_batch_by_id([0, 5, 2, 2, 7], ques)  # 4 distinct
+    assert calls == [(4, 196, cfg.img_feature_channel)]  # one chunk
+    calls.clear()
+    engine.predict_batch_by_id([1, 3, 4], ques[:3])  # 3 misses -> 2 + 1
+    assert calls == [(2, 196, cfg.img_feature_channel),
+                     (1, 196, cfg.img_feature_channel)]
+    direct = engine.predict_batch(
+        rows[[0, 5, 2, 2, 7]], ques, feature_scale=scale[[0, 5, 2, 2, 7]]
+    )
+    for a, b in zip(preds, direct):
+        assert a.answer_id == b.answer_id
+
+
 def test_device_cache_requires_int8_jit_engine():
     import pytest
 

@@ -182,16 +182,32 @@ class DeviceFeatureCache:
             rows = np.asarray(rows)
             scale = np.asarray(scale, dtype=np.float16)
             assert rows.dtype == np.int8, rows.dtype
+            slots = np.empty(len(missing), dtype=np.int32)
             for j, image_id in enumerate(missing):
-                slot = self._take_slot(batch_ids)
+                slots[j] = self._take_slot(batch_ids)
+                self._slot[image_id] = int(slots[j])
+                self._touch(image_id)
+            # Batched scatters instead of a dispatch per image: in the
+            # eviction regime a batch can carry O(100) misses, and on
+            # relayed/thin-link backends per-dispatch latency rivals the
+            # 392 KB payload. Decompose the miss count into its BINARY
+            # power-of-two chunks (450 -> 256+128+64+2): zero padding
+            # bytes on the transfer-bound link (a measured 1.5x
+            # regression when pad-to-next-power-of-two shipped up to
+            # +50% dead rows), <= log2(m)+1 dispatches instead of m, and
+            # jit compiles one program per power-of-two size —
+            # log2(capacity) of them, not one per distinct count.
+            off, m = 0, len(missing)
+            while off < m:
+                c = 1 << ((m - off).bit_length() - 1)
+                idx = jnp.asarray(slots[off:off + c])
                 self._rows = self._put_rows(
-                    self._rows, jnp.asarray(rows[j]), slot
+                    self._rows, jnp.asarray(rows[off:off + c]), idx
                 )
                 self._scale = self._put_scale(
-                    self._scale, jnp.asarray(scale[j]), slot
+                    self._scale, jnp.asarray(scale[off:off + c]), idx
                 )
-                self._slot[image_id] = slot
-                self._touch(image_id)
+                off += c
         # hits = requests that needed no upload (within-batch reuse of a
         # just-missed id still saves its transfer, so it counts)
         self.misses += len(missing)
